@@ -1,0 +1,195 @@
+"""The CDX indexing job: pages DataFrame -> CDX records / lines / stats.
+
+Spark-first equivalent of CDX_Writer.make_cdx (cdx_writer.py:799-855).
+The whole projection is one declarative plan — scan → http-split →
+admission filter → field columns → exclusion anti-filter → line
+assembly — so Catalyst prunes unused field columns when a narrow
+``--format`` is requested (the reference gets the same effect from lazy
+properties + attrgetter, :766-778) and pushes record_type/content_type
+predicates into the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import surt_key
+from .dispatch import content_length_ok, handler_column
+from .fields import add_cdx_field_columns, field_column_name
+from .schema import DEFAULT_FORMAT
+from .udfs import http_split
+
+
+@dataclass(frozen=True)
+class CDXConfig:
+    """Mirrors the reference CLI options (cdx_writer.py:861-883)."""
+    format: str = DEFAULT_FORMAT           # --format
+    all_records: bool = False              # --all-records
+    screenshot_mode: bool = False          # --screenshot-mode
+    exclude_urls: tuple[str, ...] = ()     # --exclude-list entries (raw URLs)
+    host_massage: bool = True              # --no-host-massage inverts
+    g_prefix: str | None = None            # --use-full-path / --file-prefix
+
+    def field_codes(self) -> list[str]:
+        return self.format.split()
+
+    def field_columns(self) -> list[str]:
+        return [field_column_name(c) for c in self.field_codes()]
+
+    def exclude_surts(self) -> list[str]:
+        """Canonicalized exclusion prefixes (cdx_writer.py:746-757):
+        blank lines skipped, first whitespace token, urlkey applied."""
+        out = []
+        for line in self.exclude_urls:
+            if line.strip() == "":
+                continue
+            out.append(surt_key(line.split()[0],
+                                host_massage=self.host_massage))
+        return out
+
+
+def load_exclude_list(text: str) -> tuple[str, ...]:
+    """Parse an exclusion-list file body into raw URL entries."""
+    return tuple(line for line in text.splitlines() if line.strip() != "")
+
+
+# --- exclusion (F9): broadcast SURT-prefix anti-filter -------------------------
+
+_NATIVE_PREFIX_LIMIT = 64
+
+
+def excluded_column(surt_col: Column, prefixes: list[str]) -> Column:
+    """should_exclude (cdx_writer.py:786-794).  Small lists compile to a
+    codegen'd startswith-OR chain; large lists broadcast a per-length hash
+    set into a vectorized UDF (exact prefix match in O(#distinct lengths)
+    set probes per row — no per-prefix scan)."""
+    if not prefixes:
+        return F.lit(False)
+    if len(prefixes) <= _NATIVE_PREFIX_LIMIT:
+        cond = surt_col.startswith(prefixes[0])
+        for p in prefixes[1:]:
+            cond = cond | surt_col.startswith(p)
+        return cond
+
+    by_len: dict[int, frozenset[str]] = {}
+    for p in prefixes:
+        by_len.setdefault(len(p), set()).add(p)  # type: ignore[arg-type]
+    by_len = {k: frozenset(v) for k, v in by_len.items()}
+    lengths = sorted(by_len)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _excl(keys: pd.Series) -> pd.Series:
+        return keys.map(
+            lambda k: False if k is None
+            else any(k[:ln] in by_len[ln] for ln in lengths))
+
+    return _excl(surt_col)
+
+
+# --- pipeline stages ------------------------------------------------------------
+
+def cdx_flagged(pages: DataFrame, cfg: CDXConfig | None = None) -> DataFrame:
+    """pages + derived columns + boolean stage flags, UNFILTERED — one row
+    per input record, so stats can aggregate the same flags the filters
+    use (single-pass, like the reference's inline counters :830-853)."""
+    cfg = cfg or CDXConfig()
+    split = http_split(
+        F.when(F.col("record_type") == "response", F.col("html"))
+        .otherwise(F.lit(None)))
+    df = (
+        pages.withColumn("_http", split)
+        .withColumn("http_headers", F.col("_http.headers"))
+        .withColumn("payload", F.col("_http.body"))
+        .drop("_http")
+    )
+    df = df.withColumn(
+        "handler",
+        handler_column(
+            F.col("record_type"), F.col("content_type"), F.col("url"),
+            F.col("http_headers"), F.col("warc_headers"),
+            all_records=cfg.all_records,
+            screenshot_mode=cfg.screenshot_mode,
+        ),
+    )
+    df = df.withColumn(
+        "admitted",
+        F.col("handler").isNotNull()
+        & content_length_ok(F.col("content_length")))
+    df = add_cdx_field_columns(
+        df, host_massage=cfg.host_massage,
+        screenshot_mode=cfg.screenshot_mode, g_prefix=cfg.g_prefix)
+    df = df.withColumn(
+        "excluded",
+        F.col("admitted")
+        & excluded_column(F.col("massaged_url"), cfg.exclude_surts()))
+    return df
+
+
+def cdx_records(pages: DataFrame, cfg: CDXConfig | None = None) -> DataFrame:
+    """Admitted, non-excluded records with the 11 field columns plus the
+    (warc_file, offset) file-order key."""
+    cfg = cfg or CDXConfig()
+    flagged = cdx_flagged(pages, cfg)
+    cols = list(dict.fromkeys(cfg.field_columns()))
+    return (
+        flagged.filter(F.col("admitted") & ~F.col("excluded"))
+        .select("warc_file", "offset", *cols)
+    )
+
+
+def cdx_line_column(cfg: CDXConfig) -> Column:
+    """Space-joined line with None -> '-' (cdx_writer.py:850-851)."""
+    return F.concat_ws(
+        " ", *[F.coalesce(F.col(field_column_name(c)), F.lit("-"))
+               for c in cfg.field_codes()])
+
+
+def cdx_lines(pages: DataFrame, cfg: CDXConfig | None = None,
+              sort: bool = True) -> DataFrame:
+    """One `cdx_line` string column.  sort=True gives the byte-ordered
+    global CDX contract (README.md:25-27: bytewise `sort` compatible);
+    Spark's UTF-8 binary string ordering over latin1-faithful strings is
+    exactly C-locale byte order.  sort=False preserves file order via
+    (warc_file, offset)."""
+    cfg = cfg or CDXConfig()
+    df = cdx_records(pages, cfg).withColumn("cdx_line", cdx_line_column(cfg))
+    if sort:
+        # distributed range-partitioned sort (sampled bounds, AQE-skew safe)
+        return df.select("cdx_line").orderBy("cdx_line")
+    return df.orderBy("warc_file", "offset").select("cdx_line")
+
+
+def cdx_header(cfg: CDXConfig | None = None) -> str:
+    """' CDX <format>' header line (cdx_writer.py:821); leading space keeps
+    it first under bytewise sort."""
+    cfg = cfg or CDXConfig()
+    return " CDX " + cfg.format
+
+
+STATS_COLUMNS = (
+    "num_records_processed", "num_records_included", "num_records_filtered")
+
+
+def stats_aggregation() -> list[Column]:
+    """The reference's three counters (cdx_writer.py:805-809, 830, 843,
+    853) as aggregate expressions over a cdx_flagged frame; usable with
+    .agg() or .observe() for single-pass stats during a write."""
+    inc = F.col("admitted") & ~F.col("excluded")
+    return [
+        F.count(F.lit(1)).alias("num_records_processed"),
+        F.sum(F.when(inc, 1).otherwise(0)).alias("num_records_included"),
+        F.sum(F.when(F.col("excluded"), 1).otherwise(0)).alias(
+            "num_records_filtered"),
+    ]
+
+
+def cdx_stats(pages: DataFrame, cfg: CDXConfig | None = None) -> dict:
+    row = cdx_flagged(pages, cfg).agg(*stats_aggregation()).collect()[0]
+    return {k: int(row[k] or 0) for k in STATS_COLUMNS}

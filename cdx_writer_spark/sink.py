@@ -1,0 +1,91 @@
+"""CDX sinks + single-pass stats.
+
+The reference writes ' CDX <format>' then one line per record to a file
+or stdout (cdx_writer.py:799-855) and dumps 3 counters as JSON
+(:816-818).  Distributed equivalents:
+
+* :func:`write_sorted_cdx` — globally byte-ordered CDX parts via Spark's
+  range-partitioned distributed sort (the contract of README.md:25-27:
+  output merged with bytewise `sort`); the header is written as its own
+  part that sorts first (leading space).
+* :func:`write_per_file_cdx` — one CDX per input archive file in record
+  order, partitioned by `warc_file` (the reference's one-file-per-run
+  mode).
+* stats ride the same action through ``df.observe`` — one pass over the
+  data, like the reference's inline counters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from .job import (
+    CDXConfig,
+    cdx_flagged,
+    cdx_header,
+    cdx_line_column,
+    stats_aggregation,
+    STATS_COLUMNS,
+)
+
+
+def _lines_with_observation(pages: DataFrame, cfg: CDXConfig):
+    obs = Observation("cdx_stats")
+    flagged = cdx_flagged(pages, cfg).observe(obs, *stats_aggregation())
+    lines = (
+        flagged.filter(F.col("admitted") & ~F.col("excluded"))
+        .select("warc_file", "offset", cdx_line_column(cfg).alias("cdx_line"))
+    )
+    return lines, obs, flagged
+
+
+def write_sorted_cdx(pages: DataFrame, out_dir: str,
+                     cfg: CDXConfig | None = None,
+                     stats_file: str | None = None) -> dict:
+    """Write globally sorted CDX text parts + optional stats JSON.
+    Returns the stats dict.  Header goes to `_header` (sorts before any
+    data line when parts are concatenated)."""
+    cfg = cfg or CDXConfig()
+    lines, obs, flagged = _lines_with_observation(pages, cfg)
+    (lines.select("cdx_line").orderBy("cdx_line")
+     .write.mode("overwrite").text(out_dir))
+    with open(os.path.join(out_dir, "_header"), "w") as f:
+        f.write(cdx_header(cfg) + "\n")
+    return _finish_stats(obs, flagged, stats_file)
+
+
+def write_per_file_cdx(pages: DataFrame, out_dir: str,
+                       cfg: CDXConfig | None = None,
+                       stats_file: str | None = None) -> dict:
+    """Write CDX partitioned by source archive file, rows in record order
+    within each file (the reference's file-order contract)."""
+    cfg = cfg or CDXConfig()
+    lines, obs, flagged = _lines_with_observation(pages, cfg)
+    (lines.repartition(F.col("warc_file"))
+     .sortWithinPartitions("warc_file", "offset")
+     .select("warc_file", "cdx_line")  # text sink allows 1 data column
+     .write.mode("overwrite").partitionBy("warc_file")
+     .text(out_dir))
+    return _finish_stats(obs, flagged, stats_file)
+
+
+def _finish_stats(obs: Observation, flagged: DataFrame,
+                  stats_file: str | None) -> dict:
+    try:
+        stats = {k: int(obs.get[k] or 0) for k in STATS_COLUMNS}
+    except Exception:
+        # zero-task actions (empty input) leave the observation without a
+        # metrics row; recompute with a direct aggregation
+        row = flagged.agg(*stats_aggregation()).collect()[0]
+        stats = {k: int(row[k] or 0) for k in STATS_COLUMNS}
+    if stats_file is not None:
+        if os.path.exists(stats_file):
+            # refuse to overwrite (cdx_writer.py:759-761)
+            raise IOError("Stats file already exists")
+        with open(stats_file, "w") as f:
+            json.dump(stats, f, indent=4)
+    return stats

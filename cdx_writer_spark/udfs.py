@@ -1,0 +1,143 @@
+"""The engine's only Python-side scalar ops, as Arrow-vectorized pandas UDFs.
+
+Everything else in the CDX projection is native Catalyst expressions
+(whole-stage codegen).  These four exist because Spark lacks the exact
+semantics natively:
+
+* ``http_split``      — header/payload split of raw HTTP blocks
+                        (cdx_writer.py:390-407); returns a struct so the
+                        block is parsed exactly once per record (the
+                        reference's parse-once discipline, :348-352).
+* ``make_surt_udf``   — SURT canonicalization with original-URL fallback
+                        (cdx_writer.py:128-136) via canonicalize.py.
+* ``sha1_b32``        — SHA-1 digest in base32 (cdx_writer.py:218-223);
+                        Spark's ``sha1()`` emits hex only.
+* ``meta_tags_udf``   — HTML ``<meta>`` scan stopping at ``</head>``
+                        (cdx_writer.py:461-519).
+
+Callers MASK the inputs with ``when()`` so rows that don't need the op
+ship NULL (not multi-MB payloads) across the Arrow boundary — e.g. the
+digest fast path (cdx_writer.py:449-453) never sends payload bytes to
+Python when a WARC-Payload-Digest header exists.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .canonicalize import massaged_url, surt_key
+
+_CRLF_SPLIT = re.compile(rb"\r?\n\r?\n")
+
+_HTTP_SPLIT_TYPE = StructType([
+    StructField("headers", StringType()),
+    StructField("body", BinaryType()),
+])
+
+
+@pandas_udf(_HTTP_SPLIT_TYPE)
+def http_split(block: pd.Series) -> pd.DataFrame:
+    """Split a raw HTTP message into (headers text, payload bytes).
+
+    Mirrors ResponseHandler.parse_headers_and_content
+    (cdx_writer.py:390-407): blocks not starting with ``HTTP`` yield
+    (None, None); blocks with no blank line (empty payloads terminated by
+    a single newline) yield (whole block, b'') so the payload digest is
+    sha1(b'') — fixtures transposed_header / empty_payload_header_*.
+    """
+    headers: list[str | None] = []
+    bodies: list[bytes | None] = []
+    for block_bytes in block:
+        if block_bytes is None or not block_bytes.startswith(b"HTTP"):
+            headers.append(None)
+            bodies.append(None)
+            continue
+        parts = _CRLF_SPLIT.split(block_bytes, 1)
+        if len(parts) == 2:
+            headers.append(parts[0].decode("latin1"))
+            bodies.append(parts[1])
+        else:
+            headers.append(block_bytes.decode("latin1"))
+            bodies.append(b"")
+    return pd.DataFrame({"headers": headers, "body": bodies})
+
+
+def make_surt_udf(host_massage: bool = True, fallback: bool = True):
+    """SURT-key UDF factory (``--no-host-massage`` maps to
+    host_massage=False, cdx_writer.py:880-882).  With fallback=True this
+    is the field-N semantics (massaged_url); with fallback=False it is the
+    raw urlkey used by screenshot mode (cdx_writer.py:583)."""
+    fn = massaged_url if fallback else surt_key
+
+    @pandas_udf(StringType())
+    def surt_udf(urls: pd.Series) -> pd.Series:
+        return urls.map(
+            lambda u: None if u is None else fn(u, host_massage=host_massage))
+
+    return surt_udf
+
+
+@pandas_udf(StringType())
+def sha1_b32(data: pd.Series) -> pd.Series:
+    """base32(sha1(bytes)) (cdx_writer.py:222-223); NULL in -> NULL out,
+    so callers masking with when() skip hashing entirely."""
+    return data.map(
+        lambda b: None if b is None
+        else base64.b32encode(hashlib.sha1(b).digest()).decode("ascii"))
+
+
+# Meta-tag scan regexes — semantics of cdx_writer.py:493-510: scan
+# <meta ...> tags in order, stop at the first </head>, key from
+# name|http-equiv, value from content, duplicate keys comma-appended
+# except 'refresh' (first wins).
+_RE_META_OR_HEAD = re.compile(rb"(<meta[^>]+?>|</head>)", re.I)
+_RE_META_NAME = re.compile(
+    rb"""\b(?:name|http-equiv)\s*=\s*(['"]?)(.*?)(\1)[\s/>]""", re.I)
+_RE_META_CONTENT = re.compile(
+    rb"""\bcontent\s*=\s*(['"]?)(.*?)(\1)[\s/>]""", re.I)
+
+
+def parse_meta_tags(html: bytes) -> dict[str, str] | None:
+    """Pure-Python meta-tag parse (shared with the row oracle)."""
+    if html is None:
+        return None
+    html = html.strip()
+    if html == b"":
+        return {}
+    tags: dict[str, str] = {}
+    for m in _RE_META_OR_HEAD.finditer(html):
+        tag = m.group(1)
+        if tag.lower() == b"</head>":
+            break
+        nm = _RE_META_NAME.search(tag)
+        if not nm:
+            continue
+        cm = _RE_META_CONTENT.search(tag)
+        if not cm:
+            continue
+        name = nm.group(2).lower().decode("latin1")
+        content = cm.group(2).decode("latin1")
+        if name not in tags:
+            tags[name] = content
+        elif name != "refresh":  # refresh: first tag wins (cdx_writer.py:515-517)
+            tags[name] += "," + content
+    return tags
+
+
+@pandas_udf(MapType(StringType(), StringType()))
+def meta_tags_udf(body: pd.Series) -> pd.Series:
+    """HTML meta-tag map.  Callers mask: only text/html response payloads
+    under META_PARSE_LIMIT are passed (cdx_writer.py:471-486)."""
+    return body.map(parse_meta_tags)
