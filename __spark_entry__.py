@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDX-line query at sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (CDX indexing engine) plus the training-data-pipeline
+operators (dedup / similarity / text stats / multimodal);
+``oracle_sql()`` gives the independent DuckDB recomputation for every
+SQL-expressible query.
+
+The CDX queries run over a deterministic Common-Crawl-style ``pages``
+view derived from the ``documents`` table
+(cdx_writer_spark/webview.py) — the Spark side parses/canonicalizes/
+digests the synthesized records through the real engine
+(pandas-UDF SURT, HTTP split, dispatch, field columns), while the
+oracle derives the *expected* values straight from ``doc_id`` in pure
+SQL, sharing no code with the engine.
 """
 
 from __future__ import annotations
@@ -12,27 +21,500 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from cdx_writer_spark.job import (
+    CDXConfig, cdx_flagged, cdx_lines, stats_aggregation,
+)
+from cdx_writer_spark.functions import dedup, multimodal, similarity, textstats
+from cdx_writer_spark.webview import ORACLE_PAGES_CTE, pages_from_documents
+
+# Format without the k (checksum) field: the computed-SHA1 path is not
+# ANSI-SQL-expressible (DuckDB has no sha1/base32), so the oracle-checked
+# flagship uses the reference's --format narrowing (cdx_writer.py:871)
+# and k is covered by cdx_checksum_{fast,computed} below.
+_ORACLE_FORMAT = "N b a m s r M S V g"
+
+_EXCLUDE = ("http://site3.example.com",)  # surt prefix com,example,site3)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# --- CDX engine queries -------------------------------------------------------
+
+def q_cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: default-mode CDX lines (sans k), globally byte-sorted
+    (README.md:25-27 sort contract)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return cdx_lines(pages, CDXConfig(format=_ORACLE_FORMAT), sort=True)
+
+
+def q_cdx_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record field columns (admitted, default mode) keyed by doc_id —
+    finer-grained than the line query for pinpointing field regressions."""
+    pages = pages_from_documents(spark, sf_dir)
+    flagged = cdx_flagged(pages, CDXConfig(format=_ORACLE_FORMAT))
+    return (
+        flagged.filter(F.col("admitted"))
+        .select(
+            "doc_id",
+            F.col("massaged_url"),
+            F.col("date"),
+            F.col("original_url"),
+            F.col("mime_type"),
+            F.coalesce(F.col("response_code"), F.lit("-"))
+            .alias("response_code"),
+            F.coalesce(F.col("aif_meta_tags"), F.lit("-"))
+            .alias("aif_meta_tags"),
+            F.col("compressed_record_size"),
+            F.col("compressed_arc_file_offset"),
+            F.col("file_name"),
+        )
+    )
+
+
+def q_cdx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three counters (cdx_writer.py:805-809) under an
+    exclusion list (broadcast SURT-prefix anti-filter, :786-794)."""
+    pages = pages_from_documents(spark, sf_dir)
+    cfg = CDXConfig(format=_ORACLE_FORMAT, exclude_urls=_EXCLUDE)
+    return cdx_flagged(pages, cfg).agg(*stats_aggregation())
+
+
+def q_cdx_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rows the exclusion list removes (surt-prefix match)."""
+    pages = pages_from_documents(spark, sf_dir)
+    cfg = CDXConfig(format=_ORACLE_FORMAT, exclude_urls=_EXCLUDE)
+    return (
+        cdx_flagged(pages, cfg)
+        .filter(F.col("excluded"))
+        .select("doc_id", "massaged_url")
+    )
+
+
+def q_cdx_date_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The b-field date taxonomy (cdx_writer.py:138-173) over synthesized
+    raw archive date strings — all-native branch logic."""
+    from cdx_writer_spark.fields import date14_column
+
+    d = F.col("doc_id")
+    raw = (
+        F.when(d % 9 == 0, F.lit("2016020900"))
+        .when(d % 9 == 1, F.lit("200011201434"))
+        .when(d % 9 == 2, F.lit("20151200000000"))
+        .when(d % 9 == 3, F.lit("201512000000000"))
+        .when(d % 9 == 4, F.lit("2000082305410049"))
+        .when(d % 9 == 5, F.lit("200009180023002953"))
+        .when(d % 9 == 6, F.lit("20160211000000jpg"))
+        .when(d % 9 == 7, F.lit("deadbeef"))
+        .otherwise(F.lit(None))
+    )
+    ts = F.expr(
+        "timestampadd(SECOND, doc_id, timestamp'2011-02-18 23:32:56')")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", raw.alias("raw_date"), ts.alias("warc_ts"))
+        .select("doc_id",
+                date14_column(F.col("raw_date"), F.col("warc_ts"))
+                .alias("date14"))
+    )
+
+
+def q_cdx_checksum_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-field digest-header fast path (cdx_writer.py:449-453): the
+    'sha1:' strip is native; payload bytes never reach Python."""
+    pages = pages_from_documents(spark, sf_dir)
+    flagged = cdx_flagged(pages, CDXConfig())
+    return (
+        flagged.filter(F.col("admitted")
+                       & (F.col("doc_id") % 3 != 0)
+                       & (F.col("handler") == "response"))
+        .select("doc_id", "new_style_checksum")
+    )
+
+
+def q_cdx_checksum_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-field computed path: base32(sha1(payload)) pandas UDF
+    (cdx_writer.py:222-223) — rows-only check (no sha1/b32 in DuckDB);
+    byte-level parity is covered by tests/ against the row oracle."""
+    pages = pages_from_documents(spark, sf_dir)
+    flagged = cdx_flagged(pages, CDXConfig())
+    return (
+        flagged.filter(F.col("admitted")
+                       & (F.col("doc_id") % 3 == 0)
+                       & (F.col("handler") == "response"))
+        .select("doc_id", "new_style_checksum")
+    )
+
+
+def q_cdx_mime_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission + m/s field distribution (dispatch F1-F8 composite)."""
+    pages = pages_from_documents(spark, sf_dir)
+    flagged = cdx_flagged(pages, CDXConfig(format=_ORACLE_FORMAT))
+    return (
+        flagged.filter(F.col("admitted"))
+        .groupBy(
+            F.col("mime_type"),
+            F.coalesce(F.col("response_code"), F.lit("-"))
+            .alias("response_code"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- training-data pipeline: dedup --------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.normalized_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: xxhash64 is Spark-specific);
+    exact-Jaccard verification bounds false positives."""
+    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash collision groups (rows-only: xxhash64)."""
+    return dedup.simhash_dedup(_docs(spark, sf_dir))
+
+
+# --- training-data pipeline: text analysis ------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textstats.token_count_col(t).alias("token_count"),
+        textstats.punct_ratio_col(t).alias("punct_ratio"),
+        textstats.stopword_ratio_col(t).alias("stopword_ratio"),
+        textstats.quality_score_col(t).alias("quality_score"),
+        textstats.lang_id_col(t).alias("lang_id"),
+        textstats.fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+# --- training-data pipeline: similarity search --------------------------------
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k (rows-only: approximate by design; the exact
+    cosine_topk above is the oracle-checked baseline)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.lsh_bucket_topk(emb, queries, k=5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# --- training-data pipeline: multimodal plumbing ------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (size / sniffed mime / sha256) over the
+    synthesized page payloads — all JVM-side."""
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        multimodal.attach_binary_meta(
+            pages.select("doc_id", F.col("html").alias("payload")))
+        .select("doc_id", "payload_bytes", "payload_mime", "payload_digest")
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic fake kernel
+    (real decoder stubbed: no PIL in env) — rows-only."""
+    pages = pages_from_documents(spark, sf_dir)
+    return multimodal.decode_images(
+        pages.select("doc_id", F.col("html").alias("payload")),
+        bin_col="payload", fake_decode=True)
+
+
+# --- relational core (agg / join / window over the TPC-H-ish tables) ----------
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    # dimension side broadcast: customer is tiny vs orders at scale
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+
+
+def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .alias("running_value"),
+    )
+
+
+# --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdx_lines(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdx_lines": q_cdx_lines,
+        "cdx_fields": q_cdx_fields,
+        "cdx_stats": q_cdx_stats,
+        "cdx_excluded": q_cdx_excluded,
+        "cdx_date_norm": q_cdx_date_norm,
+        "cdx_checksum_fast": q_cdx_checksum_fast,
+        "cdx_checksum_computed": q_cdx_checksum_computed,
+        "cdx_mime_status": q_cdx_mime_status,
+        "dedup_exact": q_dedup_exact,
+        "dedup_normalized": q_dedup_normalized,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh": q_similarity_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "agg_pricing": q_agg_pricing,
+        "join_customer_orders": q_join_customer_orders,
+        "events_windows": q_events_windows,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_W = "WITH " + ORACLE_PAGES_CTE
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    line = (
+        "surt || ' ' || date14 || ' ' || url || ' ' || "
+        "(CASE WHEN record_type = 'revisit' THEN 'warc/revisit' "
+        "ELSE 'text/html' END) || ' ' || "
+        "(CASE WHEN record_type = 'revisit' THEN '-' ELSE status END) "
+        "|| ' - ' || "
+        "(CASE WHEN record_type = 'response' "
+        "THEN COALESCE(robots_flag, '-') ELSE '-' END) || ' ' || "
+        "compressed_size || ' ' || \"offset\" || ' ' || warc_file"
+    )
+    return {
+        "cdx_lines": (
+            _W + f" SELECT {line} AS cdx_line FROM admitted "
+            "ORDER BY cdx_line"),
+        "cdx_fields": (
+            _W + " SELECT doc_id, surt AS massaged_url, date14 AS date, "
+            "url AS original_url, "
+            "CASE WHEN record_type = 'revisit' THEN 'warc/revisit' "
+            "ELSE 'text/html' END AS mime_type, "
+            "CASE WHEN record_type = 'revisit' THEN '-' "
+            "ELSE status END AS response_code, "
+            "CASE WHEN record_type = 'response' "
+            "THEN COALESCE(robots_flag, '-') ELSE '-' END "
+            "AS aif_meta_tags, "
+            "CAST(compressed_size AS VARCHAR) "
+            "AS compressed_record_size, "
+            "CAST(\"offset\" AS VARCHAR) AS compressed_arc_file_offset, "
+            "warc_file AS file_name "
+            "FROM admitted"),
+        "cdx_stats": (
+            _W + " SELECT CAST(COUNT(*) AS BIGINT) "
+            "AS num_records_processed, "
+            "CAST(SUM(CASE WHEN (record_type = 'revisit' OR "
+            "(record_type = 'response' AND status <> '304')) "
+            "AND NOT (h = 3 AND v IN (0, 1, 2)) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS num_records_included, "
+            "CAST(SUM(CASE WHEN (record_type = 'revisit' OR "
+            "(record_type = 'response' AND status <> '304')) "
+            "AND h = 3 AND v IN (0, 1, 2) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS num_records_filtered "
+            "FROM pages"),
+        "cdx_excluded": (
+            _W + " SELECT doc_id, surt AS massaged_url FROM admitted "
+            "WHERE h = 3 AND v IN (0, 1, 2)"),
+        "cdx_date_norm": (
+            "SELECT doc_id, CASE doc_id % 9 "
+            "WHEN 0 THEN '20160209000000' "
+            "WHEN 1 THEN '20001120143400' "
+            "WHEN 2 THEN '20151200000000' "
+            "WHEN 3 THEN '20151200000000' "
+            "WHEN 4 THEN '20000823054100' "
+            "WHEN 5 THEN '20000918002300' "
+            "WHEN 6 THEN '20160211000000' "
+            "WHEN 7 THEN NULL "
+            "ELSE strftime(TIMESTAMP '2011-02-18 23:32:56' "
+            "+ to_seconds(doc_id), '%Y%m%d%H%M%S') END AS date14 "
+            "FROM documents"),
+        "cdx_checksum_fast": (
+            _W + " SELECT doc_id, digest AS new_style_checksum "
+            "FROM admitted "
+            "WHERE record_type = 'response' AND doc_id % 3 <> 0"),
+        "cdx_mime_status": (
+            _W + " SELECT "
+            "CASE WHEN record_type = 'revisit' THEN 'warc/revisit' "
+            "ELSE 'text/html' END AS mime_type, "
+            "CASE WHEN record_type = 'revisit' THEN '-' "
+            "ELSE status END AS response_code, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM admitted GROUP BY 1, 2"),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, "
+            "CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups "
+            "FROM documents GROUP BY 1"),
+        "dedup_normalized": (
+            "SELECT md5(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS text_hash, "
+            "CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups "
+            "FROM documents GROUP BY 1"),
+        "text_stats": (
+            "WITH toks AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS tk, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS tkl "
+            "FROM documents), "
+            "m AS (SELECT doc_id, text, "
+            "CAST(len(tk) AS BIGINT) AS token_count, "
+            "round(CAST(length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1), 6) AS punct_ratio, "
+            "round(CAST(len(list_filter(tkl, t -> t IN ('the', 'and', "
+            "'of', 'to', 'in', 'is', 'a'))) AS DOUBLE) "
+            "/ greatest(len(tkl), 1), 6) AS stopword_ratio, "
+            "len(list_filter(tkl, t -> t IN ('the', 'and', 'of', 'to', "
+            "'in', 'is', 'a'))) AS en_v, "
+            "len(list_filter(tkl, t -> t IN ('le', 'la', 'les', 'et', "
+            "'des', 'un', 'est'))) AS fr_v, "
+            "len(list_filter(tkl, t -> t IN ('der', 'die', 'und', 'das', "
+            "'ist', 'ein', 'nicht'))) AS de_v "
+            "FROM toks) "
+            "SELECT doc_id, token_count, "
+            "CAST(punct_ratio AS DOUBLE) AS punct_ratio, "
+            "CAST(stopword_ratio AS DOUBLE) AS stopword_ratio, "
+            "CAST(round(0.4 * least(1.0, "
+            "CAST(token_count AS DOUBLE) / 100.0) "
+            "+ 0.3 * (1.0 - punct_ratio) "
+            "+ 0.3 * least(1.0, stopword_ratio * 5.0), 4) AS DOUBLE) "
+            "AS quality_score, "
+            "CASE WHEN en_v >= fr_v AND en_v >= de_v AND en_v > 0 "
+            "THEN 'en' WHEN fr_v >= de_v AND fr_v > 0 THEN 'fr' "
+            "WHEN de_v > 0 THEN 'de' ELSE 'und' END AS lang_id, "
+            "md5(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
+            "FROM m"),
+        "similarity_topk": (
+            "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec "
+            "FROM embeddings WHERE vec_id < 3), "
+            "scored AS (SELECT q.q_id, e.vec_id, "
+            "round(list_aggregate(list_transform(list_zip(e.embedding, "
+            "q.q_vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), "
+            "'sum') / (sqrt(list_aggregate(list_transform(e.embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+            "* sqrt(list_aggregate(list_transform(q.q_vec, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) "
+            "AS cosine FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT q_id, vec_id, cosine, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q_id "
+            "ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank "
+            "FROM scored) "
+            "SELECT q_id, vec_id, cosine, rank FROM ranked "
+            "WHERE rank <= 5"),
+        "multimodal_meta": (
+            _W + " SELECT doc_id, CAST(length("
+            "CASE WHEN record_type = 'revisit' THEN '' "
+            "WHEN record_type = 'request' THEN "
+            "'GET / HTTP/1.1' || chr(13) || chr(10) || chr(13) || chr(10) "
+            "ELSE 'HTTP/1.1 ' || "
+            "(CASE status WHEN '404' THEN '404 Not Found' "
+            "WHEN '301' THEN '301 Moved Permanently' "
+            "WHEN '304' THEN '304 Not Modified' ELSE '200 OK' END) || "
+            "chr(13) || chr(10) || 'Content-Type: text/html' || "
+            "chr(13) || chr(10) || chr(13) || chr(10) || "
+            "'<html><head>' || "
+            "(CASE WHEN doc_id % 20 = 0 THEN "
+            "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
+            "|| '</head><body>' || text || '</body></html>' END"
+            ") AS BIGINT) AS payload_bytes, "
+            "'application/octet-stream' AS payload_mime, "
+            "sha256(CASE WHEN record_type = 'revisit' THEN '' "
+            "WHEN record_type = 'request' THEN "
+            "'GET / HTTP/1.1' || chr(13) || chr(10) || chr(13) || chr(10) "
+            "ELSE 'HTTP/1.1 ' || "
+            "(CASE status WHEN '404' THEN '404 Not Found' "
+            "WHEN '301' THEN '301 Moved Permanently' "
+            "WHEN '304' THEN '304 Not Modified' ELSE '200 OK' END) || "
+            "chr(13) || chr(10) || 'Content-Type: text/html' || "
+            "chr(13) || chr(10) || chr(13) || chr(10) || "
+            "'<html><head>' || "
+            "(CASE WHEN doc_id % 20 = 0 THEN "
+            "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
+            "|| '</head><body>' || text || '</body></html>' END"
+            ") AS payload_digest "
+            "FROM pages"),
+        "agg_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(SUM(l_quantity), 2) AS sum_qty, "
+            "round(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "round(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS sum_disc_price, "
+            "round(AVG(l_discount), 4) AS avg_disc, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+            "GROUP BY 1, 2"),
+        "join_customer_orders": (
+            "SELECT c_custkey, c_mktsegment, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "round(SUM(o_totalprice), 2) AS total_spent "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2"),
+        "events_windows": (
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS INTEGER) AS seq, "
+            "round(SUM(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW), 4) AS running_value "
+            "FROM events"),
+    }

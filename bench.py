@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Throughput benchmark for the headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {...}, "sf": ...}``.
+
+Extra keys (not required by the driver, used by the scaling report):
+``rows`` per query and ``cdx_rows_per_sec`` — the north-star
+throughput proxy (CDX lines emitted per second).  The CDX query runs
+the FULL default format (including the computed-SHA1 k field) over an
+amplified pages view (amplify=20 → 20× the documents row count) so the
+pandas-UDF hot path is actually exercised at volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "20"))
+
+
+def build_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"cdx-writer-spark-bench-{CPUS}")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.default.parallelism", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark: SparkSession, sf_dir: str):
+    from cdx_writer_spark.functions import dedup, similarity
+    from cdx_writer_spark.job import CDXConfig, cdx_lines
+    from cdx_writer_spark.webview import pages_from_documents
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    def cdx_full():
+        pages = pages_from_documents(spark, sf_dir, amplify=AMPLIFY)
+        return cdx_lines(pages, CDXConfig(), sort=True)
+
+    return {
+        "cdx_full_sorted": cdx_full,
+        "cdx_stats": lambda: entrymod.q_cdx_stats(spark, sf_dir),
+        "dedup_exact": lambda: dedup.exact_dedup(docs),
+        "dedup_minhash": lambda: dedup.minhash_lsh_dedup(
+            docs, threshold=0.5),
+        "dedup_simhash": lambda: dedup.simhash_dedup(docs),
+        "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
+        "similarity_topk": lambda: similarity.cosine_topk(
+            emb, emb_q, k=10),
+        "agg_pricing": lambda: entrymod.q_agg_pricing(spark, sf_dir),
+        "join_customer_orders": lambda: entrymod.q_join_customer_orders(
+            spark, sf_dir),
+        "events_windows": lambda: entrymod.q_events_windows(
+            spark, sf_dir),
+    }
+
+
+def main() -> None:
+    spark = build_spark()
+    builders = bench_queries(spark, SF_DIR)
+
+    # warm up the JVM + Python workers outside the timed region
+    spark.range(1000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, build in builders.items():
+        t0 = time.monotonic()
+        df = build()
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.monotonic() - t0
+        timings[name] = round(elapsed, 3)
+        rows[name] = df.count()
+
+    total = round(sum(timings.values()), 3)
+    cdx_rate = (round(rows["cdx_full_sorted"] / timings["cdx_full_sorted"])
+                if timings.get("cdx_full_sorted") else None)
+    print(json.dumps({
+        "metric": "headline query wall time (CDX full-format sorted lines "
+                  f"amplify={AMPLIFY} + dedup/similarity/text/relational "
+                  f"suite) at local[{CPUS}]",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "rows": rows,
+        "cdx_rows_per_sec": cdx_rate,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,35 +16,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Status line regex (cdx_writer.py:435-436): optional version group, then
-# a space and digits, anchored at payload start.
+# a space and digits, anchored at payload start.  Kept for reference/
+# documentation; the actual extraction happens inside the http_split
+# pandas UDF (udfs.py) so the status/version reach this module as plain
+# attribute columns — re-inlining a regexp_extract at each of the ~30
+# places the dispatch chain is referenced exploded the codegen'd plan.
 RE_RESPONSE_LINE = r"^HTTP(/\d\.\d)? (\d+)"
-
-
-def response_status(http_headers: Column) -> Column:
-    """statuscode group of the HTTP status line, NULL when absent."""
-    return F.nullif(
-        F.regexp_extract(http_headers, RE_RESPONSE_LINE, 2), F.lit(""))
-
-
-def response_version(http_headers: Column) -> Column:
-    """HTTP version group ('/1.1' style), NULL when absent."""
-    return F.nullif(
-        F.regexp_extract(http_headers, RE_RESPONSE_LINE, 1), F.lit(""))
 
 
 def handler_column(
     record_type: Column,
     content_type: Column,
     url: Column,
-    http_headers: Column,
+    status: Column,
+    version: Column,
     warc_headers: Column,
     all_records: bool = False,
     screenshot_mode: bool = False,
 ) -> Column:
     """String handler id ∈ {response, revisit, resource, ftp, warcinfo,
-    screenshot, base} or NULL (record skipped)."""
-    status = response_status(http_headers)
-    version = response_version(http_headers)
+    screenshot, base} or NULL (record skipped).  ``status``/``version``
+    are the pre-parsed HTTP status-line groups from http_split."""
     ip = F.element_at(warc_headers, F.lit("IP-address"))
     profile = F.element_at(warc_headers, F.lit("WARC-Profile"))
 

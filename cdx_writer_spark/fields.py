@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dispatch import RE_RESPONSE_LINE
 from .schema import FAKE_BUILD_VERSION, META_PARSE_LIMIT
 from .udfs import make_surt_udf, meta_tags_udf, sha1_b32
 
@@ -84,9 +83,6 @@ def date14_column(raw_date: Column, warc_ts: Column) -> Column:
 # WARC response records carry application/http; msgtype=response
 # (cdx_writer.py:354, 409-411).
 _RE_IS_RESPONSE = r"(?i)^application/http;\s*msgtype=response$"
-# First Content-Type header line, value whitespace-trimmed
-# (parse_http_header + .strip(), cdx_writer.py:356-374).
-_RE_CT_HEADER = r"(?im)^content-type:\s*(.+?)\s*$"
 # Validation set is lowercase-only (cdx_writer.py:381): 'TEXT/HTML' -> unk.
 _RE_CT_VALID = r"^[a-z0-9\-\.\+/]+$"
 
@@ -95,20 +91,18 @@ def is_warc_response(content_type: Column) -> Column:
     return content_type.isNotNull() & content_type.rlike(_RE_IS_RESPONSE)
 
 
-def http_content_type_column(http_headers: Column) -> Column:
-    """parse_http_content_type_header (cdx_writer.py:367-384)."""
-    ct = F.regexp_extract(http_headers, _RE_CT_HEADER, 1)
-    before_semi = F.regexp_extract(ct, r"^(.+?);", 1)
-    ct = F.when(before_semi != "", before_semi).otherwise(ct)
+def http_content_type_column(http_ct: Column) -> Column:
+    """parse_http_content_type_header validation (cdx_writer.py:367-384);
+    the header-value extraction itself happens inside http_split."""
     return (
-        F.when(http_headers.isNull() | (ct == ""), F.lit("unk"))
-        .when(ct.rlike(_RE_CT_VALID), ct)
+        F.when(http_ct.isNull() | (http_ct == ""), F.lit("unk"))
+        .when(http_ct.rlike(_RE_CT_VALID), http_ct)
         .otherwise(F.lit("unk"))
     )
 
 
 def mime_column(handler: Column, record_type: Column, content_type: Column,
-                http_headers: Column) -> Column:
+                http_ct: Column) -> Column:
     arc_ct = (
         F.when(content_type.isNull(), F.lit("unk"))
         .when(content_type == "no-type", F.lit("unk"))  # Alexa ARCs (:425-427)
@@ -120,7 +114,7 @@ def mime_column(handler: Column, record_type: Column, content_type: Column,
         .when(
             handler == "response",
             F.when(is_warc_response(content_type),
-                   http_content_type_column(http_headers)).otherwise(arc_ct),
+                   http_content_type_column(http_ct)).otherwise(arc_ct),
         )
         # resource/ftp/screenshot use the record block's content type
         # (record.content[0], :559-561, 585-587, 590-592)
@@ -133,12 +127,12 @@ def mime_column(handler: Column, record_type: Column, content_type: Column,
 
 # --- s: response code (cdx_writer.py:212-216, 435-441, 594-603) ---------------
 
-def response_code_column(handler: Column, http_headers: Column) -> Column:
-    status = F.nullif(
-        F.regexp_extract(http_headers, RE_RESPONSE_LINE, 2), F.lit(""))
+def response_code_column(handler: Column, http_status: Column) -> Column:
+    """``http_status`` is the pre-parsed status-line code from
+    http_split (NULL when the block is not HTTP)."""
     return (
         F.when(handler == "ftp", F.lit("226"))  # :594-603
-        .when(handler == "response", status)
+        .when(handler == "response", http_status)
         .otherwise(F.lit(None))
     )
 
@@ -259,14 +253,14 @@ def add_cdx_field_columns(df: DataFrame, *, host_massage: bool = True,
     massaged = F.when(h == "warcinfo", original).otherwise(massaged)
 
     mime = mime_column(h, F.col("record_type"), F.col("content_type"),
-                       F.col("http_headers"))
+                       F.col("http_ct"))
     df = (
         df.withColumn("massaged_url", massaged)
         .withColumn("date", date14_column(F.col("raw_date"), F.col("warc_ts")))
         .withColumn("original_url", original)
         .withColumn("mime_type", mime)
         .withColumn("response_code",
-                    response_code_column(h, F.col("http_headers")))
+                    response_code_column(h, F.col("http_status")))
         .withColumn("new_style_checksum",
                     checksum_column(h, F.col("warc_headers"), F.col("html"),
                                     F.col("http_headers"), F.col("payload")))

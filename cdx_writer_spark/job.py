@@ -107,13 +107,17 @@ def cdx_flagged(pages: DataFrame, cfg: CDXConfig | None = None) -> DataFrame:
         pages.withColumn("_http", split)
         .withColumn("http_headers", F.col("_http.headers"))
         .withColumn("payload", F.col("_http.body"))
+        .withColumn("http_status", F.col("_http.status"))
+        .withColumn("http_version", F.col("_http.version"))
+        .withColumn("http_ct", F.col("_http.ct"))
         .drop("_http")
     )
     df = df.withColumn(
         "handler",
         handler_column(
             F.col("record_type"), F.col("content_type"), F.col("url"),
-            F.col("http_headers"), F.col("warc_headers"),
+            F.col("http_status"), F.col("http_version"),
+            F.col("warc_headers"),
             all_records=cfg.all_records,
             screenshot_mode=cfg.screenshot_mode,
         ),

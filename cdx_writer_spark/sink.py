@@ -51,11 +51,22 @@ def write_sorted_cdx(pages: DataFrame, out_dir: str,
     data line when parts are concatenated)."""
     cfg = cfg or CDXConfig()
     lines, obs, flagged = _lines_with_observation(pages, cfg)
-    (lines.select("cdx_line").orderBy("cdx_line")
-     .write.mode("overwrite").text(out_dir))
-    with open(os.path.join(out_dir, "_header"), "w") as f:
-        f.write(cdx_header(cfg) + "\n")
-    return _finish_stats(obs, flagged, stats_file)
+    # Persist the projected lines before the global sort: Spark's range
+    # partitioner runs the child plan twice (bounds-sampling job + the
+    # write), which would (a) double-fire the observation counters and
+    # (b) recompute the whole UDF projection.  The cached lines are tiny
+    # relative to the input pages (~200 B/row vs full payloads), so this
+    # is the right trade at scale too — spill to disk if they don't fit.
+    from pyspark import StorageLevel
+
+    cached = lines.select("cdx_line").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cached.orderBy("cdx_line").write.mode("overwrite").text(out_dir)
+        with open(os.path.join(out_dir, "_header"), "w") as f:
+            f.write(cdx_header(cfg) + "\n")
+        return _finish_stats(obs, flagged, stats_file)
+    finally:
+        cached.unpersist()
 
 
 def write_per_file_cdx(pages: DataFrame, out_dir: str,

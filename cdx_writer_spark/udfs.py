@@ -40,38 +40,77 @@ from pyspark.sql.types import (
 from .canonicalize import massaged_url, surt_key
 
 _CRLF_SPLIT = re.compile(rb"\r?\n\r?\n")
+# Status line (cdx_writer.py:435-436), anchored via .match
+_RE_STATUS_LINE = re.compile(r"HTTP(/\d\.\d)? (\d+)")
+# First Content-Type header line, value whitespace-trimmed
+# (parse_http_header + .strip(), cdx_writer.py:356-374)
+_RE_CT_LINE = re.compile(r"^content-type:\s*(.+?)\s*$", re.I | re.M)
+_RE_BEFORE_SEMI = re.compile(r"^(.+?);")
 
 _HTTP_SPLIT_TYPE = StructType([
     StructField("headers", StringType()),
     StructField("body", BinaryType()),
+    StructField("status", StringType()),
+    StructField("version", StringType()),
+    StructField("ct", StringType()),
 ])
 
 
 @pandas_udf(_HTTP_SPLIT_TYPE)
 def http_split(block: pd.Series) -> pd.DataFrame:
-    """Split a raw HTTP message into (headers text, payload bytes).
+    """Split a raw HTTP message into (headers text, payload bytes,
+    status code, HTTP version, raw content-type value).
 
     Mirrors ResponseHandler.parse_headers_and_content
     (cdx_writer.py:390-407): blocks not starting with ``HTTP`` yield
-    (None, None); blocks with no blank line (empty payloads terminated by
+    all-NULL; blocks with no blank line (empty payloads terminated by
     a single newline) yield (whole block, b'') so the payload digest is
     sha1(b'') — fixtures transposed_header / empty_payload_header_*.
+
+    The status/version groups (:435-441) and the raw Content-Type header
+    value up to ';' (:367-384, validation stays native in fields.py) are
+    parsed here — in the SAME per-row Python pass that already decodes
+    the block — so the downstream dispatch/field Columns are cheap
+    attribute references.  Before this, the native regexp_extract chain
+    over `headers` was re-inlined at every one of its ~30 uses by
+    Catalyst's projection collapse, exploding the codegen'd projection
+    (observed 100× slowdown on the full CDX plan).
     """
     headers: list[str | None] = []
     bodies: list[bytes | None] = []
+    statuses: list[str | None] = []
+    versions: list[str | None] = []
+    cts: list[str | None] = []
     for block_bytes in block:
         if block_bytes is None or not block_bytes.startswith(b"HTTP"):
             headers.append(None)
             bodies.append(None)
+            statuses.append(None)
+            versions.append(None)
+            cts.append(None)
             continue
         parts = _CRLF_SPLIT.split(block_bytes, 1)
         if len(parts) == 2:
-            headers.append(parts[0].decode("latin1"))
-            bodies.append(parts[1])
+            head = parts[0].decode("latin1")
+            body = parts[1]
         else:
-            headers.append(block_bytes.decode("latin1"))
-            bodies.append(b"")
-    return pd.DataFrame({"headers": headers, "body": bodies})
+            head = block_bytes.decode("latin1")
+            body = b""
+        headers.append(head)
+        bodies.append(body)
+        m = _RE_STATUS_LINE.match(head)
+        statuses.append(m.group(2) if m else None)
+        versions.append(m.group(1) if m else None)
+        ct_m = _RE_CT_LINE.search(head)
+        if ct_m:
+            ct = ct_m.group(1)
+            semi = _RE_BEFORE_SEMI.match(ct)
+            cts.append(semi.group(1) if semi else ct)
+        else:
+            cts.append(None)
+    return pd.DataFrame({"headers": headers, "body": bodies,
+                         "status": statuses, "version": versions,
+                         "ct": cts})
 
 
 def make_surt_udf(host_massage: bool = True, fallback: bool = True):

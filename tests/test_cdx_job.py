@@ -208,3 +208,22 @@ def test_g_prefix(spark):
     recs = cdx_records(_pages_df(spark, rows), cfg).collect()
     assert all(r.file_name.startswith("/ia/warcs/synthetic-")
                for r in recs)
+
+
+def test_sorted_sink_stats_single_count(spark, tmp_path):
+    """Regression: the range-sort's bounds-sampling job must not
+    double-fire the observation counters (stats were 2x before the
+    persist barrier in write_sorted_cdx)."""
+    import glob
+
+    from cdx_writer_spark.sink import write_sorted_cdx
+
+    rows = edge_case_rows()
+    out = str(tmp_path / "sorted")
+    stats = write_sorted_cdx(
+        _pages_df(spark, rows), out, CDXConfig(all_records=True))
+    n_lines = sum(
+        len(open(p, "rb").read().splitlines())
+        for p in glob.glob(out + "/part*"))
+    assert stats["num_records_processed"] == len(rows)
+    assert stats["num_records_included"] == n_lines
