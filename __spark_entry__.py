@@ -55,6 +55,28 @@ def q_cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_lines(pages, CDXConfig(format=_ORACLE_FORMAT), sort=True)
 
 
+def q_cdx_lines_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--all-records mode (cdx_writer.py:629-630, 675-683): request
+    records admitted via the base handler, 304 responses kept."""
+    pages = pages_from_documents(spark, sf_dir)
+    return cdx_lines(
+        pages, CDXConfig(format=_ORACLE_FORMAT, all_records=True),
+        sort=True)
+
+
+def q_cdx_screenshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--screenshot-mode (cdx_writer.py:632-637, 576-592): metadata
+    image records only, SURT prefixed org,archive,web)/screenshot/."""
+    pages = (
+        pages_from_documents(spark, sf_dir)
+        .withColumn("record_type", F.lit("metadata"))
+        .withColumn("content_type", F.lit("image/png"))
+    )
+    return cdx_lines(
+        pages, CDXConfig(format=_ORACLE_FORMAT, screenshot_mode=True),
+        sort=True)
+
+
 def q_cdx_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-record field columns (admitted, default mode) keyed by doc_id —
     finer-grained than the line query for pinpointing field regressions."""
@@ -248,6 +270,65 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_col="payload", fake_decode=True)
 
 
+# --- frontier scheduler (north rule; no reference counterpart) ----------------
+
+def _frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pending frontier synthesized from documents: one candidate per
+    doc_id over the webgraph URL scheme, depth = doc_id % 4."""
+    from cdx_writer_spark.frontier import webgraph
+
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        webgraph.surt_col(d).alias("surt_key"),
+        webgraph.url_col(d).alias("url"),
+        webgraph.host_col(d).alias("host"),
+        webgraph.host_rank_col(d).alias("host_rank"),
+        (d % 4).cast("int").alias("depth"),
+    )
+
+
+def q_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness (robots disallow + per-host budget) + deterministic
+    per-host priority selection — the frontier's scheduling kernel."""
+    from cdx_writer_spark.frontier import politeness, priority, webgraph
+
+    cand = politeness.apply_robots(
+        _frontier_candidates(spark, sf_dir), webgraph.robots_rules(spark))
+    return priority.select_batch(cand).select(
+        "host", "surt_key", "depth", "host_pos")
+
+
+def q_frontier_seen_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen exactness: Bloom-prefiltered split against a seen set of
+    the even doc_ids must return exactly the odd ones."""
+    from cdx_writer_spark.frontier import seen as seenmod
+
+    cand = _frontier_candidates(spark, sf_dir)
+    seen_half = cand.filter(F.col("surt_key").rlike("/p/[0-9]*[02468]$"))
+    filters = seenmod.update_filters(
+        seen_half, seenmod.empty_filters(spark))
+    seen_tbl = seenmod.with_hash_cols(
+        seen_half.select("surt_key")).select("surt_key", "pid")
+    return seenmod.split_new(cand, filters, seen_tbl).select("surt_key")
+
+
+def q_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two checkpointed crawl rounds over the synthetic webgraph
+    (rows-only: stateful multi-round loop, not single-statement SQL);
+    returns the deterministic crawl order."""
+    import shutil
+    import tempfile
+
+    from cdx_writer_spark.frontier import loop, webgraph
+
+    state = tempfile.mkdtemp(prefix="frontier_crawl_")
+    shutil.rmtree(state, ignore_errors=True)
+    web = webgraph.pages(spark, 2000)
+    seeds = webgraph.seeds(spark, 20, 2000)
+    loop.run_crawl(spark, web, state, 2, seeds=seeds)
+    return loop.crawl_order(spark, state)
+
+
 # --- relational core (agg / join / window over the TPC-H-ish tables) ----------
 
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +384,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdx_lines": q_cdx_lines,
+        "cdx_lines_all": q_cdx_lines_all,
+        "cdx_screenshot": q_cdx_screenshot,
         "cdx_fields": q_cdx_fields,
         "cdx_stats": q_cdx_stats,
         "cdx_excluded": q_cdx_excluded,
@@ -320,6 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "frontier_topk": q_frontier_topk,
+        "frontier_seen_split": q_frontier_seen_split,
+        "frontier_crawl": q_frontier_crawl,
         "agg_pricing": q_agg_pricing,
         "join_customer_orders": q_join_customer_orders,
         "events_windows": q_events_windows,
@@ -344,6 +430,23 @@ def oracle_sql() -> dict[str, str]:
         "cdx_lines": (
             _W + f" SELECT {line} AS cdx_line FROM admitted "
             "ORDER BY cdx_line"),
+        "cdx_lines_all": (
+            _W + " SELECT surt || ' ' || date14 || ' ' || url || ' ' || "
+            "(CASE record_type WHEN 'revisit' THEN 'warc/revisit' "
+            "WHEN 'request' THEN 'warc/request' "
+            "ELSE 'text/html' END) || ' ' || "
+            "(CASE WHEN record_type = 'response' THEN status "
+            "ELSE '-' END) || ' - ' || "
+            "(CASE WHEN record_type = 'response' "
+            "THEN COALESCE(robots_flag, '-') ELSE '-' END) || ' ' || "
+            "compressed_size || ' ' || \"offset\" || ' ' || warc_file "
+            "AS cdx_line FROM pages ORDER BY cdx_line"),
+        "cdx_screenshot": (
+            _W + " SELECT 'org,archive,web)/screenshot/' || surt || ' ' "
+            "|| date14 || ' http://web.archive.org/screenshot/' || url "
+            "|| ' image/png - - - ' || compressed_size || ' ' || "
+            "\"offset\" || ' ' || warc_file AS cdx_line "
+            "FROM pages ORDER BY cdx_line"),
         "cdx_fields": (
             _W + " SELECT doc_id, surt AS massaged_url, date14 AS date, "
             "url AS original_url, "
@@ -493,6 +596,23 @@ def oracle_sql() -> dict[str, str]:
             "|| '</head><body>' || text || '</body></html>' END"
             ") AS payload_digest "
             "FROM pages"),
+        "frontier_topk": (
+            "WITH cand AS (SELECT doc_id, doc_id % 37 AS h, "
+            "'site' || (doc_id % 37) || '.example.com' AS host, "
+            "'com,example,site' || (doc_id % 37) || ')/p/' || doc_id "
+            "AS surt_key, CAST(doc_id % 4 AS INTEGER) AS depth "
+            "FROM documents), "
+            "allowed AS (SELECT * FROM cand WHERE NOT "
+            "(h % 5 = 0 AND ('/p/' || doc_id) LIKE '/p/1%')), "
+            "ranked AS (SELECT host, surt_key, depth, h, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY host "
+            "ORDER BY depth, surt_key) AS INTEGER) AS host_pos "
+            "FROM allowed) "
+            "SELECT host, surt_key, depth, host_pos FROM ranked "
+            "WHERE host_pos <= CASE WHEN h % 7 = 0 THEN 2 ELSE 8 END"),
+        "frontier_seen_split": (
+            "SELECT 'com,example,site' || (doc_id % 37) || ')/p/' || "
+            "doc_id AS surt_key FROM documents WHERE doc_id % 2 = 1"),
         "agg_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "round(SUM(l_quantity), 2) AS sum_qty, "

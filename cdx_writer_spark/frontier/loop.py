@@ -1,0 +1,298 @@
+"""Batch crawl rounds: schedule → fetch → discover → dedup → commit.
+
+Each round is one deterministic batch job over the frontier state; all
+state lives in per-round parquet checkpoint directories (the sandbox
+stand-in for Iceberg snapshots — same append/snapshot semantics, and
+the read-back between rounds is the lineage barrier that makes every
+round resumable):
+
+    state_dir/round=00042/
+        frontier/   pending ∪ fetched rows (FRONTIER_SCHEMA)
+        seen/       append-only DELTA of the exact URL-seen table —
+                    only this round's new (surt_key, pid); the
+                    cumulative set is the union of all rounds
+                    (loop.seen_table), Iceberg-append semantics
+        filters/    Bloom blobs: (partition_id, filter_blob, n_items)
+        scheduled/  this round's fetch batch, with per-host positions
+        metrics/    per-partition lineage: candidates in/out, filter
+                    cardinality, plus round totals (partition_id = -1)
+
+Round pipeline (all DataFrame ops; the only Python is the Bloom probe
+inside seen.py's cogroups):
+
+1. pending frontier → robots filter (broadcast) → per-host top-k
+   (priority window) = the **scheduled batch** (crawl order =
+   (host, depth, surt_key) total order — parallelism-invariant).
+2. "fetch": join the batch against the web pages table on surt_key
+   (at scale: both sides bucketed by surt hash → co-located join).
+3. outlink discovery: explode the fetched pages' outlinks, derive
+   (surt, host, depth+1), dedup within the round by min-depth.
+4. URL-seen: Bloom maybe-seen flag per host-hash partition, exact
+   anti-join for the maybe minority (seen.py) → truly-new URLs.
+5. commit: frontier' = (frontier ∖ batch→fetched) ∪ new-pending;
+   seen' += new; filters' fold new keys; metrics row per partition.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import politeness, priority, seen as seenmod
+from .webgraph import robots_rules
+
+# underscore, not 'round=': a key=value dir name would trigger Spark's
+# partition-column inference and collide with the 'round' data column
+_ROUND_FMT = "round_%05d"
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    n_partitions: int = seenmod.DEFAULT_PARTITIONS
+    filter_capacity: int = seenmod.DEFAULT_CAPACITY
+    filter_fpr: float = seenmod.DEFAULT_FPR
+    max_depth: int = 12
+    salt_threshold: int | None = None  # hot-host pre-cap (priority.py)
+    # Force-broadcast the fetch batch.  Leave False: a forced broadcast
+    # of a million-row round is a serial driver-side collect+build
+    # (measured ~2x round slowdown); with AQE on, Spark converts the
+    # join to broadcast at runtime exactly when the batch is small
+    # enough, and falls back to shuffle join (surt-bucketed co-location
+    # at real scale) otherwise.
+    broadcast_fetch: bool = False
+    # Bloom probe strategy (seen.flag_maybe_seen): broadcast while the
+    # total blob state fits an executor, cogroup at 10^10-key scale.
+    broadcast_probe: bool = True
+
+
+def _round_dir(state_dir: str, rnd: int) -> str:
+    return os.path.join(state_dir, _ROUND_FMT % rnd)
+
+
+def seen_table(spark: SparkSession, state_dir: str,
+               upto_round: int | None = None) -> DataFrame:
+    """The cumulative URL-seen set: union of the per-round append-only
+    deltas (Iceberg-append semantics — each round commits ONLY its new
+    keys; nothing is rewritten).  ``upto_round`` bounds the snapshot."""
+    last = latest_round(state_dir) if upto_round is None else upto_round
+    paths = [os.path.join(_round_dir(state_dir, r), "seen")
+             for r in range(0, last + 1)
+             if os.path.isdir(os.path.join(_round_dir(state_dir, r),
+                                           "seen"))]
+    return spark.read.parquet(*paths)
+
+
+def latest_round(state_dir: str) -> int:
+    """Highest committed round (has metrics/_SUCCESS), or -1."""
+    best = -1
+    if not os.path.isdir(state_dir):
+        return best
+    for name in os.listdir(state_dir):
+        if name.startswith("round_"):
+            rnd = int(name.split("_", 1)[1])
+            if os.path.exists(os.path.join(
+                    state_dir, name, "metrics", "_SUCCESS")):
+                best = max(best, rnd)
+    return best
+
+
+def _commit(rnd_dir: str, frontier: DataFrame, seen: DataFrame,
+            filters: DataFrame, scheduled: DataFrame,
+            metrics: DataFrame) -> None:
+    frontier.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "frontier"))
+    seen.write.mode("overwrite").parquet(os.path.join(rnd_dir, "seen"))
+    filters.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "filters"))
+    scheduled.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "scheduled"))
+    # metrics last: its _SUCCESS is the round's commit marker
+    metrics.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "metrics"))
+
+
+def init_state(spark: SparkSession, seeds: DataFrame, state_dir: str,
+               cfg: CrawlConfig = CrawlConfig()) -> None:
+    """Round 0 checkpoint: seeds pending, seeds marked seen."""
+    keys = seenmod.with_hash_cols(
+        seeds.select("surt_key"), cfg.n_partitions)
+    seen_tbl = keys.select("surt_key", "pid")
+    filters = seenmod.update_filters(
+        seeds, seenmod.empty_filters(spark, cfg.n_partitions,
+                                     cfg.filter_capacity, cfg.filter_fpr),
+        cfg.n_partitions, cfg.filter_capacity, cfg.filter_fpr)
+    scheduled = seeds.limit(0).withColumn(
+        "host_pos", F.lit(0)).withColumn("round", F.lit(-1))
+    metrics = spark.createDataFrame(
+        [(-1, -1, seeds.count(), 0, 0, 0)],
+        "round int, partition_id int, candidates_in long, "
+        "maybe_seen long, new_keys long, filter_items long")
+    _commit(_round_dir(state_dir, 0), seeds, seen_tbl, filters,
+            scheduled, metrics)
+
+
+def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
+              rnd: int, rules: DataFrame | None = None,
+              cfg: CrawlConfig = CrawlConfig()) -> dict:
+    """Execute round `rnd` (reading round `rnd-1` state); returns round
+    summary counters."""
+    prev = _round_dir(state_dir, rnd - 1)
+    frontier = spark.read.parquet(os.path.join(prev, "frontier"))
+    seen_tbl = seen_table(spark, state_dir, upto_round=rnd - 1)
+    filters = spark.read.parquet(os.path.join(prev, "filters"))
+    rules = rules if rules is not None else robots_rules(spark)
+
+    # 1. schedule
+    pending = frontier.filter(F.col("state") == "pending")
+    polite = politeness.apply_robots(pending, rules)
+    batch = priority.select_batch(
+        polite, salt_threshold=cfg.salt_threshold).persist()
+    scheduled = batch.select(
+        "surt_key", "url", "host", "host_rank", "depth",
+        "discovered_round", F.lit("pending").alias("state"),
+        "host_pos").withColumn("round", F.lit(rnd))
+
+    # 2. fetch (inner = 200 OK only); see CrawlConfig.broadcast_fetch
+    batch_keys = batch.select("surt_key", "depth")
+    if cfg.broadcast_fetch:
+        batch_keys = F.broadcast(batch_keys)
+    fetched_pages = batch_keys.join(web, "surt_key")
+
+    # 3. discover outlinks
+    discovered = (
+        fetched_pages.select(
+            F.col("depth"),
+            F.explode(F.arrays_zip(
+                F.col("outlinks").alias("url"),
+                F.col("outlink_surts").alias("surt_key"))).alias("l"))
+        .select(
+            F.col("l.surt_key").alias("surt_key"),
+            F.col("l.url").alias("url"),
+            (F.col("depth") + 1).alias("depth"))
+        .filter(F.col("depth") <= cfg.max_depth)
+        .withColumn("host",
+                    F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+        .withColumn("host_rank",
+                    F.lit(1.0) / (F.lit(1.0) + F.regexp_extract(
+                        "host", r"site(\d+)\.", 1).cast("double")))
+        .groupBy("surt_key")
+        .agg(F.min("depth").alias("depth"),
+             F.first("url").alias("url"),        # url ≡ f(surt): constant
+             F.first("host").alias("host"),      # per group, so first()
+             F.first("host_rank").alias("host_rank"))  # is deterministic
+    )
+
+    # 4. URL-seen (Bloom prefilter + exact anti-join)
+    flagged = seenmod.flag_maybe_seen(
+        discovered, filters, cfg.n_partitions,
+        broadcast_probe=cfg.broadcast_probe).persist()
+    definitely_new = flagged.filter(~F.col("maybe_seen"))
+    verified_new = (
+        flagged.filter(F.col("maybe_seen"))
+        .join(seen_tbl.select("surt_key"), "surt_key", "left_anti")
+    )
+    new = (
+        definitely_new.unionByName(verified_new).drop("maybe_seen")
+        .persist()
+    )
+
+    # 5. commit
+    new_frontier_rows = new.select(
+        "surt_key", "url", "host", "host_rank",
+        F.col("depth").cast("int").alias("depth"),
+        F.lit(rnd).alias("discovered_round"),
+        F.lit("pending").alias("state"))
+    frontier_next = (
+        frontier.join(batch.select("surt_key"), "surt_key", "left_anti")
+        .unionByName(
+            batch.select(
+                "surt_key", "url", "host", "host_rank", "depth",
+                "discovered_round", F.lit("fetched").alias("state")))
+        .unionByName(new_frontier_rows)
+    )
+    new_keyed = seenmod.with_hash_cols(
+        new.select("surt_key"), cfg.n_partitions)
+    # append-only: this round's seen dir holds ONLY the new keys
+    seen_delta = new_keyed.select("surt_key", "pid")
+    filters_next = seenmod.update_filters(
+        new, filters, cfg.n_partitions, cfg.filter_capacity,
+        cfg.filter_fpr)
+
+    # per-partition lineage — derived from the PERSISTED flagged frame
+    # (flagged ≡ discovered + maybe_seen), never from the discover DAG:
+    # recomputing that lineage would re-run the fetch join + outlink
+    # explode once more per metric
+    flagged_keyed = seenmod.with_hash_cols(flagged, cfg.n_partitions)
+    cand_by_pid = (
+        flagged_keyed
+        .groupBy("pid").agg(F.count(F.lit(1)).alias("candidates_in")))
+    maybe_by_pid = (
+        flagged_keyed.filter(F.col("maybe_seen"))
+        .groupBy("pid").agg(F.count(F.lit(1)).alias("maybe_seen")))
+    new_by_pid = (new_keyed.groupBy("pid")
+                  .agg(F.count(F.lit(1)).alias("new_keys")))
+    metrics = (
+        cand_by_pid
+        .join(maybe_by_pid, "pid", "full")
+        .join(new_by_pid, "pid", "full")
+        .join(filters_next.select(
+            F.col("partition_id").alias("pid"),
+            F.col("n_items").alias("filter_items")), "pid", "full")
+        .select(
+            F.lit(rnd).alias("round"),
+            F.col("pid").alias("partition_id"),
+            F.coalesce("candidates_in", F.lit(0)).alias("candidates_in"),
+            F.coalesce("maybe_seen", F.lit(0)).alias("maybe_seen"),
+            F.coalesce("new_keys", F.lit(0)).alias("new_keys"),
+            F.coalesce("filter_items", F.lit(0)).alias("filter_items"))
+    )
+
+    _commit(_round_dir(state_dir, rnd), frontier_next, seen_delta,
+            filters_next, scheduled, metrics)
+    # summary counts from the COMMITTED outputs: parquet footer metadata
+    # only, no recompute jobs (batch/new counts would be 2 extra jobs)
+    rnd_dir = _round_dir(state_dir, rnd)
+    n_scheduled = spark.read.parquet(
+        os.path.join(rnd_dir, "scheduled")).count()
+    n_new = int(
+        spark.read.parquet(os.path.join(rnd_dir, "metrics"))
+        .agg(F.sum("new_keys")).collect()[0][0] or 0)
+    batch.unpersist()
+    flagged.unpersist()
+    new.unpersist()
+    return {"round": rnd, "scheduled": n_scheduled, "new_urls": n_new}
+
+
+def run_crawl(spark: SparkSession, web: DataFrame, state_dir: str,
+              n_rounds: int, seeds: DataFrame | None = None,
+              rules: DataFrame | None = None,
+              cfg: CrawlConfig = CrawlConfig()) -> list[dict]:
+    """Run/resume a crawl for up to `n_rounds` additional rounds.
+    Fresh state dirs need `seeds`; existing ones resume from the last
+    committed round (partial round output is simply overwritten)."""
+    start = latest_round(state_dir)
+    if start < 0:
+        if seeds is None:
+            raise ValueError("fresh crawl needs seeds")
+        init_state(spark, seeds, state_dir, cfg)
+        start = 0
+    out = []
+    for rnd in range(start + 1, start + 1 + n_rounds):
+        summary = run_round(spark, web, state_dir, rnd, rules, cfg)
+        out.append(summary)
+        if summary["scheduled"] == 0:
+            break  # frontier drained
+    return out
+
+
+def crawl_order(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The committed crawl order across all rounds: the determinism
+    artifact compared across parallelism levels."""
+    sched = spark.read.parquet(
+        os.path.join(state_dir, "round_*", "scheduled"))
+    return sched.select("round", "host", "depth", "surt_key", "url",
+                        "host_pos").orderBy("round", "host", "depth",
+                                            "surt_key")

@@ -170,6 +170,22 @@ def cdx_lines(pages: DataFrame, cfg: CDXConfig | None = None,
     return df.orderBy("warc_file", "offset").select("cdx_line")
 
 
+def cdx_lines_per_file(pages: DataFrame,
+                       cfg: CDXConfig | None = None) -> DataFrame:
+    """File-order lines, the reference's native output mode (one CDX
+    per archive, records in offset order): repartition by warc_file +
+    sortWithinPartitions — a single hash shuffle, no range-sampling
+    pass (the global sort's sampler executes the child plan twice)."""
+    cfg = cfg or CDXConfig()
+    return (
+        cdx_records(pages, cfg)
+        .withColumn("cdx_line", cdx_line_column(cfg))
+        .repartition(F.col("warc_file"))
+        .sortWithinPartitions("warc_file", "offset")
+        .select("warc_file", "cdx_line")
+    )
+
+
 def cdx_header(cfg: CDXConfig | None = None) -> str:
     """' CDX <format>' header line (cdx_writer.py:821); leading space keeps
     it first under bytewise sort."""

@@ -1,0 +1,88 @@
+"""Structured Streaming surface for the CDX engine.
+
+The reference is a bounded single-pass stream over one archive file
+(cdx_writer.py:820-855); the continuous-ingestion equivalent here is a
+file-source stream over a landing directory of pages parquet (at scale:
+an object-store prefix or Kafka of WARC-record rows) flowing through
+the SAME projection/dispatch pipeline — `cdx_flagged` is pure
+row-local (filters + column exprs + Arrow UDFs, no aggregation), so it
+lifts to a streaming DataFrame unchanged.
+
+* :func:`cdx_stream_lines` — unbounded CDX lines (append mode).  The
+  global byte-sort contract cannot hold on an unbounded stream; the
+  batch sorted sink covers it, streaming emits file-order parts that
+  downstream `LC_ALL=C sort -m` merges (the reference's own published
+  workflow for multi-file CDX, README.md:25-27).
+* :func:`cdx_stream_stats` — event-time windowed admission counters
+  (processed/included/filtered per warc_ts window) with a watermark
+  bounding state for late records.
+* :func:`run_cdx_stream` — availableNow micro-batch runner: drains the
+  landing dir, commits via checkpoint, exits — incremental batch jobs
+  with streaming exactly-once bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .job import CDXConfig, cdx_flagged, cdx_line_column
+from .schema import PAGES_SCHEMA
+
+
+def pages_stream(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def cdx_stream_lines(pages: DataFrame,
+                     cfg: CDXConfig | None = None) -> DataFrame:
+    """Streaming CDX lines (one string column), admission-filtered."""
+    cfg = cfg or CDXConfig()
+    flagged = cdx_flagged(pages, cfg)
+    return (
+        flagged.filter(F.col("admitted") & ~F.col("excluded"))
+        .select(cdx_line_column(cfg).alias("cdx_line"))
+    )
+
+
+def cdx_stream_stats(pages: DataFrame, cfg: CDXConfig | None = None,
+                     window: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """The reference's three counters per event-time window
+    (cdx_writer.py:805-809), watermarked so state is bounded."""
+    cfg = cfg or CDXConfig()
+    flagged = cdx_flagged(pages, cfg).withWatermark("warc_ts", watermark)
+    inc = F.col("admitted") & ~F.col("excluded")
+    return (
+        flagged.groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("num_records_processed"),
+            F.sum(F.when(inc, 1).otherwise(0))
+            .alias("num_records_included"),
+            F.sum(F.when(F.col("excluded"), 1).otherwise(0))
+            .alias("num_records_filtered"))
+        .select(F.col("w.start").alias("window_start"),
+                "num_records_processed", "num_records_included",
+                "num_records_filtered")
+    )
+
+
+def run_cdx_stream(spark: SparkSession, input_dir: str, out_dir: str,
+                   checkpoint_dir: str,
+                   cfg: CDXConfig | None = None) -> None:
+    """Drain the landing dir once (availableNow) into text CDX parts,
+    exactly-once via the checkpoint; rerun after new files land to
+    process only the delta."""
+    lines = cdx_stream_lines(pages_stream(spark, input_dir), cfg)
+    q = (
+        lines.writeStream.format("text")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -29,7 +29,12 @@ BASE_TS = "2011-02-18 23:32:56"
 # Shared derivation constants (mirrored textually in the oracle SQL).
 N_HOSTS = 37          # host index = doc_id % 37
 N_URL_VARIANTS = 5    # url shape = doc_id % 5
-N_FILES = 8           # warc_file = doc_id % 8
+N_FILES = 512         # warc_file = doc_id % 512: ALSO the offset
+                      # window's partition key.  Must be >> cores: with
+                      # only 64 keys, hashing into 32 shuffle partitions
+                      # gives ~2.5x balls-in-bins skew and the slowest
+                      # task gates the whole UDF stage (measured: 0.4
+                      # scaling efficiency at 64 files, ~0.8 at 512)
 REVISIT_MOD = 17      # doc_id % 17 == 0 -> revisit record
 REQUEST_MOD = 23      # doc_id % 23 == 0 -> request record (never indexed)
 STATUS_MOD = 11       # doc_id % 11 -> 404 / 301 / 304 / 200
@@ -47,12 +52,22 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     downstream column is a function of the new (doc_id, text).
     """
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
     if amplify > 1:
+        # Shuffle-free scale-out: the testdata documents table is one
+        # parquet file (one scan task), so amplified rows are generated
+        # from a well-partitioned range broadcast-joined to the tiny
+        # docs table — no repartition of full rows, no serial explode.
+        n = docs.count()
+        base = spark.range(0, n * amplify, 1, par)
         docs = (
-            docs.withColumn("_i", F.explode(
-                F.sequence(F.lit(0), F.lit(amplify - 1))))
+            base.withColumn("_base_id", F.col("id") % n)
+            .withColumn("_i", (F.col("id") / n).cast("long"))
+            .join(F.broadcast(docs.withColumnRenamed("doc_id",
+                                                     "_base_id")),
+                  "_base_id")
             .select(
-                (F.col("doc_id") + F.col("_i") * F.lit(1_000_000))
+                (F.col("_base_id") + F.col("_i") * F.lit(1_000_000))
                 .alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" v"),
                          F.col("_i").cast("string")).alias("text"),
@@ -62,6 +77,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
                 .alias("n_chars"),
             )
         )
+    else:
+        # unamplified correctness runs are tiny; a cheap spread keeps
+        # multi-core sessions busy on the single-file scan
+        docs = docs.repartition(par, "doc_id")
     d = F.col("doc_id")
     h = (d % N_HOSTS).cast("string")
 
@@ -131,7 +150,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         .otherwise(F.create_map().cast("map<string,string>"))
     )
     compressed_size = (F.lit(200) + F.col("n_chars")).cast("long")
-    warc_file = F.concat(F.lit("synth-0000"), (d % N_FILES).cast("string"),
+    warc_file = F.concat(F.lit("synth-"), (d % N_FILES).cast("string"),
                          F.lit(".warc.gz"))
     pages = docs.select(
         url.alias("url"),
@@ -202,9 +221,9 @@ pages AS (
         CASE WHEN doc_id % 20 = 0 THEN 'I' END AS robots_flag,
         CASE WHEN doc_id % 3 <> 0 THEN upper(md5(text)) END AS digest,
         200 + n_chars AS compressed_size,
-        'synth-0000' || (doc_id % 8) || '.warc.gz' AS warc_file,
+        'synth-' || (doc_id % 512) || '.warc.gz' AS warc_file,
         COALESCE(SUM(200 + n_chars) OVER (
-            PARTITION BY doc_id % 8 ORDER BY doc_id
+            PARTITION BY doc_id % 512 ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
     FROM documents
 ),

@@ -1,0 +1,190 @@
+"""Frontier scheduler gates: Bloom exactness/FPR, politeness budgets,
+deterministic crawl order under re-partitioning, checkpoint resume,
+and Bloom-path == exact-path equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdx_writer_spark.canonicalize import surt_key
+from cdx_writer_spark.frontier import loop, politeness, priority, webgraph
+from cdx_writer_spark.frontier import seen as seenmod
+from cdx_writer_spark.frontier.bloom import BloomFilter
+from cdx_writer_spark.frontier.loop import CrawlConfig
+
+N_PAGES = 3000
+
+
+# --- bloom unit --------------------------------------------------------------
+
+def _hashes(n, seed):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2**63, n, dtype=np.int64),
+            rng.integers(0, 2**63, n, dtype=np.int64))
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    bf = BloomFilter.sized_for(10_000, fpr=0.01)
+    h1, h2 = _hashes(10_000, 1)
+    bf.add_many(h1, h2)
+    assert bf.contains_many(h1, h2).all()          # zero false negatives
+    q1, q2 = _hashes(50_000, 2)
+    fpr = bf.contains_many(q1, q2).mean()
+    assert fpr < 0.02, fpr                         # ~1% target, 2x slack
+
+
+def test_bloom_serialization_roundtrip():
+    bf = BloomFilter.sized_for(1000, fpr=0.01)
+    h1, h2 = _hashes(500, 3)
+    bf.add_many(h1, h2)
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert bf2.n_bits == bf.n_bits and bf2.k == bf.k
+    assert bf2.n_items == 500
+    assert np.array_equal(bf2.bits, bf.bits)
+    assert bf2.contains_many(h1, h2).all()
+
+
+def test_bloom_empty_and_errors():
+    bf = BloomFilter.sized_for(100)
+    assert bf.contains_many(*_hashes(0, 4)).shape == (0,)
+    with pytest.raises(ValueError):
+        BloomFilter(0, 1)
+
+
+# --- webgraph parity ---------------------------------------------------------
+
+def test_webgraph_surt_matches_canonicalizer(spark):
+    rows = webgraph.pages(spark, 200).select("url", "surt_key").collect()
+    for r in rows:
+        assert r.surt_key == surt_key(r.url), r.url
+
+
+# --- seen set ----------------------------------------------------------------
+
+def test_split_new_is_exact(spark):
+    """Bloom-prefiltered split must equal a plain exact anti-join."""
+    all_keys = webgraph.pages(spark, 400).select(
+        "surt_key", "url", "host", "host_rank").withColumn(
+        "depth", F.lit(1))
+    seen_half = all_keys.filter(F.col("surt_key").rlike("/p/[0-3]"))
+    filters = seenmod.update_filters(
+        seen_half, seenmod.empty_filters(spark))
+    seen_tbl = seenmod.with_hash_cols(
+        seen_half.select("surt_key")).select("surt_key", "pid")
+    got = sorted(r.surt_key for r in seenmod.split_new(
+        all_keys, filters, seen_tbl).collect())
+    expected = sorted(r.surt_key for r in all_keys.join(
+        seen_half.select("surt_key"), "surt_key", "left_anti").collect())
+    assert got == expected
+
+
+# --- politeness --------------------------------------------------------------
+
+def test_robots_disallow_and_budget(spark, tmp_path):
+    state = str(tmp_path / "crawl")
+    web = webgraph.pages(spark, N_PAGES)
+    seeds = webgraph.seeds(spark, 20, N_PAGES)
+    loop.run_crawl(spark, web, state, 3, seeds=seeds)
+    order = loop.crawl_order(spark, state).collect()
+    assert len(order) > 0
+    for r in order:
+        h = int(r.host.replace("site", "").split(".")[0])
+        path = r.url.split(".com", 1)[1]
+        if h % 5 == 0:                       # disallow /p/1*
+            assert not path.startswith("/p/1"), r
+        budget = 2 if h % 7 == 0 else 8      # per-round budgets
+        assert r.host_pos <= budget, r
+
+
+def test_scheduled_never_repeats(spark, tmp_path):
+    """URL-seen exactness: no URL is ever scheduled twice."""
+    state = str(tmp_path / "crawl")
+    web = webgraph.pages(spark, N_PAGES)
+    seeds = webgraph.seeds(spark, 20, N_PAGES)
+    loop.run_crawl(spark, web, state, 4, seeds=seeds)
+    surts = [r.surt_key for r in loop.crawl_order(spark, state).collect()]
+    assert len(surts) == len(set(surts))
+    seen_keys = [r.surt_key
+                 for r in loop.seen_table(spark, state).collect()]
+    assert len(seen_keys) == len(set(seen_keys))
+
+
+# --- determinism -------------------------------------------------------------
+
+def _crawl_order(spark, tmp_path, tag, shuffle_partitions, in_parts,
+                 n_rounds=3):
+    state = str(tmp_path / f"crawl_{tag}")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        web = webgraph.pages(spark, N_PAGES, n_partitions=in_parts)
+        seeds = webgraph.seeds(spark, 20, N_PAGES).repartition(in_parts)
+        loop.run_crawl(spark, web, state, n_rounds, seeds=seeds)
+        return [tuple(r) for r in loop.crawl_order(spark, state).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_crawl_order_parallelism_invariant(spark, tmp_path):
+    """The same crawl at different shuffle/input partitionings must
+    produce a byte-identical schedule (the in-process proxy for the
+    N-vs-4N cluster gate; scripts/scaling_report.py runs the full
+    local[8]-vs-local[32] subprocess comparison)."""
+    a = _crawl_order(spark, tmp_path, "p2", shuffle_partitions=2,
+                     in_parts=2)
+    b = _crawl_order(spark, tmp_path, "p16", shuffle_partitions=16,
+                     in_parts=13)
+    assert a == b
+    assert len(a) > 50
+
+
+def test_resume_equals_straight_run(spark, tmp_path):
+    web = webgraph.pages(spark, N_PAGES)
+    seeds = webgraph.seeds(spark, 20, N_PAGES)
+    s1 = str(tmp_path / "straight")
+    loop.run_crawl(spark, web, s1, 4, seeds=seeds)
+    s2 = str(tmp_path / "resumed")
+    loop.run_crawl(spark, web, s2, 2, seeds=seeds)
+    loop.run_crawl(spark, web, s2, 2)        # resume from checkpoint
+    a = [tuple(r) for r in loop.crawl_order(spark, s1).collect()]
+    b = [tuple(r) for r in loop.crawl_order(spark, s2).collect()]
+    assert a == b
+
+
+def test_max_depth_respected(spark, tmp_path):
+    state = str(tmp_path / "crawl")
+    cfg = CrawlConfig(max_depth=1)
+    web = webgraph.pages(spark, N_PAGES)
+    seeds = webgraph.seeds(spark, 10, N_PAGES)
+    loop.run_crawl(spark, web, state, 5, seeds=seeds, cfg=cfg)
+    order = loop.crawl_order(spark, state).collect()
+    assert max(r.depth for r in order) <= 1
+
+
+# --- priority salting path ---------------------------------------------------
+
+def test_salted_selection_matches_unsalted(spark):
+    """The hot-host two-level tournament must pick the same batch as
+    the plain window when the pre-cap is not binding."""
+    cand = politeness.apply_robots(
+        webgraph.seeds(spark, 500, 5000), webgraph.robots_rules(spark))
+    plain = sorted(tuple(r) for r in priority.select_batch(cand).collect())
+    salted = sorted(tuple(r) for r in priority.select_batch(
+        cand, salt_threshold=500).collect())
+    assert plain == salted
+
+
+def test_probe_modes_agree(spark):
+    """Broadcast-probe and cogroup-probe must flag identically."""
+    cand = webgraph.pages(spark, 300).select(
+        "surt_key", "url", "host", "host_rank").withColumn(
+        "depth", F.lit(1))
+    half = cand.filter(F.col("surt_key").rlike("/p/[0-4]"))
+    filters = seenmod.update_filters(half, seenmod.empty_filters(spark))
+    a = sorted((r.surt_key, r.maybe_seen) for r in seenmod.flag_maybe_seen(
+        cand, filters, broadcast_probe=True).collect())
+    b = sorted((r.surt_key, r.maybe_seen) for r in seenmod.flag_maybe_seen(
+        cand, filters, broadcast_probe=False).collect())
+    assert a == b
