@@ -57,12 +57,19 @@ def bench_queries(spark: SparkSession, sf_dir: str):
     emb_q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
 
+    from cdx_writer_spark.job import cdx_lines_per_file
+
     def cdx_full():
         pages = pages_from_documents(spark, sf_dir, amplify=AMPLIFY)
         return cdx_lines(pages, CDXConfig(), sort=True)
 
+    def cdx_perfile():
+        pages = pages_from_documents(spark, sf_dir, amplify=AMPLIFY)
+        return cdx_lines_per_file(pages, CDXConfig())
+
     return {
         "cdx_full_sorted": cdx_full,
+        "cdx_perfile": cdx_perfile,
         "cdx_stats": lambda: entrymod.q_cdx_stats(spark, sf_dir),
         "dedup_exact": lambda: dedup.exact_dedup(docs),
         "dedup_minhash": lambda: dedup.minhash_lsh_dedup(

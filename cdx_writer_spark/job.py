@@ -84,8 +84,10 @@ def excluded_column(surt_col: Column, prefixes: list[str]) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # no type hints: string annotations from __future__.annotations
+    # can't resolve the locally-imported pd in pyspark's hint parser
     @pandas_udf("boolean")
-    def _excl(keys: pd.Series) -> pd.Series:
+    def _excl(keys):
         return keys.map(
             lambda k: False if k is None
             else any(k[:ln] in by_len[ln] for ln in lengths))

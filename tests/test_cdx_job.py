@@ -227,3 +227,26 @@ def test_sorted_sink_stats_single_count(spark, tmp_path):
         for p in glob.glob(out + "/part*"))
     assert stats["num_records_processed"] == len(rows)
     assert stats["num_records_included"] == n_lines
+
+
+def test_large_exclude_list_hashed_path(spark):
+    """Exclusion lists beyond the native startswith-OR limit use the
+    per-length hashed-set UDF (job.excluded_column); it must agree with
+    the native path."""
+    from cdx_writer_spark.job import _NATIVE_PREFIX_LIMIT, cdx_flagged
+
+    rows = bulk_rows(400)
+    pages = _pages_df(spark, rows)
+    real = ("http://www.site0.com", "http://www.site1.org")
+    # pad with prefixes that match nothing to cross the native limit
+    padding = tuple("http://nomatch%d.example.net" % i
+                    for i in range(_NATIVE_PREFIX_LIMIT + 10))
+    small_cfg = CDXConfig(exclude_urls=real)
+    big_cfg = CDXConfig(exclude_urls=real + padding)
+    assert len(big_cfg.exclude_surts()) > _NATIVE_PREFIX_LIMIT
+    small = sorted(r.massaged_url for r in cdx_flagged(pages, small_cfg)
+                   .filter("excluded").collect())
+    big = sorted(r.massaged_url for r in cdx_flagged(pages, big_cfg)
+                 .filter("excluded").collect())
+    assert small == big
+    assert len(big) > 0

@@ -1,0 +1,75 @@
+"""Physical-plan audits: the optimizer behaviors SCALE.md claims must
+actually appear in the executed plans (pushdown, pruning, broadcast,
+whole-stage codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdx_writer_spark.job import CDXConfig, cdx_records
+from cdx_writer_spark.pages_gen import bulk_rows
+from cdx_writer_spark.schema import PAGES_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+          .filter(F.col("lang") == "en").select("doc_id"))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan.replace(" ", "")
+
+
+def test_column_pruning_on_narrow_format(spark, tmp_path):
+    """--format 'N b' must not read text/lang from the pages scan
+    (admission still needs html for the HTTP status, by design)."""
+    p = str(tmp_path / "pages")
+    spark.createDataFrame(bulk_rows(50), PAGES_SCHEMA).write.parquet(p)
+    pages = spark.read.parquet(p)
+    plan = _plan(cdx_records(pages, CDXConfig(format="N b")))
+    scan = plan[plan.index("ReadSchema"):]
+    scan_line = scan.splitlines()[0]
+    assert "text" not in scan_line
+    assert "lang" not in scan_line
+    assert "url" in scan_line
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    from cdx_writer_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    plan = _plan(similarity.cosine_topk(emb, q, k=3))
+    assert "Broadcast" in plan            # broadcast exchange present
+    assert "SortMergeJoin" not in plan    # scan side never shuffles
+
+
+def test_textstats_stays_in_codegen(spark):
+    from cdx_writer_spark.functions import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.select(
+        textstats.token_count_col(F.col("text")).alias("tc"),
+        textstats.quality_score_col(F.col("text")).alias("q"))
+    plan = _plan(df)
+    # executedPlan toString marks whole-stage-codegen spans as "*(n)"
+    assert "*(" in plan
+    assert "ArrowEvalPython" not in plan  # no Python in the hot path
+
+
+def test_dedup_is_partial_aggregated(spark):
+    """exact_dedup must map-side combine (partial HashAggregate before
+    the exchange) so only digests shuffle, never text."""
+    from cdx_writer_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.exact_dedup(docs))
+    pre_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in pre_exchange  # partial agg below exchange
+    assert plan.count("HashAggregate") >= 2  # partial + final
