@@ -35,6 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = r"""
 import hashlib, json, os, shutil, sys, time
 cpus = int(sys.argv[1])
+driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 sf_dir = sys.argv[2]
 amplify = int(sys.argv[3])
 n_pages = int(sys.argv[4])
@@ -55,7 +56,7 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.driver.memory", "24g")
+         .config("spark.driver.memory", driver_mem)
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from cdx_writer_spark.job import CDXConfig, cdx_lines, cdx_lines_per_file

@@ -112,3 +112,40 @@ def test_warc_cdx_end_to_end(spark, tmp_path):
     revisit = [l for l in lines if " warc/revisit " in l]
     assert len(revisit) == 1 and " ABC234 " in revisit[0]
     assert not any(" warc/request " in l for l in lines)
+
+
+def test_reference_arc_fixture_parity(spark, tmp_path):
+    """End-to-end byte parity on a REAL reference ARC file: read
+    16_digit_date.arc.gz through the distributed source + CDX pipeline
+    and compare with the reference's golden output (harvested from
+    /root/reference/tests/test_small_warcs.py:14, --all-records)."""
+    import os
+    import shutil
+
+    import pytest
+
+    src = "/root/reference/tests/small_warcs/16_digit_date.arc.gz"
+    if not os.path.exists(src):
+        pytest.skip("reference fixtures not present")
+    d = tmp_path / "arcs"
+    d.mkdir()
+    shutil.copy(src, d / "16_digit_date.arc.gz")
+
+    pages = warc_source.read_warc(spark, str(d))
+    got = [r.cdx_line for r in cdx_lines(
+        pages, CDXConfig(all_records=True), sort=False).collect()]
+    expected = [
+        "filedesc://INA-HISTORICAL-2000-GROUP-ACS-20100812000000-00001"
+        ".arc 20100812000000 filedesc://INA-HISTORICAL-2000-GROUP-ACS-"
+        "20100812000000-00001.arc warc/filedesc - "
+        "VXEDWGPHSNERWHDOUD6YWRWNT4ZOLEX4 - - 168 0 16_digit_date.arc.gz",
+        "com,afp)/home/img/es.gif 20000823054100 "
+        "http://www.afp.com:80/home/img/es.gif image/gif 200 "
+        "FL5ZDSVRACUUD2GUCKOWWY6LPPLR7TSJ - - 936 168 "
+        "16_digit_date.arc.gz",
+    ]
+    assert got == expected
+    # default mode: the filedesc record is not admitted
+    got_default = [r.cdx_line for r in cdx_lines(
+        pages, CDXConfig(), sort=False).collect()]
+    assert got_default == expected[1:]
