@@ -148,6 +148,8 @@ def main() -> None:
     }
     print(json.dumps(summary, indent=2))
 
+    if os.environ.get("SPARK_GRAFT_REPORT_MD", "1") != "1":
+        return  # experiment mode: keep the curated BENCH/BASELINE.md
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# Scaling evidence (N vs 4N parallelism)
