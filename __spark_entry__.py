@@ -244,8 +244,21 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(
-        _table(spark, sf_dir, "embeddings"), threshold=0.9)
+    """Embedding near-dup pairs over a view with PLANTED near-duplicates:
+    every 10th vector gets a clone (id + 10M) scaled by exactly 2.0 —
+    doubling is lossless in binary float, so each planted pair has
+    cosine exactly 1.0 in both engines and lands in identical LSH
+    buckets (recall 1 for the planted tier, asserted in
+    tests/test_similarity_quality.py).  The testdata's natural max
+    pairwise cosine is ≤ 0.61 at every SF, so the 0.95 threshold admits
+    exactly the planted pairs and the DuckDB all-pairs oracle matches."""
+    emb = _table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float"))
+        .alias("embedding"))
+    aug = emb.select("vec_id", "embedding").unionByName(clones)
+    return similarity.embedding_near_dup_pairs(aug, threshold=0.95)
 
 
 # --- training-data pipeline: multimodal plumbing ------------------------------
@@ -263,11 +276,21 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake kernel
-    (real decoder stubbed: no PIL in env) — rows-only."""
+    (real decoder stubbed: no PIL in env).  The fake decode derives
+    (width, height, features) from sha256(payload), so the DuckDB
+    oracle recomputes every value independently; `features` (exact
+    dyadic byte/256 floats) is projected back to a csv of the raw
+    digest bytes for a sortable engine-portable schema."""
     pages = pages_from_documents(spark, sf_dir)
-    return multimodal.decode_images(
+    decoded = multimodal.decode_images(
         pages.select("doc_id", F.col("html").alias("payload")),
         bin_col="payload", fake_decode=True)
+    return decoded.select(
+        "doc_id", "width", "height", "n_channels",
+        F.concat_ws(",", F.transform(
+            "features", lambda x: (x * 256).cast("int").cast("string")))
+        .alias("features_csv"),
+        "decode_status")
 
 
 # --- frontier scheduler (north rule; no reference counterpart) ----------------
@@ -413,6 +436,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _W = "WITH " + ORACLE_PAGES_CTE
+
+# The synthesized record payload (webview.html_str) re-derived in pure
+# SQL — shared by the multimodal oracles.
+_PAYLOAD_SQL = (
+    "CASE WHEN record_type = 'revisit' THEN '' "
+    "WHEN record_type = 'request' THEN "
+    "'GET / HTTP/1.1' || chr(13) || chr(10) || chr(13) || chr(10) "
+    "ELSE 'HTTP/1.1 ' || "
+    "(CASE status WHEN '404' THEN '404 Not Found' "
+    "WHEN '301' THEN '301 Moved Permanently' "
+    "WHEN '304' THEN '304 Not Modified' ELSE '200 OK' END) || "
+    "chr(13) || chr(10) || 'Content-Type: text/html' || "
+    "chr(13) || chr(10) || chr(13) || chr(10) || "
+    "'<html><head>' || "
+    "(CASE WHEN doc_id % 20 = 0 THEN "
+    "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
+    "|| '</head><body>' || text || '</body></html>' END")
+
+# byte i of a lowercase-hex digest string `dg` (0-based positions baked
+# in by .format): DuckDB has no hex->int scalar, so nibbles come from
+# strpos over the hex alphabet.
+_HEX_BYTE = ("((strpos('0123456789abcdef', substr(dg, {p1}, 1)) - 1) * 16"
+             " + (strpos('0123456789abcdef', substr(dg, {p2}, 1)) - 1))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -565,37 +611,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q_id, vec_id, cosine, rank FROM ranked "
             "WHERE rank <= 5"),
         "multimodal_meta": (
-            _W + " SELECT doc_id, CAST(length("
-            "CASE WHEN record_type = 'revisit' THEN '' "
-            "WHEN record_type = 'request' THEN "
-            "'GET / HTTP/1.1' || chr(13) || chr(10) || chr(13) || chr(10) "
-            "ELSE 'HTTP/1.1 ' || "
-            "(CASE status WHEN '404' THEN '404 Not Found' "
-            "WHEN '301' THEN '301 Moved Permanently' "
-            "WHEN '304' THEN '304 Not Modified' ELSE '200 OK' END) || "
-            "chr(13) || chr(10) || 'Content-Type: text/html' || "
-            "chr(13) || chr(10) || chr(13) || chr(10) || "
-            "'<html><head>' || "
-            "(CASE WHEN doc_id % 20 = 0 THEN "
-            "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
-            "|| '</head><body>' || text || '</body></html>' END"
-            ") AS BIGINT) AS payload_bytes, "
+            _W + " SELECT doc_id, "
+            f"CAST(length({_PAYLOAD_SQL}) AS BIGINT) AS payload_bytes, "
             "'application/octet-stream' AS payload_mime, "
-            "sha256(CASE WHEN record_type = 'revisit' THEN '' "
-            "WHEN record_type = 'request' THEN "
-            "'GET / HTTP/1.1' || chr(13) || chr(10) || chr(13) || chr(10) "
-            "ELSE 'HTTP/1.1 ' || "
-            "(CASE status WHEN '404' THEN '404 Not Found' "
-            "WHEN '301' THEN '301 Moved Permanently' "
-            "WHEN '304' THEN '304 Not Modified' ELSE '200 OK' END) || "
-            "chr(13) || chr(10) || 'Content-Type: text/html' || "
-            "chr(13) || chr(10) || chr(13) || chr(10) || "
-            "'<html><head>' || "
-            "(CASE WHEN doc_id % 20 = 0 THEN "
-            "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
-            "|| '</head><body>' || text || '</body></html>' END"
-            ") AS payload_digest "
+            f"sha256({_PAYLOAD_SQL}) AS payload_digest "
             "FROM pages"),
+        "multimodal_decode": (
+            _W + ", pay AS (SELECT doc_id, "
+            f"sha256({_PAYLOAD_SQL}) AS dg FROM pages) "
+            "SELECT doc_id, "
+            f"CAST(64 + {_HEX_BYTE.format(p1=1, p2=2)} AS INTEGER) "
+            "AS width, "
+            f"CAST(64 + {_HEX_BYTE.format(p1=3, p2=4)} AS INTEGER) "
+            "AS height, "
+            "CAST(3 AS INTEGER) AS n_channels, "
+            "array_to_string(list_transform(range(0, 8), i -> CAST("
+            "(strpos('0123456789abcdef', substr(dg, 2*i + 1, 1)) - 1) * 16"
+            " + (strpos('0123456789abcdef', substr(dg, 2*i + 2, 1)) - 1) "
+            "AS VARCHAR)), ',') AS features_csv, "
+            "'ok_fake' AS decode_status "
+            "FROM pay"),
+        "embedding_near_dup": (
+            "WITH aug AS ("
+            "SELECT vec_id AS id, embedding AS v FROM embeddings "
+            "UNION ALL "
+            "SELECT vec_id + 10000000 AS id, "
+            "list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS v "
+            "FROM embeddings WHERE vec_id % 10 = 0), "
+            "scored AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "round(list_aggregate(list_transform(list_zip(a.v, b.v), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') "
+            "/ (sqrt(list_aggregate(list_transform(a.v, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+            "* sqrt(list_aggregate(list_transform(b.v, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) "
+            "AS cosine FROM aug a JOIN aug b ON a.id < b.id) "
+            "SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95"),
         "frontier_topk": (
             "WITH cand AS (SELECT doc_id, doc_id % 37 AS h, "
             "'site' || (doc_id % 37) || '.example.com' AS host, "

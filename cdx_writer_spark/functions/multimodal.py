@@ -71,8 +71,11 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
     each batch raises NotImplementedError at the decode kernel, which is
     the clearly-marked integration point.  With `fake_decode=True` a
     deterministic stand-in derives (width, height, features) from the
-    payload's sha1 — stable across runs/partitionings, so the pipeline
-    shape (schema, batch iteration, column pruning) is fully testable.
+    payload's sha256 — stable across runs/partitionings, so the pipeline
+    shape (schema, batch iteration, column pruning) is fully testable,
+    AND independently recomputable by an ANSI-SQL oracle (DuckDB has
+    sha256; feature values are exact dyadic rationals byte/256, so no
+    float-rounding ambiguity crosses the engine boundary).
     """
 
     def kernel(batches: Iterator) -> Iterator:
@@ -99,12 +102,14 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                             "image decode requires PIL/cv2, absent in this "
                             "environment; pass fake_decode=True for the "
                             "deterministic test double")
-                d = hashlib.sha1(bytes(payload)).digest()
+                d = hashlib.sha256(bytes(payload)).digest()
                 out["width"].append(64 + d[0])
                 out["height"].append(64 + d[1])
                 out["n_channels"].append(3)
+                # byte/256 is exactly representable in binary floating
+                # point at any width -> byte-identical across engines
                 out["features"].append(
-                    [round(b / 255.0, 4) for b in d[:feature_dim]])
+                    [b / 256.0 for b in d[:feature_dim]])
                 out["decode_status"].append("ok_fake")
             yield pd.DataFrame(out)
 

@@ -38,32 +38,66 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def topk_per_query(scored: DataFrame, k: int, q_id_col: str = "q_id",
+                   id_col: str = "vec_id",
+                   score_col: str = "cosine") -> DataFrame:
+    """Two-stage exact top-k over a scored frame: (q_id, id, score, rank).
+
+    Stage 1 ranks within (q_id, input-partition) — the exchange key
+    carries ``spark_partition_id`` so parallelism is #partitions ×
+    #queries, and only the narrow (q_id, id, score) projection moves
+    (the wide vector columns are pruned before the exchange).  Stage 2
+    merges the ≤ k×P survivors per query in a tiny final window.  This
+    replaces the single window keyed on q_id alone, which funnels the
+    entire scored scan into #queries reducer tasks (a serialization
+    point at a 100 TB scan with a handful of queries).
+
+    Both stages order by (score desc, id asc), so the result is
+    identical to the one-window form at any partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    narrow = (
+        scored.select(q_id_col, id_col, score_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    order = [F.desc(score_col), F.asc(id_col)]
+    w_local = Window.partitionBy(q_id_col, "_pid").orderBy(*order)
+    survivors = (
+        narrow.withColumn("_local_rank", F.row_number().over(w_local))
+        .filter(F.col("_local_rank") <= k)
+    )
+    w_final = Window.partitionBy(q_id_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, score_col, "rank")
+    )
+
+
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """Exact top-k neighbors per query vector: (q_id, vec_id, cosine,
-    rank).  Queries are broadcast; ties break on vec_id for determinism."""
-    from pyspark.sql.window import Window
-
+    rank).  Queries are broadcast; scoring is a map-only stage; the
+    ranking is the two-stage :func:`topk_per_query` (no full-scan
+    exchange keyed on q_id).  Ties break on vec_id for determinism."""
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .withColumn("cosine",
                     F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 4))
     )
-    w = Window.partitionBy(q_id_col).orderBy(
-        F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col(q_id_col), F.col(id_col), "cosine", "rank")
-    )
+    return topk_per_query(scored, k, q_id_col, id_col)
 
 
-def hyperplane_bucket_col(vec: Column, n_planes: int = 12) -> Column:
+def hyperplane_bucket_col(vec: Column, n_planes: int = 12,
+                          plane_offset: int = 0) -> Column:
     """Deterministic LSH bucket id: sign pattern of `n_planes` pseudo-
     random hyperplanes, plane weights derived from xxhash64(plane, dim)
     mapped to [-0.5, 0.5) — reproducible across runs and cluster sizes
-    (no RNG state, no broadcast of plane matrices)."""
+    (no RNG state, no broadcast of plane matrices).  ``plane_offset``
+    shifts the plane index range so banded callers get independent
+    plane sets per band."""
     def plane_dot(p: Column) -> Column:
         return F.aggregate(
             F.zip_with(
@@ -75,7 +109,8 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 12) -> Column:
             F.lit(0.0), lambda acc, v: acc + v)
 
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.sequence(F.lit(plane_offset),
+                   F.lit(plane_offset + n_planes - 1)),
         lambda p: F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat_ws("", bits)
 
@@ -87,8 +122,6 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     """Approximate top-k: candidates share the query's hyperplane bucket;
     exact cosine re-rank within the bucket.  Recall < 1 by design — the
     brute-force `cosine_topk` is the correctness oracle."""
-    from pyspark.sql.window import Window
-
     e = emb.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col),
                                                        n_planes))
     q = queries.withColumn("bucket",
@@ -98,29 +131,48 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("cosine",
                     F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 4))
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col(q_id_col), F.col(id_col), "cosine", "rank")
-    )
+    return topk_per_query(scored, k, q_id_col, id_col)
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
-                             n_planes: int = 10, id_col: str = "vec_id",
+                             bands: int = 4, planes_per_band: int = 8,
+                             id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join +
-    exact verification (the embedding tier of the dedup suite)."""
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   hyperplane_bucket_col(F.col(vec_col), n_planes)
-                   .alias("bucket"))
-    a, b = e.alias("a"), e.alias("b")
+    """Embedding-cosine near-duplicate pairs via banded LSH self-join +
+    exact verification (the embedding tier of the dedup suite).
+
+    OR-amplification: each vector gets ``bands`` bucket keys (sign
+    pattern of ``planes_per_band`` hyperplanes, plane indices disjoint
+    per band); a candidate pair shares ≥ 1 (band, bucket); exact cosine
+    then verifies, so precision is 1 by construction and recall is
+    1-(1-p^r)^b for angular similarity p.  A pair of exactly-parallel
+    vectors (e.g. v and 2v: doubling is lossless in binary float, so
+    every plane dot scales by exactly 2 and no sign flips) is caught
+    with probability 1 — the property the oracle-checked planted-clone
+    query relies on.  One shuffle, keyed on (band, bucket); no all-pairs
+    join anywhere."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = e.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                hyperplane_bucket_col(
+                    F.col("v"), planes_per_band,
+                    plane_offset=band * planes_per_band).alias("bucket"))
+            for band in range(bands)])).alias("bb"),
+    ).select("id", "v", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine", F.round(cosine_col(F.col("a.v"),
-                                                 F.col("b.v")), 4))
-        .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                "cosine")
+                F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(cosine_col(F.col("v_a"),
+                                                 F.col("v_b")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -59,40 +59,28 @@ def load_exclude_list(text: str) -> tuple[str, ...]:
 
 # --- exclusion (F9): broadcast SURT-prefix anti-filter -------------------------
 
-_NATIVE_PREFIX_LIMIT = 64
-
 
 def excluded_column(surt_col: Column, prefixes: list[str]) -> Column:
-    """should_exclude (cdx_writer.py:786-794).  Small lists compile to a
-    codegen'd startswith-OR chain; large lists broadcast a per-length hash
-    set into a vectorized UDF (exact prefix match in O(#distinct lengths)
-    set probes per row — no per-prefix scan)."""
+    """should_exclude (cdx_writer.py:786-794), fully JVM-side at any
+    list size: prefixes are grouped by length and each group compiles to
+    ``substring(key, 1, len) IN (<group>)`` — Catalyst turns lists past
+    ``spark.sql.optimizer.inSetConversionThreshold`` (default 10) into a
+    codegen'd ``InSet`` hash probe, so a row costs O(#distinct lengths)
+    set lookups regardless of list size (real exclusion lists: a handful
+    of lengths, thousands of prefixes).  No Python anywhere
+    (tests/test_plans.py pins the 1000-prefix plan)."""
     if not prefixes:
         return F.lit(False)
-    if len(prefixes) <= _NATIVE_PREFIX_LIMIT:
-        cond = surt_col.startswith(prefixes[0])
-        for p in prefixes[1:]:
-            cond = cond | surt_col.startswith(p)
-        return cond
-
-    by_len: dict[int, frozenset[str]] = {}
+    by_len: dict[int, set[str]] = {}
     for p in prefixes:
-        by_len.setdefault(len(p), set()).add(p)  # type: ignore[arg-type]
-    by_len = {k: frozenset(v) for k, v in by_len.items()}
-    lengths = sorted(by_len)
-
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    # no type hints: string annotations from __future__.annotations
-    # can't resolve the locally-imported pd in pyspark's hint parser
-    @pandas_udf("boolean")
-    def _excl(keys):
-        return keys.map(
-            lambda k: False if k is None
-            else any(k[:ln] in by_len[ln] for ln in lengths))
-
-    return _excl(surt_col)
+        by_len.setdefault(len(p), set()).add(p)
+    cond = None
+    for ln in sorted(by_len):
+        c = F.substring(surt_col, 1, ln).isin(*sorted(by_len[ln]))
+        cond = c if cond is None else cond | c
+    # null surt (never admitted anyway) -> not excluded, matching the
+    # previous startswith-chain's null semantics under the admitted mask
+    return F.coalesce(cond, F.lit(False))
 
 
 # --- pipeline stages ------------------------------------------------------------

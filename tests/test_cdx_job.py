@@ -229,24 +229,38 @@ def test_sorted_sink_stats_single_count(spark, tmp_path):
     assert stats["num_records_included"] == n_lines
 
 
-def test_large_exclude_list_hashed_path(spark):
-    """Exclusion lists beyond the native startswith-OR limit use the
-    per-length hashed-set UDF (job.excluded_column); it must agree with
-    the native path."""
-    from cdx_writer_spark.job import _NATIVE_PREFIX_LIMIT, cdx_flagged
+def test_large_exclude_list_stays_native(spark):
+    """A 1000-prefix exclusion list compiles to per-length InSet probes
+    (job.excluded_column) — result identical to the small list, and the
+    physical plan contains no Python eval."""
+    from cdx_writer_spark.job import cdx_flagged
 
     rows = bulk_rows(400)
     pages = _pages_df(spark, rows)
     real = ("http://www.site0.com", "http://www.site1.org")
-    # pad with prefixes that match nothing to cross the native limit
+    # pad with prefixes that match nothing
     padding = tuple("http://nomatch%d.example.net" % i
-                    for i in range(_NATIVE_PREFIX_LIMIT + 10))
+                    for i in range(1000))
     small_cfg = CDXConfig(exclude_urls=real)
     big_cfg = CDXConfig(exclude_urls=real + padding)
-    assert len(big_cfg.exclude_surts()) > _NATIVE_PREFIX_LIMIT
+    assert len(big_cfg.exclude_surts()) > 1000
+    big_df = cdx_flagged(pages, big_cfg).filter("excluded")
+
+    def n_python_nodes(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(plan.count(m) for m in ("BatchEvalPython",
+                                           "ArrowEvalPython"))
+
+    # the pipeline's masked Arrow UDFs (http_split, sha1_b32, and the
+    # surt re-eval the excluded-filter itself induces) are the only
+    # Python in the plan — growing the list 2 -> 1002 prefixes adds none
+    baseline = n_python_nodes(
+        cdx_flagged(pages, small_cfg).filter("excluded"))
+    assert n_python_nodes(big_df) == baseline
+    # per-length hash-set probes: substring(key, 1, len) INSET (...)
+    assert "INSET" in big_df._jdf.queryExecution().executedPlan().toString()
     small = sorted(r.massaged_url for r in cdx_flagged(pages, small_cfg)
                    .filter("excluded").collect())
-    big = sorted(r.massaged_url for r in cdx_flagged(pages, big_cfg)
-                 .filter("excluded").collect())
+    big = sorted(r.massaged_url for r in big_df.collect())
     assert small == big
     assert len(big) > 0

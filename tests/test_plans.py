@@ -50,6 +50,34 @@ def test_similarity_topk_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan    # scan side never shuffles
 
 
+def test_cosine_topk_two_stage_no_qid_funnel(spark):
+    """The exact top-k must NOT funnel the full scored scan into one
+    exchange keyed on q_id alone (≤ #queries reducer tasks at scale).
+    Stage 1 exchanges on (q_id, spark_partition_id) — parallelism-
+    preserving — over the narrow (q_id, vec_id, cosine) projection;
+    the q_id-only exchange sees only WindowGroupLimit survivors."""
+    import re
+
+    from cdx_writer_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    plan = _plan(similarity.cosine_topk(emb, q, k=3))
+    # stage-1 exchange keyed on (q_id, _pid)
+    assert re.search(r"hashpartitioning\(q_id#\d+L?, _pid#\d+", plan)
+    # the final q_id-only exchange has a partial group-limit below it:
+    # only ≤ k rows per (q_id, map task) ever cross it
+    m = re.search(r"Exchange hashpartitioning\(q_id#\d+L?, \d+\)", plan)
+    assert m is not None
+    below_final_exchange = plan[m.end():]
+    assert "WindowGroupLimit" in below_final_exchange
+    # vectors are pruned before the exchanges: the shuffled projection
+    # is exactly the narrow (q_id, vec_id, cosine)
+    assert re.search(r"Project \[q_id#\d+L?, vec_id#\d+L?, cosine#\d+\]",
+                     plan)
+
+
 def test_textstats_stays_in_codegen(spark):
     from cdx_writer_spark.functions import textstats
 
