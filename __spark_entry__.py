@@ -336,9 +336,12 @@ def q_frontier_seen_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two checkpointed crawl rounds over the synthetic webgraph
-    (rows-only: stateful multi-round loop, not single-statement SQL);
-    returns the deterministic crawl order."""
+    """Two checkpointed crawl rounds over the synthetic webgraph;
+    returns the deterministic crawl order.  The schedule is a total
+    order, so the DuckDB oracle re-derives both rounds by unrolling
+    the loop in pure SQL (seeds -> robots -> outlinks -> seen-dedup ->
+    per-host ranked budget) — the engine's checkpoint/resume/Bloom
+    machinery shares no code with that recomputation."""
     import shutil
     import tempfile
 
@@ -664,6 +667,47 @@ def oracle_sql() -> dict[str, str]:
         "frontier_seen_split": (
             "SELECT 'com,example,site' || (doc_id % 37) || ')/p/' || "
             "doc_id AS surt_key FROM documents WHERE doc_id % 2 = 1"),
+        # Two crawl rounds unrolled in pure SQL: webgraph constants
+        # (2000 pages, 20 seeds, 37 hosts, outlink arithmetic, robots
+        # '/p/1' disallow on hosts %5, budget 2 on hosts %7 else 8)
+        # mirror frontier/webgraph.py textually — the engine's
+        # loop/seen/Bloom code shares nothing with this recomputation.
+        "frontier_crawl": (
+            "WITH seeds AS (SELECT range AS d FROM range(0, 20)), "
+            "r1_batch AS (SELECT d FROM seeds "
+            "WHERE NOT ((d % 37) % 5 = 0 "
+            "AND CAST(d AS VARCHAR) LIKE '1%')), "
+            "r1_links AS (SELECT DISTINCT l AS d FROM ("
+            "SELECT unnest([(d*7+1) % 2000, (d*13+5) % 2000, "
+            "((d*31+3) % 97) % 2000, (d+37) % 2000]) AS l "
+            "FROM r1_batch)), "
+            "r1_new AS (SELECT d FROM r1_links "
+            "WHERE d NOT IN (SELECT d FROM seeds)), "
+            "r2_allowed AS (SELECT d FROM r1_new "
+            "WHERE NOT ((d % 37) % 5 = 0 "
+            "AND CAST(d AS VARCHAR) LIKE '1%')), "
+            "r2_ranked AS (SELECT d, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY d % 37 "
+            "ORDER BY 'com,example,site' || (d % 37) || ')/p/' || d) "
+            "AS INTEGER) AS host_pos FROM r2_allowed), "
+            "r2_batch AS (SELECT d, host_pos FROM r2_ranked "
+            "WHERE host_pos <= CASE WHEN (d % 37) % 7 = 0 "
+            "THEN 2 ELSE 8 END), "
+            "sched AS ("
+            "SELECT CAST(1 AS INTEGER) AS round, "
+            "'site' || (d % 37) || '.example.com' AS host, "
+            "CAST(0 AS INTEGER) AS depth, "
+            "'com,example,site' || (d % 37) || ')/p/' || d AS surt_key, "
+            "'http://site' || (d % 37) || '.example.com/p/' || d AS url, "
+            "CAST(1 AS INTEGER) AS host_pos FROM r1_batch "
+            "UNION ALL "
+            "SELECT CAST(2 AS INTEGER), "
+            "'site' || (d % 37) || '.example.com', CAST(1 AS INTEGER), "
+            "'com,example,site' || (d % 37) || ')/p/' || d, "
+            "'http://site' || (d % 37) || '.example.com/p/' || d, "
+            "host_pos FROM r2_batch) "
+            "SELECT round, host, depth, surt_key, url, host_pos "
+            "FROM sched ORDER BY round, host, depth, surt_key"),
         "agg_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "round(SUM(l_quantity), 2) AS sum_qty, "

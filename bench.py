@@ -78,6 +78,14 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
         "similarity_topk": lambda: similarity.cosine_topk(
             emb, emb_q, k=10),
+        "embedding_near_dup": lambda: similarity.embedding_near_dup_pairs(
+            emb.unionByName(
+                emb.filter(F.col("vec_id") % 10 == 0).select(
+                    (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                    F.transform("embedding", lambda x: (x * 2)
+                                .cast("float")).alias("embedding"),
+                    "label")),
+            threshold=0.95),
         "agg_pricing": lambda: entrymod.q_agg_pricing(spark, sf_dir),
         "join_customer_orders": lambda: entrymod.q_join_customer_orders(
             spark, sf_dir),
@@ -103,13 +111,44 @@ def main() -> None:
         timings[name] = round(elapsed, 3)
         rows[name] = df.count()
 
+    # frontier crawl rounds — the north rule's scheduling path (URL-seen
+    # Bloom split, politeness, priority windows, checkpoint commit)
+    import shutil
+    import tempfile
+
+    from cdx_writer_spark.frontier import loop as frontier_loop
+    from cdx_writer_spark.frontier import webgraph
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_PAGES",
+                                 "1000000"))
+    n_hosts = max(37, n_pages // 50)
+    state = tempfile.mkdtemp(prefix="bench_frontier_")
+    shutil.rmtree(state, ignore_errors=True)
+    web = webgraph.pages(spark, n_pages, n_partitions=CPUS,
+                         n_hosts=n_hosts)
+    rules = webgraph.robots_rules(spark, n_hosts)
+    seeds = webgraph.seeds(spark, n_pages // 20, n_pages,
+                           n_hosts=n_hosts)
+    t0 = time.monotonic()
+    summaries = frontier_loop.run_crawl(
+        spark, web, state, 2, seeds=seeds, rules=rules,
+        cfg=frontier_loop.CrawlConfig(n_partitions=64))
+    elapsed = time.monotonic() - t0
+    timings["frontier_rounds"] = round(elapsed, 3)
+    rows["frontier_rounds"] = sum(s["scheduled"] for s in summaries)
+    shutil.rmtree(state, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     cdx_rate = (round(rows["cdx_full_sorted"] / timings["cdx_full_sorted"])
                 if timings.get("cdx_full_sorted") else None)
+    frontier_rate = (round(rows["frontier_rounds"]
+                           / timings["frontier_rounds"])
+                     if timings.get("frontier_rounds") else None)
     print(json.dumps({
         "metric": "headline query wall time (CDX full-format sorted lines "
                   f"amplify={AMPLIFY} + dedup/similarity/text/relational "
-                  f"suite) at local[{CPUS}]",
+                  f"suite + {n_pages}-page frontier crawl rounds) "
+                  f"at local[{CPUS}]",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -117,6 +156,7 @@ def main() -> None:
         "cpus": CPUS,
         "rows": rows,
         "cdx_rows_per_sec": cdx_rate,
+        "frontier_urls_per_sec": frontier_rate,
     }))
     spark.stop()
 

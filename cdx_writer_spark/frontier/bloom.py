@@ -7,7 +7,14 @@ partitioned Bloom/cuckoo filter.  Design choices here:
 * **Keys arrive pre-hashed.**  The two 64-bit hashes are computed
   JVM-side as ``xxhash64(surt_key)`` / ``xxhash64('b', surt_key)``
   columns, so the Python side never touches strings — just numpy
-  uint64 arithmetic (double hashing h1 + i*h2, Kirsch-Mitzenmacher).
+  arithmetic (double hashing h1 + i*h2, Kirsch-Mitzenmacher).
+* **Overflow-free position arithmetic** so probes can ALSO run as
+  native Catalyst expressions (seen.py's default probe path): h1 is
+  masked to 53 bits and h2 to 40 bits, so ``h1m + i*h2m`` stays below
+  2^54 for any realistic k — no mod-2^64 wraparound anywhere, hence
+  bit-identical between numpy and Spark's ANSI-checked long
+  arithmetic.  Entropy is ample: the filter index space (n_bits) is
+  orders of magnitude below 2^53.
 * **One blob per host-hash partition** (seen.py), sized for the
   partition's expected cardinality at a target false-positive rate:
   ``m = -n ln(p) / (ln 2)^2``, ``k = (m/n) ln 2``.
@@ -30,6 +37,11 @@ import struct
 import numpy as np
 
 _HEADER = struct.Struct("<QII")
+
+# Masks keeping double-hash arithmetic overflow-free (see module doc):
+# h1m < 2^53, h2m < 2^40, so h1m + i*h2m < 2^54 for k up to ~8000.
+H1_MASK = (1 << 53) - 1
+H2_MASK = (1 << 40) - 1
 
 
 class BloomFilter:
@@ -60,14 +72,20 @@ class BloomFilter:
         return cls(m, k)
 
     def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """k probe positions per key via double hashing; (len, k) array."""
-        h1u = h1.astype(np.uint64, copy=False)
-        h2u = h2.astype(np.uint64, copy=False)
+        """k probe positions per key via double hashing; (len, k) array.
+
+        MUST stay expression-for-expression identical to the native
+        probe in seen.py (`_native_probe_col`): masked inputs keep the
+        whole computation < 2^54, so int64 arithmetic is exact on both
+        sides and the Bloom no-false-negative guarantee survives the
+        engine boundary."""
+        h1m = (h1.astype(np.int64, copy=False)
+               & np.int64(H1_MASK))
         # force odd step so h2 never degenerates to a zero stride
-        h2u = h2u | np.uint64(1)
-        i = np.arange(self.k, dtype=np.uint64)[None, :]
-        return ((h1u[:, None] + i * h2u[:, None])
-                % np.uint64(self.n_bits)).astype(np.int64)
+        h2m = ((h2.astype(np.int64, copy=False) & np.int64(H2_MASK))
+               | np.int64(1))
+        i = np.arange(self.k, dtype=np.int64)[None, :]
+        return (h1m[:, None] + i * h2m[:, None]) % np.int64(self.n_bits)
 
     def add_many(self, h1: np.ndarray, h2: np.ndarray) -> None:
         if len(h1) == 0:
@@ -84,6 +102,17 @@ class BloomFilter:
         pos = self._positions(h1, h2)
         probed = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
         return probed.all(axis=1)
+
+    def to_longs(self) -> list[int]:
+        """The bit array as little-endian int64 words (zero-padded to a
+        multiple of 8 bytes) — the representation the native Catalyst
+        probe indexes with ``element_at`` + ``shiftright``: for any pos,
+        ``(words[pos >> 6] >> (pos & 63)) & 1`` equals the byte-level
+        ``(bits[pos >> 3] >> (pos & 7)) & 1``."""
+        pad = (-len(self.bits)) % 8
+        b = self.bits if pad == 0 else np.concatenate(
+            [self.bits, np.zeros(pad, dtype=np.uint8)])
+        return [int(w) for w in b.view("<i8")]
 
     # --- serialization ---------------------------------------------------
 

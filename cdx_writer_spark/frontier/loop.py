@@ -7,7 +7,14 @@ the read-back between rounds is the lineage barrier that makes every
 round resumable):
 
     state_dir/round=00042/
-        frontier/   pending ∪ fetched rows (FRONTIER_SCHEMA)
+        frontier/   LIVE PENDING rows only (FRONTIER_SCHEMA).  Fetched
+                    history is NOT rewritten here: it already lives in
+                    the append-only per-round scheduled/ logs (Iceberg
+                    flavor: one live table + immutable round snapshots).
+                    Rewriting cumulative fetched rows every round made
+                    checkpoint I/O grow with crawl age — the worst-
+                    scaling phase of the round (measured 1.6x from 2->8
+                    cores on one disk)
         seen/       append-only DELTA of the exact URL-seen table —
                     only this round's new (surt_key, pid); the
                     cumulative set is the union of all rounds
@@ -17,8 +24,9 @@ round resumable):
         metrics/    per-partition lineage: candidates in/out, filter
                     cardinality, plus round totals (partition_id = -1)
 
-Round pipeline (all DataFrame ops; the only Python is the Bloom probe
-inside seen.py's cogroups):
+Round pipeline (all DataFrame ops; with the default native probe the
+only Python left in a round is the Bloom FOLD cogroup in
+seen.update_filters — once per round over the new keys):
 
 1. pending frontier → robots filter (broadcast) → per-host top-k
    (priority window) = the **scheduled batch** (crawl order =
@@ -63,9 +71,12 @@ class CrawlConfig:
     # enough, and falls back to shuffle join (surt-bucketed co-location
     # at real scale) otherwise.
     broadcast_fetch: bool = False
-    # Bloom probe strategy (seen.flag_maybe_seen): broadcast while the
-    # total blob state fits an executor, cogroup at 10^10-key scale.
-    broadcast_probe: bool = True
+    # Bloom probe strategy (seen.flag_maybe_seen): 'native' (Catalyst
+    # expression over broadcast filter words — zero Python, the
+    # default), 'pandas' (broadcast blobs + vectorized UDF), 'cogroup'
+    # (per-pid shuffle, the 10^10-key path where filter state is too
+    # big to broadcast).
+    probe_strategy: str = "native"
 
 
 def _round_dir(state_dir: str, rnd: int) -> str:
@@ -112,6 +123,25 @@ def _commit(rnd_dir: str, frontier: DataFrame, seen: DataFrame,
     # metrics last: its _SUCCESS is the round's commit marker
     metrics.write.mode("overwrite").parquet(
         os.path.join(rnd_dir, "metrics"))
+
+
+def _observed_count(df: DataFrame, obs_name: str):
+    """Attach a count Observation to a frame about to be written.
+    Returns (observed_df, getter); the getter falls back to None when
+    the observation is unavailable (a zero-task action — empty input —
+    makes Observation.get raise)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(obs_name)
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def get():
+        try:
+            return int(obs.get["n"])
+        except Exception:
+            return None
+
+    return observed, get
 
 
 def init_state(spark: SparkSession, seeds: DataFrame, state_dir: str,
@@ -185,10 +215,14 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
              F.first("host_rank").alias("host_rank"))  # is deterministic
     )
 
-    # 4. URL-seen (Bloom prefilter + exact anti-join)
+    # 4. URL-seen (Bloom prefilter + exact anti-join); the blob
+    # broadcast (if any) is unpersisted after the commit — one leaked
+    # broadcast per round would accumulate across a long crawl
+    bloom_cleanup: list = []
     flagged = seenmod.flag_maybe_seen(
         discovered, filters, cfg.n_partitions,
-        broadcast_probe=cfg.broadcast_probe).persist()
+        strategy=cfg.probe_strategy,
+        cleanup=bloom_cleanup).persist()
     definitely_new = flagged.filter(~F.col("maybe_seen"))
     verified_new = (
         flagged.filter(F.col("maybe_seen"))
@@ -205,12 +239,10 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
         F.col("depth").cast("int").alias("depth"),
         F.lit(rnd).alias("discovered_round"),
         F.lit("pending").alias("state"))
+    # pending-only live table: this round's batch leaves the frontier
+    # (its rows are already committed to scheduled/), new URLs enter
     frontier_next = (
-        frontier.join(batch.select("surt_key"), "surt_key", "left_anti")
-        .unionByName(
-            batch.select(
-                "surt_key", "url", "host", "host_rank", "depth",
-                "discovered_round", F.lit("fetched").alias("state")))
+        pending.join(batch.select("surt_key"), "surt_key", "left_anti")
         .unionByName(new_frontier_rows)
     )
     new_keyed = seenmod.with_hash_cols(
@@ -224,45 +256,71 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
     # per-partition lineage — derived from the PERSISTED flagged frame
     # (flagged ≡ discovered + maybe_seen), never from the discover DAG:
     # recomputing that lineage would re-run the fetch join + outlink
-    # explode once more per metric
+    # explode once more per metric.  candidates_in + maybe_seen come
+    # from ONE aggregation pass (not two frames full-joined), and the
+    # filter_items column joins the COMMITTED filters parquet, not the
+    # filters_next DAG — referencing filters_next here re-executed the
+    # Bloom cogroup fold a second time every round (measured as the
+    # largest per-round fixed cost after the checkpoint writes).
+    rnd_dir = _round_dir(state_dir, rnd)
     flagged_keyed = seenmod.with_hash_cols(flagged, cfg.n_partitions)
-    cand_by_pid = (
-        flagged_keyed
-        .groupBy("pid").agg(F.count(F.lit(1)).alias("candidates_in")))
-    maybe_by_pid = (
-        flagged_keyed.filter(F.col("maybe_seen"))
-        .groupBy("pid").agg(F.count(F.lit(1)).alias("maybe_seen")))
+    cand_by_pid = flagged_keyed.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("candidates_in"),
+        F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0))
+        .alias("maybe_seen"))
     new_by_pid = (new_keyed.groupBy("pid")
                   .agg(F.count(F.lit(1)).alias("new_keys")))
-    metrics = (
-        cand_by_pid
-        .join(maybe_by_pid, "pid", "full")
-        .join(new_by_pid, "pid", "full")
-        .join(filters_next.select(
-            F.col("partition_id").alias("pid"),
-            F.col("n_items").alias("filter_items")), "pid", "full")
-        .select(
-            F.lit(rnd).alias("round"),
-            F.col("pid").alias("partition_id"),
-            F.coalesce("candidates_in", F.lit(0)).alias("candidates_in"),
-            F.coalesce("maybe_seen", F.lit(0)).alias("maybe_seen"),
-            F.coalesce("new_keys", F.lit(0)).alias("new_keys"),
-            F.coalesce("filter_items", F.lit(0)).alias("filter_items"))
-    )
 
-    _commit(_round_dir(state_dir, rnd), frontier_next, seen_delta,
-            filters_next, scheduled, metrics)
-    # summary counts from the COMMITTED outputs: parquet footer metadata
-    # only, no recompute jobs (batch/new counts would be 2 extra jobs)
-    rnd_dir = _round_dir(state_dir, rnd)
-    n_scheduled = spark.read.parquet(
-        os.path.join(rnd_dir, "scheduled")).count()
-    n_new = int(
-        spark.read.parquet(os.path.join(rnd_dir, "metrics"))
-        .agg(F.sum("new_keys")).collect()[0][0] or 0)
+    def metrics_from(filters_committed: DataFrame) -> DataFrame:
+        return (
+            cand_by_pid
+            .join(new_by_pid, "pid", "full")
+            .join(filters_committed.select(
+                F.col("partition_id").alias("pid"),
+                F.col("n_items").alias("filter_items")), "pid", "full")
+            .select(
+                F.lit(rnd).alias("round"),
+                F.col("pid").alias("partition_id"),
+                F.coalesce("candidates_in", F.lit(0))
+                .alias("candidates_in"),
+                F.coalesce("maybe_seen", F.lit(0)).alias("maybe_seen"),
+                F.coalesce("new_keys", F.lit(0)).alias("new_keys"),
+                F.coalesce("filter_items", F.lit(0))
+                .alias("filter_items"))
+        )
+
+    # summary counters ride the commit writes as Observations — no
+    # post-commit read-back jobs
+    scheduled_obs, get_scheduled = _observed_count(
+        scheduled, f"scheduled_{rnd}")
+    seen_obs, get_new = _observed_count(seen_delta, f"seen_{rnd}")
+
+    frontier_next.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "frontier"))
+    seen_obs.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "seen"))
+    filters_next.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "filters"))
+    scheduled_obs.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "scheduled"))
+    # metrics last: its _SUCCESS is the round's commit marker
+    metrics_from(
+        spark.read.parquet(os.path.join(rnd_dir, "filters"))
+    ).write.mode("overwrite").parquet(os.path.join(rnd_dir, "metrics"))
+
+    n_scheduled = get_scheduled()
+    n_new = get_new()
+    if n_scheduled is None:   # empty-input action: observation absent
+        n_scheduled = spark.read.parquet(
+            os.path.join(rnd_dir, "scheduled")).count()
+    if n_new is None:
+        n_new = spark.read.parquet(
+            os.path.join(rnd_dir, "seen")).count()
     batch.unpersist()
     flagged.unpersist()
     new.unpersist()
+    for b in bloom_cleanup:
+        b.unpersist()
     return {"round": rnd, "scheduled": n_scheduled, "new_urls": n_new}
 
 

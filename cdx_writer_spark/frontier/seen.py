@@ -9,8 +9,11 @@ maintains a :class:`~.bloom.BloomFilter` blob checkpointed alongside.
 Probe flow for a batch of discovered candidates:
 
 1. JVM-side: compute ``(pid, h1, h2)`` columns (xxhash64 — no Python).
-2. ``flag_maybe_seen`` cogroups candidates with the filter blobs per
-   pid (``applyInPandas``: numpy probe, one blob per group) → boolean
+2. ``flag_maybe_seen`` flags each candidate — by default with a
+   PURE-CATALYST probe (broadcast the filters' int64 word arrays,
+   ``element_at`` + ``shiftright`` bit tests; no Python, no shuffle),
+   falling back to a pandas-UDF blob probe or a per-pid cogroup at
+   filter-state sizes past the broadcast budget → boolean
    ``maybe_seen``.  Definitely-new rows (the vast majority in a
    growing crawl) **skip the anti-join shuffle entirely**.
 3. Only the maybe-seen minority anti-joins the exact seen table
@@ -40,7 +43,50 @@ DEFAULT_FPR = 0.01
 _CAND_COLS = ["surt_key", "url", "host", "host_rank", "depth"]
 _FLAG_SCHEMA = ("surt_key string, url string, host string, "
                 "host_rank double, depth int, maybe_seen boolean")
-_FILTER_SCHEMA = "partition_id int, filter_blob binary, n_items long"
+# filter_blob is the canonical serialized filter (Python paths);
+# bits_longs/n_bits/k expose the same bit array to the native Catalyst
+# probe (element_at + shiftright — zero Python in the probe stage)
+_FILTER_SCHEMA = ("partition_id int, filter_blob binary, n_items long, "
+                  "bits_longs array<bigint>, n_bits long, k int")
+
+
+def _native_probe_col(h1, h2, bits_longs, n_bits, k,
+                      static_k: int | None = None):
+    """The Bloom probe as a pure Catalyst expression — MUST mirror
+    BloomFilter._positions exactly (masked double hashing keeps every
+    intermediate < 2^54, so ANSI long arithmetic never overflows and
+    matches numpy bit-for-bit).  Word indexing mirrors to_longs():
+    little-endian int64 view of the byte array.
+
+    With ``static_k`` (all partition filters share one k — always true
+    under uniform sizing) the k bit tests UNROLL into a flat AND chain:
+    no per-row sequence/transform/forall array allocations, the whole
+    probe stays inside whole-stage codegen.  Without it, a
+    higher-order-function fallback handles per-row k."""
+    from .bloom import H1_MASK, H2_MASK
+
+    h1m = h1.bitwiseAND(F.lit(H1_MASK))
+    h2m = h2.bitwiseAND(F.lit(H2_MASK)).bitwiseOR(F.lit(1))
+
+    def bit(i):
+        pos = F.pmod(h1m + i.cast("long") * h2m, n_bits)
+        word = F.element_at(bits_longs,
+                            (pos / 64).cast("int") + F.lit(1))
+        # call_function: shiftright with a COLUMN shift amount (the
+        # python helper F.shiftright only takes a literal); arithmetic
+        # sign extension is harmless under the & 1
+        shifted = F.call_function(
+            "shiftright", word, F.pmod(pos, F.lit(64)).cast("int"))
+        return shifted.bitwiseAND(F.lit(1)) == 1
+
+    if static_k is not None:
+        cond = bit(F.lit(0))
+        for j in range(1, static_k):
+            cond = cond & bit(F.lit(j))
+        return cond
+    return F.forall(
+        F.transform(F.sequence(F.lit(0), k - F.lit(1)), bit),
+        lambda b: b)
 
 
 def with_hash_cols(df: DataFrame, n_partitions: int = DEFAULT_PARTITIONS,
@@ -56,31 +102,70 @@ def with_hash_cols(df: DataFrame, n_partitions: int = DEFAULT_PARTITIONS,
 def empty_filters(spark, n_partitions: int = DEFAULT_PARTITIONS,
                   capacity: int = DEFAULT_CAPACITY,
                   fpr: float = DEFAULT_FPR) -> DataFrame:
-    blob = BloomFilter.sized_for(capacity, fpr).to_bytes()
-    rows = [(i, bytearray(blob), 0) for i in range(n_partitions)]
+    bf = BloomFilter.sized_for(capacity, fpr)
+    rows = [(i, bytearray(bf.to_bytes()), 0, bf.to_longs(), bf.n_bits,
+             bf.k) for i in range(n_partitions)]
     return spark.createDataFrame(rows, _FILTER_SCHEMA)
 
 
 def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
                     n_partitions: int = DEFAULT_PARTITIONS,
-                    broadcast_probe: bool = True) -> DataFrame:
+                    broadcast_probe: bool | None = None,
+                    cleanup: list | None = None,
+                    strategy: str = "native") -> DataFrame:
     """Candidates + ``maybe_seen`` flag from the per-partition Bloom
     probe.  Input needs _CAND_COLS; hashes are computed here.
 
-    Two physical strategies, same semantics:
+    Three physical strategies, same semantics (tested equal):
 
-    * ``broadcast_probe=True`` (default): collect the blobs (bounded:
-      P × blob size, ~20 MB at sandbox settings) and probe inside a
-      pandas UDF over the candidates' NATURAL partitioning — zero
-      shuffle.  Right whenever total filter state fits an executor
-      (≤ ~1 GB).
-    * ``broadcast_probe=False``: cogroup candidates with blobs per
-      pid — two hash shuffles, but each task holds exactly one blob.
-      The 10^10-key path (4096 × ~2.9 MB blobs ≈ 12 GB total state).
+    * ``strategy='native'`` (default): broadcast-join the tiny filters
+      table (pid → bits_longs words) onto the candidates and evaluate
+      the probe as a pure Catalyst expression — zero shuffle of the
+      candidates, ZERO Python (the probe was the crawl round's main
+      pandas stage; Arrow serde + Python workers burn ~2 cores per
+      task slot).  Right while total filter state fits the broadcast
+      budget.
+    * ``strategy='pandas'`` (``broadcast_probe=True``): collect the
+      blobs (bounded: P × blob size) and probe inside a pandas UDF
+      over the candidates' natural partitioning — zero shuffle.
+    * ``strategy='cogroup'`` (``broadcast_probe=False``): cogroup
+      candidates with blobs per pid — two hash shuffles, but each task
+      holds exactly one blob.  The 10^10-key path (4096 × ~2.9 MB
+      blobs ≈ 12 GB total filter state, too big to broadcast).
+
+    ``broadcast_probe`` (bool) is the legacy selector for the two
+    Python paths and overrides ``strategy`` when given.
+
+    ``cleanup``: with the pandas strategy, the Broadcast handle is
+    appended here so the caller can ``.unpersist()`` it once the
+    round's actions complete — otherwise a long resumable crawl
+    accumulates one blob broadcast per round in driver + executor
+    memory.
     """
+    if broadcast_probe is not None:
+        strategy = "pandas" if broadcast_probe else "cogroup"
     cand = with_hash_cols(candidates.select(*_CAND_COLS), n_partitions)
 
-    if broadcast_probe:
+    if strategy == "native":
+        flt = F.broadcast(filters.select(
+            F.col("partition_id").alias("pid"), "bits_longs", "n_bits",
+            "k"))
+        # one tiny driver peek at the (uniformly sized) filters: a
+        # shared k lets the probe unroll into a flat codegen AND chain
+        krow = filters.agg(F.min("k").alias("lo"),
+                           F.max("k").alias("hi")).first()
+        static_k = int(krow["lo"]) if (
+            krow["lo"] is not None and krow["lo"] == krow["hi"]) else None
+        joined = cand.join(flt, "pid", "left")
+        probe = F.when(
+            F.col("bits_longs").isNull(), F.lit(False)
+        ).otherwise(_native_probe_col(
+            F.col("h1"), F.col("h2"), F.col("bits_longs"),
+            F.col("n_bits"), F.col("k"), static_k=static_k))
+        return joined.withColumn("maybe_seen", probe) \
+            .select(*_CAND_COLS, "maybe_seen")
+
+    if strategy == "pandas":
         import numpy as np
         from pyspark.sql.functions import pandas_udf
 
@@ -88,6 +173,8 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
                  for r in filters.collect()}
         sc = candidates.sparkSession.sparkContext
         b_blobs = sc.broadcast(blobs)
+        if cleanup is not None:
+            cleanup.append(b_blobs)
 
         @pandas_udf("boolean")
         def probe_udf(pid: pd.Series, h1: pd.Series,
@@ -131,11 +218,12 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
 
 def split_new(candidates: DataFrame, filters: DataFrame, seen: DataFrame,
               n_partitions: int = DEFAULT_PARTITIONS,
-              broadcast_probe: bool = True) -> DataFrame:
+              broadcast_probe: bool | None = None,
+              strategy: str = "native") -> DataFrame:
     """Exactly-new candidates: Bloom-definite-new ∪ (Bloom-maybe-seen
     ⟕̸ exact seen table).  ``seen`` has column ``surt_key``."""
     flagged = flag_maybe_seen(candidates, filters, n_partitions,
-                              broadcast_probe)
+                              broadcast_probe, strategy=strategy)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     verified_new = (
         flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -166,6 +254,9 @@ def update_filters(new_keys: DataFrame, filters: DataFrame,
             "partition_id": [pid],
             "filter_blob": [bf.to_bytes()],
             "n_items": [bf.n_items],
+            "bits_longs": [bf.to_longs()],
+            "n_bits": [bf.n_bits],
+            "k": [bf.k],
         })
 
     return (

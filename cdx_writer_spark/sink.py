@@ -84,6 +84,57 @@ def write_per_file_cdx(pages: DataFrame, out_dir: str,
     return _finish_stats(obs, flagged, stats_file)
 
 
+def write_single_cdx(pages: DataFrame, out_file: str,
+                     cfg: CDXConfig | None = None,
+                     stats_file: str | None = None,
+                     sort: bool = True) -> dict:
+    """The reference's single-file/stdout convenience
+    (cdx_writer.py:800-814): ONE local CDX file, header first, then the
+    lines (bytewise-sorted by default, file order with ``sort=False``).
+
+    Driver-side concat of the distributed parts — intended for
+    single-archive / small-corpus runs where the reference's exact
+    output shape is wanted; at real scale use the part-file sinks
+    above (one logical CDX is their concatenation)."""
+    import glob
+    import shutil
+    import tempfile
+
+    cfg = cfg or CDXConfig()
+    tmp = tempfile.mkdtemp(prefix="cdx_single_")
+    try:
+        if sort:
+            stats = write_sorted_cdx(pages, tmp, cfg)
+            parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        else:
+            from pyspark import StorageLevel
+
+            lines, obs, flagged = _lines_with_observation(pages, cfg)
+            # persist before orderBy: the range sampler re-executes the
+            # child plan, which would double-fire the observation
+            cached = lines.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                (cached.orderBy("warc_file", "offset").select("cdx_line")
+                 .write.mode("overwrite").text(tmp))
+                stats = _finish_stats(obs, flagged, None)
+            finally:
+                cached.unpersist()
+            parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        with open(out_file, "wb") as out:
+            out.write((cdx_header(cfg) + "\n").encode("latin1"))
+            for p in parts:
+                with open(p, "rb") as f:
+                    shutil.copyfileobj(f, out)
+        if stats_file is not None:
+            if os.path.exists(stats_file):
+                raise IOError("Stats file already exists")
+            with open(stats_file, "w") as f:
+                json.dump(stats, f, indent=4)
+        return stats
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _finish_stats(obs: Observation, flagged: DataFrame,
                   stats_file: str | None) -> dict:
     try:

@@ -47,7 +47,13 @@ _RE_HEADER_SPLIT = re.compile(rb"\r?\n\r?\n", re.S)
 
 def split_gzip_members(data: bytes):
     """Yield (offset, compressed_size, decompressed_bytes) per gzip
-    member; empty members are yielded with empty payload."""
+    member; empty members are yielded with empty payload.  A corrupt
+    member yields a final ``(offset, remaining_bytes, None)`` marker —
+    payload None — so callers can distinguish a truncated/corrupt
+    archive from a short one (the reference raises ParseError on
+    warctools stream errors, cdx_writer.py:826-827; silent truncation
+    would make a corrupt archive indistinguishable from a complete
+    index)."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -55,10 +61,12 @@ def split_gzip_members(data: bytes):
         try:
             out = d.decompress(data[pos:])
         except zlib.error:
-            break
+            yield pos, n - pos, None
+            return
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
-            break
+            yield pos, n - pos, None
+            return
         yield pos, consumed, out
         pos += consumed
 
@@ -69,9 +77,12 @@ def parse_warc_members(data: bytes):
     pos = 0
     n = len(data)
     while pos < n:
-        # skip inter-record blank lines
-        while pos < n and data[pos:pos + 2] in (b"\r\n", b"\n"):
-            pos += 2 if data[pos:pos + 2] == b"\r\n" else 1
+        # skip inter-record newlines byte-wise: the reference's
+        # crlf_pattern tolerates \r?\n, so lone-LF-delimited WARCs must
+        # not stall (a 2-byte slice test can never match a lone LF
+        # except at the final byte)
+        while pos < n and data[pos] in (0x0A, 0x0D):
+            pos += 1
         if pos >= n or not _RE_VERSION.match(data[pos:pos + 16]):
             break
         m = _RE_HEADER_SPLIT.search(data, pos)
@@ -305,10 +316,28 @@ def _spill_oversized(row: dict) -> dict:
 
 def archive_to_rows(path: str, data: bytes) -> Iterator[dict]:
     """All records of one archive (gzip + WARC/ARC auto-detected) as
-    row dicts."""
+    row dicts.
+
+    A gzip member usually holds ONE record (record-per-member archives,
+    where the member boundaries give exact V/S fields), but
+    single-stream ``.warc.gz``/``.arc.gz`` files put the whole archive
+    in one member — warctools' open_archive(gzip='auto') still reads
+    those record-by-record (cdx_writer.py:823-828), so each member is
+    re-split and EVERY contained record is emitted; for multi-record
+    members the V/S fields fall back to the member's offset/size (the
+    compressed stream has no per-record byte boundaries to report).
+
+    A corrupt gzip member raises (reference parity: ParseError on
+    warctools stream errors) rather than silently truncating the index.
+    """
     name = os.path.basename(path)
     if data[:2] == b"\x1f\x8b":
         members = list(split_gzip_members(data))
+        if members and members[-1][2] is None:
+            off, remaining, _ = members[-1]
+            raise ValueError(
+                f"corrupt gzip member in {name} at byte {off} "
+                f"({remaining} bytes undecodable)")
     elif _RE_VERSION.match(data[:16]):
         members = list(parse_warc_members(data))
     else:
@@ -319,16 +348,27 @@ def archive_to_rows(path: str, data: bytes) -> Iterator[dict]:
     is_arc = first[2].startswith(b"filedesc://") or (
         not _RE_VERSION.match(first[2][:16]))
     parse = parse_arc_record if is_arc else parse_warc_record
+    split = parse_arc_members if is_arc else parse_warc_members
     for offset, size, raw in members:
         if raw == b"":
             continue  # tolerated empty gzip member
-        row = parse(raw)
-        if row is None:
-            continue
-        row["offset"] = offset
-        row["compressed_size"] = size
-        row["warc_file"] = name
-        yield _spill_oversized(row)
+        # single-stream member: more records after the first one
+        recs = list(split(raw))
+        if len(recs) > 1:
+            raws = [rb for _, _, rb in recs]
+        else:
+            # keep the whole member for the 1-record case: parse()
+            # already handles trailing separators, and this preserves
+            # the fixture-verified byte behavior exactly
+            raws = [raw]
+        for rb in raws:
+            row = parse(rb)
+            if row is None:
+                continue
+            row["offset"] = offset
+            row["compressed_size"] = size
+            row["warc_file"] = name
+            yield _spill_oversized(row)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

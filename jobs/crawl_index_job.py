@@ -40,6 +40,12 @@ def main() -> None:
                    help="emit sorted CDX for the crawled synthetic pages")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument("--probe", default="native",
+                   choices=["native", "pandas", "cogroup"],
+                   help="URL-seen Bloom probe strategy: native Catalyst "
+                        "expression (default), pandas broadcast blobs, "
+                        "or per-partition cogroup (filter state too "
+                        "large to broadcast)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -66,7 +72,8 @@ def main() -> None:
     seeds = webgraph.seeds(spark, args.seeds, n_pages)
 
     summaries = loop.run_crawl(
-        spark, web, args.state_dir, args.rounds, seeds=seeds)
+        spark, web, args.state_dir, args.rounds, seeds=seeds,
+        cfg=loop.CrawlConfig(probe_strategy=args.probe))
     for s in summaries:
         print(json.dumps(s))
 

@@ -85,7 +85,14 @@ cdx_rows = lines.count()
 # 2. crawl scheduling throughput + order digest.  n_partitions=64 keeps
 # the seen-set cogroup wider than the highest core count under test;
 # big seed set so per-round compute dominates fixed commit latency.
-state = f"/tmp/scaling_crawl_{cpus}"
+# Checkpoints go to tmpfs when available: a single local disk is a
+# box artifact (both parallelism levels funnel into one device's
+# bandwidth), whereas the production target is distributed storage
+# whose aggregate bandwidth scales with executors.
+state_base = os.environ.get(
+    "SPARK_GRAFT_STATE_BASE",
+    "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+state = f"{state_base}/scaling_crawl_{cpus}"
 shutil.rmtree(state, ignore_errors=True)
 cfg = loop.CrawlConfig(n_partitions=64)
 n_hosts = max(37, n_pages // 50)   # enough hosts that per-host
@@ -104,6 +111,7 @@ scheduled = len(order)
 digest = hashlib.sha256(
     "\n".join(f"{r.round} {r.host} {r.depth} {r.surt_key}" for r in order)
     .encode()).hexdigest()
+shutil.rmtree(state, ignore_errors=True)  # tmpfs state is RAM — free it
 print(json.dumps({
     "cpus": cpus,
     "cdx_rows": cdx_rows, "cdx_sec": round(cdx_sec, 2),
@@ -179,15 +187,19 @@ Measurement notes (all measured on this box, see scripts/ history):
   (JVM Arrow serde + Python worker), so at local[32] the 4x-thread
   step is physically capped near 2x — a single-box artifact that a
   real N-vs-4N-executor cluster does not have.
-- The crawl loop carries a per-round fixed cost (~10 Spark jobs of
-  driver/AQE latency + checkpoint commit I/O) that is independent of
-  round volume; at sandbox round sizes (<= ~1M URLs) it dominates the
-  high-parallelism level (rounds measured FLAT ~29s at 8 cores across
-  0.4M-1.1M scheduled/round).  Per-phase measurements: web-table scan
-  3.0x, Bloom probe+dedup 2.3x, checkpoint writes ~1.6x from 2->8
-  cores.  At production round sizes (10^8 URLs/round on 1000
-  executors) the fixed component vanishes into the data-proportional
-  phases.
+- Round-2 crawl-loop changes that moved the efficiency 0.68 -> ~0.98
+  at this operating point (crawl order SHA unchanged by all of them):
+  frontier checkpoint holds only LIVE PENDING rows (fetched history
+  already lives in the append-only scheduled/ logs — rewriting it
+  grew checkpoint I/O with crawl age), round metrics join the
+  COMMITTED filters parquet instead of re-executing the Bloom cogroup
+  fold a second time, candidates/maybe-seen fused into one
+  aggregation, summary counters ride the commit writes as
+  Observations (no post-commit read-back jobs), the per-round blob
+  broadcast is unpersisted, and checkpoints go to tmpfs — a single
+  local disk bottlenecks BOTH parallelism levels on one device's
+  bandwidth, an artifact the production target (distributed storage
+  scaling with executors) does not have.
 - CDX per-record projection (the north-star per-record path) measured
   0.75-0.86 efficiency once input generation was spread
   (broadcast-amplify), the warc_file key count raised to 512 (64 keys

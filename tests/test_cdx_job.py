@@ -264,3 +264,37 @@ def test_large_exclude_list_stays_native(spark):
     big = sorted(r.massaged_url for r in big_df.collect())
     assert small == big
     assert len(big) > 0
+
+
+def test_write_single_cdx_matches_reference_shape(spark, tmp_path):
+    """write_single_cdx produces ONE file: header line first, then the
+    lines — bytewise-sorted by default, (warc_file, offset) order with
+    sort=False — matching the reference's stdout mode
+    (cdx_writer.py:800-814)."""
+    from cdx_writer_spark.job import cdx_header, cdx_lines
+    from cdx_writer_spark.sink import write_single_cdx
+
+    rows = bulk_rows(300)
+    pages = _pages_df(spark, rows)
+    cfg = CDXConfig()
+
+    out = str(tmp_path / "single.cdx")
+    stats = write_single_cdx(pages, out, cfg,
+                             stats_file=str(tmp_path / "s.json"))
+    body = open(out, "rb").read().decode("latin1").rstrip("\n")
+    lines = body.split("\n")
+    assert lines[0] == cdx_header(cfg)
+    expected = [r.cdx_line for r in cdx_lines(pages, cfg, sort=True)
+                .collect()]
+    assert lines[1:] == expected
+    assert lines[1:] == sorted(lines[1:])
+    assert stats["num_records_included"] == len(expected)
+    import json as _json
+    assert _json.load(open(tmp_path / "s.json")) == stats
+
+    out2 = str(tmp_path / "fileorder.cdx")
+    write_single_cdx(pages, out2, cfg, sort=False)
+    lines2 = open(out2, "rb").read().decode("latin1").rstrip("\n")
+    expected2 = [r.cdx_line for r in cdx_lines(pages, cfg, sort=False)
+                 .collect()]
+    assert lines2.split("\n")[1:] == expected2

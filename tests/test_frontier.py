@@ -177,7 +177,9 @@ def test_salted_selection_matches_unsalted(spark):
 
 
 def test_probe_modes_agree(spark):
-    """Broadcast-probe and cogroup-probe must flag identically."""
+    """Native-Catalyst, pandas-broadcast and cogroup probes must flag
+    identically (the native path replicates BloomFilter._positions
+    expression-for-expression)."""
     cand = webgraph.pages(spark, 300).select(
         "surt_key", "url", "host", "host_rank").withColumn(
         "depth", F.lit(1))
@@ -187,4 +189,57 @@ def test_probe_modes_agree(spark):
         cand, filters, broadcast_probe=True).collect())
     b = sorted((r.surt_key, r.maybe_seen) for r in seenmod.flag_maybe_seen(
         cand, filters, broadcast_probe=False).collect())
-    assert a == b
+    n = sorted((r.surt_key, r.maybe_seen) for r in seenmod.flag_maybe_seen(
+        cand, filters, strategy="native").collect())
+    assert a == b == n
+    # the filter actually flags the added half (probe is non-vacuous)
+    added = {r.surt_key for r in half.collect()}
+    flagged_true = {k for k, m in n if m}
+    assert added <= flagged_true  # Bloom: no false negatives
+
+
+def test_native_probe_has_no_python_and_no_shuffle(spark):
+    """The default probe stage must be pure Catalyst: no
+    Batch/ArrowEvalPython, no exchange of the candidates (only the
+    tiny filters broadcast)."""
+    cand = webgraph.pages(spark, 200).select(
+        "surt_key", "url", "host", "host_rank").withColumn(
+        "depth", F.lit(1))
+    filters = seenmod.update_filters(
+        cand.limit(50), seenmod.empty_filters(spark))
+    flagged = seenmod.flag_maybe_seen(cand, filters, strategy="native")
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    probe_region = plan.split("BroadcastHashJoin")[0]
+    assert "ArrowEvalPython" not in probe_region
+    assert "BatchEvalPython" not in probe_region
+    assert "Exchange hashpartitioning" not in probe_region
+    assert "BroadcastHashJoin" in plan
+
+
+def test_native_probe_bit_arithmetic_matches_numpy(spark):
+    """Property check on the masked double-hash arithmetic: for a
+    filter with many keys, native probe booleans equal
+    BloomFilter.contains_many on the same (h1, h2) columns."""
+    import numpy as np
+
+    from cdx_writer_spark.frontier.bloom import BloomFilter
+
+    keys = webgraph.pages(spark, 2000).select("surt_key")
+    hashed = seenmod.with_hash_cols(keys).select(
+        "surt_key", "h1", "h2").collect()
+    h1 = np.array([r.h1 for r in hashed], dtype=np.int64)
+    h2 = np.array([r.h2 for r in hashed], dtype=np.int64)
+    bf = BloomFilter.sized_for(500, 0.01)
+    bf.add_many(h1[:500], h2[:500])
+    expected = dict(zip((r.surt_key for r in hashed),
+                        bf.contains_many(h1, h2)))
+
+    one_filter = spark.createDataFrame(
+        [(0, bytearray(bf.to_bytes()), bf.n_items, bf.to_longs(),
+          bf.n_bits, bf.k)], seenmod._FILTER_SCHEMA)
+    cand = keys.select(
+        "surt_key", F.lit("u").alias("url"), F.lit("h").alias("host"),
+        F.lit(1.0).alias("host_rank"), F.lit(1).alias("depth"))
+    got = {r.surt_key: r.maybe_seen for r in seenmod.flag_maybe_seen(
+        cand, one_filter, n_partitions=1, strategy="native").collect()}
+    assert got == {k: bool(v) for k, v in expected.items()}

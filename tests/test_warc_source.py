@@ -149,3 +149,52 @@ def test_reference_arc_fixture_parity(spark, tmp_path):
     got_default = [r.cdx_line for r in cdx_lines(
         pages, CDXConfig(), sort=False).collect()]
     assert got_default == expected[1:]
+
+
+def test_single_stream_gzip_emits_all_records(tmp_path):
+    """A .warc.gz whose ONE gzip member contains the whole archive
+    (single-stream gzip, which warctools reads record-by-record) must
+    emit every record, not just the first; V/S fall back to the
+    member's offset/size."""
+    data = gzip.compress(b"".join(RECORDS))
+    rows = list(warc_source.archive_to_rows("single.warc.gz", data))
+    assert len(rows) == len(RECORDS)
+    assert [r["record_type"] for r in rows] == [
+        "warcinfo", "response", "response", "request", "revisit"]
+    # member-level fallback: all records share the member's offset
+    assert {r["offset"] for r in rows} == {0}
+    urls = [r["url"] for r in rows]
+    assert urls[1] == "http://www.example.com/a"
+    assert urls[2] == "http://www.example.com/b"
+
+
+def test_lone_lf_delimited_warc_parses_all_records(tmp_path):
+    """Uncompressed WARCs with LF-only record separators (the
+    reference's crlf_pattern tolerates \\r?\\n) must not truncate after
+    the first record."""
+    def lf_record(rtype: str, url: str, body: bytes) -> bytes:
+        head = ["WARC/1.0", f"WARC-Type: {rtype}",
+                f"WARC-Target-URI: {url}",
+                "WARC-Date: 2011-02-18T23:32:56Z",
+                f"Content-Length: {len(body)}"]
+        return ("\n".join(head) + "\n\n").encode("latin1") + body + b"\n\n"
+
+    recs = [lf_record("response", f"http://www.example.com/{i}",
+                      _http(b"<html>%d</html>" % i)) for i in range(4)]
+    rows = list(warc_source.archive_to_rows("lf.warc", b"".join(recs)))
+    assert [r["url"] for r in rows] == [
+        f"http://www.example.com/{i}" for i in range(4)]
+
+
+def test_corrupt_gzip_member_raises(tmp_path):
+    """Trailing undecodable bytes after valid members raise (reference
+    parity: ParseError on stream errors) instead of silently truncating
+    the index."""
+    import pytest
+
+    good = gzip.compress(RECORDS[0])
+    data = good + b"\x1f\x8bGARBAGE-NOT-A-MEMBER"
+    members = list(warc_source.split_gzip_members(data))
+    assert members[-1][2] is None  # corruption marker
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        list(warc_source.archive_to_rows("bad.warc.gz", data))
