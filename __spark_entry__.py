@@ -243,6 +243,18 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb, queries, k=5)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k with the deterministic modulo codebook
+    (centroids = vec_id % 37 == 0) — the SQL oracle replicates the
+    whole algorithm: cell assignment (argmax cosine, ties to lower
+    centroid id), nprobe=2 query cells, exact re-rank."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.ivf_topk(emb, queries, k=5, centroid_stride=37,
+                               nprobe=2)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs over a view with PLANTED near-duplicates:
     every 10th vector gets a clone (id + 10M) scaled by exactly 2.0 —
@@ -426,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -462,6 +475,18 @@ _PAYLOAD_SQL = (
 # strpos over the hex alphabet.
 _HEX_BYTE = ("((strpos('0123456789abcdef', substr(dg, {p1}, 1)) - 1) * 16"
              " + (strpos('0123456789abcdef', substr(dg, {p2}, 1)) - 1))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine-similarity expression between two FLOAT[] columns
+    (mirrors similarity.cosine_col: everything cast to DOUBLE)."""
+    return (
+        f"(list_aggregate(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') "
+        f"/ (sqrt(list_aggregate(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+        f"* sqrt(list_aggregate(list_transform({b}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -634,6 +659,28 @@ def oracle_sql() -> dict[str, str]:
             "AS VARCHAR)), ',') AS features_csv, "
             "'ok_fake' AS decode_status "
             "FROM pay"),
+        "similarity_ivf": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cvec "
+            "FROM embeddings WHERE vec_id % 37 = 0), "
+            "cell_scores AS (SELECT e.vec_id, e.embedding, c.cid, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 9) "
+            "DESC, c.cid ASC) AS INTEGER) AS crn "
+            "FROM embeddings e CROSS JOIN c), "
+            "asg AS (SELECT vec_id, embedding, cid AS cell "
+            "FROM cell_scores WHERE crn = 1), "
+            "qcells AS (SELECT vec_id AS q_id, embedding AS q_vec, "
+            "cid AS cell FROM cell_scores "
+            "WHERE vec_id < 3 AND crn <= 2), "
+            "cand AS (SELECT qc.q_id, a.vec_id, "
+            f"round({_cos_sql('a.embedding', 'qc.q_vec')}, 4) AS cosine "
+            "FROM asg a JOIN qcells qc ON a.cell = qc.cell), "
+            "ranked AS (SELECT q_id, vec_id, cosine, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q_id "
+            "ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank "
+            "FROM cand) "
+            "SELECT q_id, vec_id, cosine, rank FROM ranked "
+            "WHERE rank <= 5"),
         "embedding_near_dup": (
             "WITH aug AS ("
             "SELECT vec_id AS id, embedding AS v FROM embeddings "

