@@ -210,6 +210,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-pairs, Hamming <= 3 (rows-only: xxhash64;
+    the 4x16-bit banding guarantee is pytest-gated against the exact
+    all-pairs Hamming set in tests/test_dedup_quality.py)."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 # --- training-data pipeline: text analysis ------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
