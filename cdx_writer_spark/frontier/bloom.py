@@ -24,9 +24,15 @@ partitioned Bloom/cuckoo filter.  Design choices here:
   anti-join's probe side (the "definitely new" majority skips the
   shuffle entirely).  FPR therefore only affects *cost*, not output.
 
-Serialization is a stable little-endian layout: 16-byte header
-(n_bits, k, n_items as u64/u32/u32) + bit array; blobs round-trip
-through parquet BinaryType checkpoints.
+Serialization is a stable little-endian layout: 4-byte format magic
+(``BLF2`` — bumped whenever the blob layout OR the position arithmetic
+changes, since a silently re-interpreted old blob would probe wrong
+positions and return Bloom false NEGATIVES, re-enqueuing already-seen
+URLs) + 16-byte header (n_bits, k, n_items as u64/u32/u32) + bit
+array; blobs round-trip through parquet BinaryType checkpoints.
+Deserializing a blob without the current magic raises a clear
+"incompatible filter checkpoint" error instead of mis-probing —
+rebuild filters from the exact seen table when resuming pre-v2 state.
 """
 
 from __future__ import annotations
@@ -36,6 +42,8 @@ import struct
 
 import numpy as np
 
+# v2 = 53/40-bit masked double hashing + bits_longs native-probe layout
+_MAGIC = b"BLF2"
 _HEADER = struct.Struct("<QII")
 
 # Masks keeping double-hash arithmetic overflow-free (see module doc):
@@ -117,12 +125,18 @@ class BloomFilter:
     # --- serialization ---------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        return _HEADER.pack(self.n_bits, self.k, self.n_items) \
+        return _MAGIC + _HEADER.pack(self.n_bits, self.k, self.n_items) \
             + self.bits.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BloomFilter":
-        n_bits, k, n_items = _HEADER.unpack_from(blob, 0)
+        if blob[:len(_MAGIC)] != _MAGIC:
+            raise ValueError(
+                "incompatible filter checkpoint: blob lacks the "
+                f"{_MAGIC!r} format magic (written by an older "
+                "incompatible build); rebuild the filters from the "
+                "exact seen table instead of resuming them")
+        n_bits, k, n_items = _HEADER.unpack_from(blob, len(_MAGIC))
         bits = np.frombuffer(blob, dtype=np.uint8,
-                             offset=_HEADER.size).copy()
+                             offset=len(_MAGIC) + _HEADER.size).copy()
         return cls(n_bits, k, bits=bits, n_items=n_items)

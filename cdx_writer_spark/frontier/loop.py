@@ -173,6 +173,18 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
     frontier = spark.read.parquet(os.path.join(prev, "frontier"))
     seen_tbl = seen_table(spark, state_dir, upto_round=rnd - 1)
     filters = spark.read.parquet(os.path.join(prev, "filters"))
+    missing = ({"partition_id", "filter_blob", "n_items", "bits_longs",
+                "n_bits", "k"} - set(filters.columns))
+    if missing:
+        # a pre-v2 checkpoint (blob-only schema): probing it with the
+        # current position arithmetic would yield Bloom false NEGATIVES
+        # (re-enqueued duplicates), so refuse loudly; the blob itself
+        # also carries a format magic (bloom.py) for the Python paths
+        raise ValueError(
+            f"incompatible filter checkpoint at {prev}: missing "
+            f"columns {sorted(missing)} — written by an older build; "
+            "rebuild the filters from the exact seen table "
+            "(seen.update_filters over loop.seen_table) before resuming")
     rules = rules if rules is not None else robots_rules(spark)
 
     # 1. schedule
@@ -308,10 +320,15 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
         os.path.join(rnd_dir, "filters"))
     scheduled_obs.write.mode("overwrite").parquet(
         os.path.join(rnd_dir, "scheduled"))
-    # metrics last: its _SUCCESS is the round's commit marker
+    # metrics last: its _SUCCESS is the round's commit marker.
+    # coalesce(1): the frame is one row per filter partition (~64) but
+    # inherits shuffle-partition fan-out from its joins — writing it
+    # wide is pure per-round fixed cost (task launch + file create per
+    # partition) that a 4x-core level cannot parallelize away
     metrics_from(
         spark.read.parquet(os.path.join(rnd_dir, "filters"))
-    ).write.mode("overwrite").parquet(os.path.join(rnd_dir, "metrics"))
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "metrics"))
 
     n_scheduled = get_scheduled()
     n_new = get_new()

@@ -53,6 +53,16 @@ def test_bloom_empty_and_errors():
         BloomFilter(0, 1)
 
 
+def test_bloom_rejects_unversioned_blob():
+    """A pre-v2 blob (no format magic) must fail fast: probing it with
+    the current position arithmetic would yield Bloom false NEGATIVES
+    (already-seen URLs silently re-enqueued on resume)."""
+    bf = BloomFilter.sized_for(1000)
+    legacy = bf.to_bytes()[4:]  # strip the magic = old layout
+    with pytest.raises(ValueError, match="incompatible filter checkpoint"):
+        BloomFilter.from_bytes(legacy)
+
+
 # --- webgraph parity ---------------------------------------------------------
 
 def test_webgraph_surt_matches_canonicalizer(spark):
