@@ -200,21 +200,32 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: xxhash64 is Spark-specific);
-    exact-Jaccard verification bounds false positives."""
-    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+    """MinHash+LSH near-dup pairs with the md5-seeded portable hash
+    family — the DuckDB oracle re-derives the ENTIRE pipeline in pure
+    SQL (shingles → 32-hash signature → 8 bands → candidate self-join
+    → exact-Jaccard verification), so this row is hash-checked, not
+    rows-only.  The xxhash64 family (portable=False) is the faster
+    production default; both are gated by the exact all-pairs ground
+    truth in tests/test_dedup_quality.py."""
+    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5,
+                                   portable=True)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash collision groups (rows-only: xxhash64)."""
-    return dedup.simhash_dedup(_docs(spark, sf_dir))
+    """64-bit SimHash collision groups, md5-seeded portable variant
+    (bit-majority vote re-derived independently by the DuckDB oracle)."""
+    return dedup.simhash_dedup(_docs(spark, sf_dir), portable=True)
 
 
 def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-pairs, Hamming <= 3 (rows-only: xxhash64;
-    the 4x16-bit banding guarantee is pytest-gated against the exact
-    all-pairs Hamming set in tests/test_dedup_quality.py)."""
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """Banded SimHash near-pairs, Hamming <= 3, md5-seeded portable
+    variant.  The oracle computes the EXACT all-pairs Hamming <= 3 set
+    — equality with this banded plan is the 4x16-bit pigeonhole
+    guarantee (<= 3 bit flips cannot touch all 4 disjoint bands),
+    which tests/test_dedup_quality.py also pins for the xxhash64
+    family."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
+                                    portable=True)
 
 
 # --- training-data pipeline: text analysis ------------------------------------
@@ -242,12 +253,18 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN top-k (rows-only: approximate by design; the exact
-    cosine_topk above is the oracle-checked baseline)."""
+    """Bucketed ANN top-k with md5-derived portable hyperplanes: the
+    48-bit weights are exact binary doubles in both engines, so the
+    DuckDB oracle reproduces the buckets (hence the candidate sets and
+    the ranking) bit-for-bit — the approximate pipeline itself is
+    hash-checked, with cosine_topk as the exhaustive baseline."""
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return similarity.lsh_bucket_topk(emb, queries, k=5)
+    # 8 planes: ~2.3 avg bucket occupancy on the sf0.01 table, so the
+    # result exercises real candidate sets, not just self-matches
+    return similarity.lsh_bucket_topk(emb, queries, k=5, n_planes=8,
+                                      portable=True)
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +502,52 @@ _HEX_BYTE = ("((strpos('0123456789abcdef', substr(dg, {p1}, 1)) - 1) * 16"
              " + (strpos('0123456789abcdef', substr(dg, {p2}, 1)) - 1))")
 
 
+# --- md5-seeded portable-hash pipelines re-derived in DuckDB SQL -------------
+#
+# These oracles recompute the APPROXIMATE pipelines end-to-end (not
+# just their outputs): same md5-seeded hash families, same banding,
+# same verification — expressed with DuckDB list lambdas and sharing
+# zero code with the Spark operators.
+
+# 64-bit SimHash as a 64-char bit-string: token hash = first 16 hex
+# chars of md5(token); bit i = majority vote of bit i across tokens
+# (nibble i//4 via a strpos hex lookup, shifted by 3 - i%4; the Spark
+# side uses conv() instead).  Mirrors dedup.simhash_bits_col.
+_SIMHASH_CTE = (
+    "hs AS (SELECT doc_id, list_transform(list_distinct("
+    "string_split_regex(trim(lower(text)), '\\s+')), t -> "
+    "substr(md5(t), 1, 16)) AS hs FROM documents), "
+    "sh AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), "
+    "i -> CASE WHEN 2 * len(list_filter(hs, h -> (((strpos("
+    "'0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1) "
+    ">> (3 - (i % 4))) & 1) = 1)) >= len(hs) THEN '1' ELSE '0' END), '') "
+    "AS simhash FROM hs)")
+
+
+def _hex48_sql(h_sql: str) -> str:
+    """Integer value of the first 12 hex chars of `h_sql` (a 48-bit
+    value, exact in a double) — nibble-by-nibble strpos lookup, powers
+    of 16 as exact double literals."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h_sql}, {j + 1}, 1)) - 1) "
+        f"* {16 ** (11 - j)}.0"
+        for j in range(12)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_sql(v: str, n_planes: int = 8) -> str:
+    """The portable hyperplane bucket of FLOAT[] column `v` — mirrors
+    similarity.hyperplane_bucket_col(portable=True): weight =
+    md5-derived 48-bit integer / 2^48 - 0.5 (exact doubles in both
+    engines), bucket = sign-bit string of the plane dots."""
+    h = "md5(p::VARCHAR || ',' || d::VARCHAR)"
+    w = f"({_hex48_sql(h)} / 281474976710656.0 - 0.5)"
+    dot = (f"list_aggregate(list_transform(range(0, len({v})), d -> "
+           f"CAST({v}[d + 1] AS DOUBLE) * {w}), 'sum')")
+    return (f"array_to_string(list_transform(range(0, {n_planes}), p -> "
+            f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END), '')")
+
+
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine-similarity expression between two FLOAT[] columns
     (mirrors similarity.cosine_col: everything cast to DOUBLE)."""
@@ -595,6 +658,67 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
             "CAST(COUNT(*) AS BIGINT) AS n_dups "
             "FROM documents GROUP BY 1"),
+        # MinHash-LSH re-derived end-to-end: 3-shingles -> 32 md5-seeded
+        # min-hashes -> 8 bands of 4 -> bucket self-join -> exact
+        # Jaccard >= 0.5.  (No exact-collapse mirroring needed: the
+        # Spark side's representative collapse + expansion is
+        # output-equivalent to banding every doc, which is what this
+        # SQL does.)
+        "dedup_minhash": (
+            "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents), "
+            "shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 "
+            "THEN list_transform(range(1, len(tk) - 1), i -> "
+            "array_to_string(list_slice(tk, i, i + 2), ' ')) "
+            "ELSE [array_to_string(tk, ' ')] END) AS sh FROM tk), "
+            "sig AS (SELECT doc_id, list_transform(range(0, 32), j -> "
+            "list_aggregate(list_transform(sh, s -> "
+            "md5(j::VARCHAR || ':' || s)), 'min')) AS sig FROM shg), "
+            "banded AS (SELECT doc_id, u.band AS band, u.bucket AS bucket "
+            "FROM (SELECT doc_id, unnest(list_transform(range(0, 8), "
+            "b -> {'band': b, 'bucket': md5(array_to_string("
+            "list_slice(sig, b * 4 + 1, b * 4 + 4), ','))})) AS u "
+            "FROM sig)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM banded a JOIN banded b ON a.band = b.band "
+            "AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+            "scored AS (SELECT id_a, id_b, round(CAST(len(list_filter("
+            "sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE) / "
+            "len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard "
+            "FROM cand JOIN shg sa ON sa.doc_id = cand.id_a "
+            "JOIN shg sb ON sb.doc_id = cand.id_b) "
+            "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"),
+        "dedup_simhash": (
+            "WITH " + _SIMHASH_CTE + " SELECT simhash, "
+            "CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups FROM sh GROUP BY 1"),
+        # EXACT all-pairs Hamming <= 3 — equality with the Spark side's
+        # banded plan is the 4x16-bit pigeonhole guarantee, so this
+        # oracle is strictly independent of the banding.
+        "dedup_simhash_near": (
+            "WITH " + _SIMHASH_CTE + ", pairs AS (SELECT "
+            "a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_filter(range(1, 65), i -> "
+            "substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) "
+            "AS INTEGER) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"),
+        # The bucketed ANN pipeline itself: portable hyperplane buckets
+        # (exact-double weights), bucket-equality candidates, exact
+        # cosine re-rank.
+        "similarity_lsh": (
+            "WITH b AS (SELECT vec_id, embedding, "
+            + _bucket_sql("embedding", 8) + " AS bucket FROM embeddings), "
+            "q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket "
+            "FROM b WHERE vec_id < 3), "
+            "scored AS (SELECT q.q_id, e.vec_id, "
+            "round(" + _cos_sql("e.embedding", "q.q_vec") + ", 4) "
+            "AS cosine FROM b e JOIN q ON e.bucket = q.bucket), "
+            "ranked AS (SELECT q_id, vec_id, cosine, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q_id "
+            "ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank "
+            "FROM scored) SELECT q_id, vec_id, cosine, rank "
+            "FROM ranked WHERE rank <= 5"),
         "text_stats": (
             "WITH toks AS (SELECT doc_id, text, "
             "string_split_regex(trim(text), '\\s+') AS tk, "

@@ -91,20 +91,37 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def hyperplane_bucket_col(vec: Column, n_planes: int = 12,
-                          plane_offset: int = 0) -> Column:
+                          plane_offset: int = 0,
+                          portable: bool = False) -> Column:
     """Deterministic LSH bucket id: sign pattern of `n_planes` pseudo-
-    random hyperplanes, plane weights derived from xxhash64(plane, dim)
-    mapped to [-0.5, 0.5) — reproducible across runs and cluster sizes
-    (no RNG state, no broadcast of plane matrices).  ``plane_offset``
-    shifts the plane index range so banded callers get independent
-    plane sets per band."""
+    random hyperplanes, plane weights derived from a seeded hash of
+    (plane, dim) mapped to [-0.5, 0.5) — reproducible across runs and
+    cluster sizes (no RNG state, no broadcast of plane matrices).
+    ``plane_offset`` shifts the plane index range so banded callers get
+    independent plane sets per band.
+
+    ``portable``: weights come from the first 12 hex chars of
+    md5('p,d') — a 48-bit integer, so ``value / 2^48 - 0.5`` is EXACT
+    in binary double in any engine (48 < 53 mantissa bits; the divisor
+    is a power of two).  With both engines folding the dot product
+    left-to-right over identical doubles, the sign bits — hence the
+    buckets — are bit-identical, which is what lets the DuckDB oracle
+    re-derive the bucketed ANN pipeline end-to-end."""
+    def weight(p: Column, d: Column) -> Column:
+        if portable:
+            h = F.md5(F.concat(p.cast("string"), F.lit(","),
+                               d.cast("string")))
+            return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+                    / F.lit(float(1 << 48)) - 0.5)
+        return (F.pmod(F.xxhash64(p, d), F.lit(1000)).cast("double")
+                / 1000.0 - 0.5)
+
     def plane_dot(p: Column) -> Column:
         return F.aggregate(
             F.zip_with(
                 _as_double(vec),
                 F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
-                            lambda d: (F.pmod(F.xxhash64(p, d), F.lit(1000))
-                                       .cast("double") / 1000.0 - 0.5)),
+                            lambda d: weight(p, d)),
                 lambda x, w: x * w),
             F.lit(0.0), lambda acc, v: acc + v)
 
@@ -118,14 +135,17 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 12,
 def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 12, id_col: str = "vec_id",
                     vec_col: str = "embedding", q_id_col: str = "q_id",
-                    q_vec_col: str = "q_vec") -> DataFrame:
+                    q_vec_col: str = "q_vec",
+                    portable: bool = False) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket;
     exact cosine re-rank within the bucket.  Recall < 1 by design — the
-    brute-force `cosine_topk` is the correctness oracle."""
-    e = emb.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col),
-                                                       n_planes))
-    q = queries.withColumn("bucket",
-                           hyperplane_bucket_col(F.col(q_vec_col), n_planes))
+    brute-force `cosine_topk` is the exhaustive baseline (and with
+    ``portable`` hyperplanes the DuckDB oracle replicates THIS
+    pipeline exactly, buckets included)."""
+    e = emb.withColumn("bucket", hyperplane_bucket_col(
+        F.col(vec_col), n_planes, portable=portable))
+    q = queries.withColumn("bucket", hyperplane_bucket_col(
+        F.col(q_vec_col), n_planes, portable=portable))
     scored = (
         e.join(F.broadcast(q), "bucket")
         .withColumn("cosine",
@@ -137,49 +157,57 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 37, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             codebook: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its nearest
     centroid cell, probe the query's ``nprobe`` nearest cells, exact
     cosine re-rank inside them.
 
-    The codebook here is the deterministic stand-in a correctness
-    oracle can replicate: centroids are the vectors with
-    ``id % centroid_stride == 0`` (at scale you would train it with
-    Spark ML KMeans and broadcast the model — the assignment/probe
-    plan below is unchanged).  The codebook is collected once
-    (C = N/stride rows, a tiny dim table) and inlined as literal
-    vectors, so cell assignment is a pure whole-stage-codegen
-    projection — NO shuffle and no Python anywhere: the only join is a
-    broadcast of the (queries × nprobe) cell list, and the ranking is
-    the two-stage :func:`topk_per_query`.
+    The codebook is a DataFrame ``(cid long, cvec array<float>)``
+    **broadcast as data**: it is aggregated into a single cid-sorted
+    array row and broadcast-cross-joined onto the scan, so cell
+    assignment is a map-only stage over a constant-size plan — no
+    shuffle, no Python, and no driver ``collect()`` inlining centroid
+    literals into the expression tree (which at a real codebook size —
+    thousands of centroids × dims — is a driver/codegen bomb; the plan
+    test pins the Broadcast + compact-plan shape).  Pass ``codebook``
+    to use trained centers (e.g. Spark ML KMeans ``clusterCenters``);
+    the default is the deterministic stand-in a correctness oracle can
+    replicate: centroids are the vectors with
+    ``id % centroid_stride == 0``.
 
     Assignment ties (identical rounded cosine to two centroids) break
     toward the lower centroid id, mirrored by the SQL oracle; the
     9-decimal rounding absorbs cross-engine float-summation noise.
     """
-    cents = emb.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")).collect()
-    if not cents:
-        raise ValueError("no centroids: stride larger than id range")
-
-    def lit_vec(values):
-        return F.array(*[F.lit(float(x)) for x in values])
+    cents = codebook if codebook is not None else (
+        emb.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col(vec_col).alias("cvec")))
+    if cents.limit(1).count() == 0:
+        raise ValueError("no centroids: stride larger than id range "
+                         "(or empty codebook)")
+    # one row: the codebook as a cid-sorted array of (cid, cvec)
+    # structs (collect_list order is partition-dependent; array_sort
+    # on the struct restores determinism via the leading cid field)
+    cb = cents.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("cid"), F.col("cvec")))).alias("_codebook"))
 
     def cells_for(vec, n):
         # array_sort ascending on struct(cos, neg_cid); reverse+slice
         # keeps the n best cells: highest cosine, ties -> lowest cid
-        scored = F.array(*[
-            F.struct(
-                F.round(cosine_col(vec, lit_vec(c.cvec)), 9).alias("cos"),
-                F.lit(-int(c.cid)).alias("neg_cid"))
-            for c in cents])
+        scored = F.transform(
+            F.col("_codebook"),
+            lambda c: F.struct(
+                F.round(cosine_col(vec, c["cvec"]), 9).alias("cos"),
+                (-c["cid"]).alias("neg_cid")))
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda s: -s.neg_cid)
+        return F.transform(top, lambda s: -s["neg_cid"])
 
-    assigned = emb.select(
+    assigned = emb.crossJoin(F.broadcast(cb)).select(
         F.col(id_col), F.col(vec_col),
         cells_for(F.col(vec_col), 1)[0].alias("cell"))
-    q_cells = queries.select(
+    q_cells = queries.crossJoin(F.broadcast(cb)).select(
         F.col(q_id_col), F.col(q_vec_col),
         F.explode(cells_for(F.col(q_vec_col), nprobe)).alias("cell"))
     # each vector lives in exactly ONE cell and the query's nprobe
@@ -196,7 +224,8 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              bands: int = 4, planes_per_band: int = 8,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH self-join +
     exact verification (the embedding tier of the dedup suite).
 
@@ -208,11 +237,27 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     vectors (e.g. v and 2v: doubling is lossless in binary float, so
     every plane dot scales by exactly 2 and no sign flips) is caught
     with probability 1 — the property the oracle-checked planted-clone
-    query relies on.  One shuffle, keyed on (band, bucket); no all-pairs
-    join anywhere."""
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    banded = e.select(
-        "id", "v",
+    query relies on.
+
+    Blowup/width control (see functions.dedup module docstring):
+    byte-identical vectors collapse to one representative before
+    banding (identical-cluster pairs come straight from membership at
+    cosine 1); the banding exchange carries only (band, bucket, gkey)
+    — never the vectors, which are re-joined for the surviving
+    DISTINCT candidate pairs only; ``max_bucket_size`` optionally
+    drops (and logs) degenerate buckets.  No all-pairs join anywhere.
+    """
+    from .dedup import (_banded_candidate_pairs, _exact_groups,
+                        _expand_rep_pairs, _intra_group_pairs)
+
+    # vector identity key: float32 -> string is injective for distinct
+    # values, so equal keys == byte-equal vectors
+    gkey = F.md5(F.concat_ws(",", F.transform(
+        F.col(vec_col), lambda x: x.cast("string"))))
+    membership, reps = _exact_groups(emb, gkey, id_col,
+                                     F.col(vec_col), "v")
+    banded = reps.select(
+        "gkey",
         F.explode(F.array(*[
             F.struct(
                 F.lit(band).alias("band"),
@@ -220,18 +265,22 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                     F.col("v"), planes_per_band,
                     plane_offset=band * planes_per_band).alias("bucket"))
             for band in range(bands)])).alias("bb"),
-    ).select("id", "v", F.col("bb.band").alias("band"),
+    ).select("gkey", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _banded_candidate_pairs(banded, ["band", "bucket"],
+                                   max_bucket_size)
+    va = reps.select(F.col("gkey").alias("gkey_a"), F.col("v").alias("v_a"))
+    vb = reps.select(F.col("gkey").alias("gkey_b"), F.col("v").alias("v_b"))
+    rep_pairs = (
+        cand.join(va, "gkey_a").join(vb, "gkey_b")
         .withColumn("cosine", F.round(cosine_col(F.col("v_a"),
                                                  F.col("v_b")), 4))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("gkey_a", "gkey_b", "cosine")
     )
+    inter = _expand_rep_pairs(rep_pairs, membership, "cosine")
+    # byte-equal vectors: cosine rounds to exactly 1.0 (|1 - s/√s·√s|
+    # is a couple of ulps), matching the all-pairs oracle's value
+    intra = _intra_group_pairs(membership, F.lit(1.0), "cosine") \
+        .filter(F.lit(threshold) <= 1.0)
+    return inter.unionByName(intra).select("id_a", "id_b", "cosine")

@@ -126,15 +126,27 @@ def cdx_flagged(pages: DataFrame, cfg: CDXConfig | None = None) -> DataFrame:
     return df
 
 
+def file_order_cols(df: DataFrame) -> list[str]:
+    """The deterministic file-order sort key: (warc_file, offset) plus
+    the record_seq ordinal when the source provides it — records of a
+    multi-record gzip member share the member offset (documented V
+    fallback), so without the ordinal their relative order would be an
+    unspecified tie-break."""
+    cols = ["warc_file", "offset"]
+    if "record_seq" in df.columns:
+        cols.append("record_seq")
+    return cols
+
+
 def cdx_records(pages: DataFrame, cfg: CDXConfig | None = None) -> DataFrame:
     """Admitted, non-excluded records with the 11 field columns plus the
-    (warc_file, offset) file-order key."""
+    file-order key (warc_file, offset[, record_seq])."""
     cfg = cfg or CDXConfig()
     flagged = cdx_flagged(pages, cfg)
     cols = list(dict.fromkeys(cfg.field_columns()))
     return (
         flagged.filter(F.col("admitted") & ~F.col("excluded"))
-        .select("warc_file", "offset", *cols)
+        .select(*file_order_cols(flagged), *cols)
     )
 
 
@@ -157,7 +169,7 @@ def cdx_lines(pages: DataFrame, cfg: CDXConfig | None = None,
     if sort:
         # distributed range-partitioned sort (sampled bounds, AQE-skew safe)
         return df.select("cdx_line").orderBy("cdx_line")
-    return df.orderBy("warc_file", "offset").select("cdx_line")
+    return df.orderBy(*file_order_cols(df)).select("cdx_line")
 
 
 def cdx_lines_per_file(pages: DataFrame,
@@ -167,11 +179,11 @@ def cdx_lines_per_file(pages: DataFrame,
     sortWithinPartitions — a single hash shuffle, no range-sampling
     pass (the global sort's sampler executes the child plan twice)."""
     cfg = cfg or CDXConfig()
+    recs = cdx_records(pages, cfg)
     return (
-        cdx_records(pages, cfg)
-        .withColumn("cdx_line", cdx_line_column(cfg))
+        recs.withColumn("cdx_line", cdx_line_column(cfg))
         .repartition(F.col("warc_file"))
-        .sortWithinPartitions("warc_file", "offset")
+        .sortWithinPartitions(*file_order_cols(recs))
         .select("warc_file", "cdx_line")
     )
 

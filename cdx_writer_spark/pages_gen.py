@@ -282,10 +282,13 @@ def _finalize(rows: list[dict]) -> list[dict]:
     """Assign compressed sizes and per-file cumulative offsets (field V is
     a running sum of record sizes within each file, cdx_writer.py:824)."""
     offsets: dict[str, int] = {}
+    seqs: dict[str, int] = {}
     for row in rows:
         if row["compressed_size"] is None:
             row["compressed_size"] = max(120, len(row["html"] or b"") // 2 + 97)
         f = row["warc_file"]
         row["offset"] = offsets.get(f, 0)
         offsets[f] = row["offset"] + row["compressed_size"]
+        row["record_seq"] = seqs.get(f, 0)
+        seqs[f] = row["record_seq"] + 1
     return rows

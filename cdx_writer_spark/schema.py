@@ -40,6 +40,11 @@ PAGES_SCHEMA = StructType([
     StructField("compressed_size", LongType()),  # field S (cdx_writer.py:236)
     StructField("offset", LongType()),           # field V (cdx_writer.py:824, 246)
     StructField("warc_file", StringType()),      # field g (cdx_writer.py:739-744)
+    # record index within the archive file: tertiary file-order key —
+    # records of one multi-record gzip member share the member's offset
+    # (the documented V fallback), so (warc_file, offset) alone leaves
+    # their relative "file order" an unspecified tie-break
+    StructField("record_seq", LongType()),
 ])
 
 # CDX field registry: code -> descriptive name (cdx_writer.py:711-722).

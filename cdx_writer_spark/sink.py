@@ -28,6 +28,7 @@ from .job import (
     cdx_flagged,
     cdx_header,
     cdx_line_column,
+    file_order_cols,
     stats_aggregation,
     STATS_COLUMNS,
 )
@@ -38,7 +39,8 @@ def _lines_with_observation(pages: DataFrame, cfg: CDXConfig):
     flagged = cdx_flagged(pages, cfg).observe(obs, *stats_aggregation())
     lines = (
         flagged.filter(F.col("admitted") & ~F.col("excluded"))
-        .select("warc_file", "offset", cdx_line_column(cfg).alias("cdx_line"))
+        .select(*file_order_cols(flagged),
+                cdx_line_column(cfg).alias("cdx_line"))
     )
     return lines, obs, flagged
 
@@ -77,7 +79,7 @@ def write_per_file_cdx(pages: DataFrame, out_dir: str,
     cfg = cfg or CDXConfig()
     lines, obs, flagged = _lines_with_observation(pages, cfg)
     (lines.repartition(F.col("warc_file"))
-     .sortWithinPartitions("warc_file", "offset")
+     .sortWithinPartitions(*file_order_cols(lines))
      .select("warc_file", "cdx_line")  # text sink allows 1 data column
      .write.mode("overwrite").partitionBy("warc_file")
      .text(out_dir))
@@ -114,7 +116,8 @@ def write_single_cdx(pages: DataFrame, out_file: str,
             # child plan, which would double-fire the observation
             cached = lines.persist(StorageLevel.MEMORY_AND_DISK)
             try:
-                (cached.orderBy("warc_file", "offset").select("cdx_line")
+                (cached.orderBy(*file_order_cols(cached))
+                 .select("cdx_line")
                  .write.mode("overwrite").text(tmp))
                 stats = _finish_stats(obs, flagged, None)
             finally:

@@ -331,6 +331,8 @@ def archive_to_rows(path: str, data: bytes) -> Iterator[dict]:
     warctools stream errors) rather than silently truncating the index.
     """
     name = os.path.basename(path)
+    record_seq = 0  # file-order ordinal (ties on offset within a
+    #                 multi-record member are broken by this)
     if data[:2] == b"\x1f\x8b":
         members = list(split_gzip_members(data))
         if members and members[-1][2] is None:
@@ -355,6 +357,20 @@ def archive_to_rows(path: str, data: bytes) -> Iterator[dict]:
         # single-stream member: more records after the first one
         recs = list(split(raw))
         if len(recs) > 1:
+            # the splitter stops at the first record it cannot parse
+            # (bad version line / truncated Content-Length): any
+            # non-separator residue past the last parsed record means
+            # records would be silently dropped — raise instead,
+            # matching this function's corrupt-gzip behavior and the
+            # reference's ParseError-on-stream-error contract
+            # (cdx_writer.py:826-827)
+            consumed = recs[-1][0] + recs[-1][1]
+            residue = raw[consumed:].strip(b"\r\n")
+            if residue:
+                raise ValueError(
+                    f"unparseable record data in {name}: member at "
+                    f"byte {offset} leaves {len(residue)} undecodable "
+                    "bytes after record re-split")
             raws = [rb for _, _, rb in recs]
         else:
             # keep the whole member for the 1-record case: parse()
@@ -368,6 +384,8 @@ def archive_to_rows(path: str, data: bytes) -> Iterator[dict]:
             row["offset"] = offset
             row["compressed_size"] = size
             row["warc_file"] = name
+            row["record_seq"] = record_seq
+            record_seq += 1
             yield _spill_oversized(row)
 
 

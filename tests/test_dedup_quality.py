@@ -108,6 +108,70 @@ def test_minhash_lsh_rejects_moderate_pairs(spark, corpus):
     assert not (got & moderate)
 
 
+def test_identical_cluster_collapses_before_banding(spark):
+    """The Common-Crawl boilerplate case: a cluster of byte-identical
+    docs.  Exact pre-collapse keeps the LSH band join at REPRESENTATIVE
+    cardinality (1 row per distinct text), while the output still
+    contains every intra-cluster pair at the exact score — the output
+    is inherently quadratic in the cluster, the *candidate join* must
+    not be."""
+    k = 400
+    rows = [(i, "same boilerplate text repeated here") for i in range(k)]
+    rows += [(10_000 + i, f"unique doc {i} with its own words {i}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = dedup.minhash_lsh_dedup(df, threshold=0.7)
+    assert got.count() == k * (k - 1) // 2
+    assert got.agg(F.min("jaccard"), F.max("jaccard")).first() == (1.0, 1.0)
+
+    near = dedup.simhash_near_pairs(df, max_hamming=3)
+    assert near.count() == k * (k - 1) // 2
+    assert near.agg(F.max("hamming")).first()[0] == 0
+
+
+def test_cross_cluster_pairs_expand_with_exact_score(spark):
+    """Two clusters of identical docs whose texts are near-duplicates
+    of each other: every cross pair must surface with the same exact
+    Jaccard the representative pair verified at."""
+    base = [f"w{j}" for j in range(30)]
+    near = list(base)
+    near[7] = "replaced"
+    rows = [(i, " ".join(base)) for i in range(20)]
+    rows += [(100 + i, " ".join(near)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.minhash_lsh_dedup(df, threshold=0.7).collect()}
+    # 2 * C(20,2) intra pairs + 20*20 cross pairs
+    assert len(got) == 2 * (20 * 19 // 2) + 400
+    cross = {p: j for p, j in got.items() if p[0] < 100 <= p[1]}
+    assert len(cross) == 400
+    assert len(set(cross.values())) == 1          # one exact score
+    assert 0.7 <= next(iter(cross.values())) < 1  # truly near, not equal
+
+
+def test_bucket_cap_drops_loudly(spark, caplog):
+    """max_bucket_size excludes oversized buckets and logs the drop —
+    opt-in, never silent (the oracle-checked queries don't set it)."""
+    import logging
+
+    rows = [(i, "giant cluster of near boilerplate") for i in range(50)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta"),
+             (1001, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the 50-clone cluster collapses to ONE rep, so to exercise the cap
+    # we cap at 0: every bucket (size >= 1) is oversized
+    with caplog.at_level(logging.WARNING,
+                         logger="cdx_writer_spark.functions.dedup"):
+        got = dedup.minhash_lsh_dedup(df, threshold=0.7,
+                                      max_bucket_size=0).collect()
+    assert any("oversized buckets" in r.message for r in caplog.records)
+    # banding contributed nothing; intra-cluster pairs still exact
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (1000, 1001) in pairs
+    assert len(pairs) == 50 * 49 // 2 + 1
+
+
 def test_simhash_banded_equals_exact_hamming(spark, corpus):
     """simhash_near_pairs must equal the EXACT all-pairs Hamming <= 3
     set — the 4x16-bit banding is a guarantee, not a heuristic: <= 3

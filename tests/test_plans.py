@@ -78,6 +78,48 @@ def test_cosine_topk_two_stage_no_qid_funnel(spark):
                      plan)
 
 
+def test_ivf_codebook_is_broadcast_not_inlined(spark):
+    """The IVF codebook must reach the scan as BROADCAST DATA (one
+    cid-sorted array row, cross-joined), never as driver-collected
+    literal vectors baked into the expression tree — at a real
+    codebook size (thousands of centroids x dims) literal inlining is
+    a driver OOM + codegen explosion."""
+    from cdx_writer_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    plan = _plan(similarity.ivf_topk(emb, q, k=3, centroid_stride=37,
+                                     nprobe=2))
+    assert "BroadcastNestedLoopJoin" in plan   # broadcast codebook row
+    # no literal centroid vectors: the sf0.01 codebook alone is 14
+    # centroids x 64 dims ~ 900 float literals; a handful of numeric
+    # literals from k/nprobe/rounding is fine
+    assert plan.count("0.") < 100, plan.count("0.")
+    assert "ArrowEvalPython" not in plan       # assignment stays native
+
+
+def test_near_dup_exchanges_are_narrow(spark):
+    """Candidate-pair dedup must never shuffle the wide vector (or
+    shingle) payloads: every aggregate in the near-dup plans keys on
+    the narrow gkey projection, vectors re-joined only afterwards."""
+    from cdx_writer_spark.functions import dedup, similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.embedding_near_dup_pairs(emb, threshold=0.95))
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert any("gkey_a" in ln for ln in agg_lines)
+    for ln in agg_lines:
+        assert "v_a#" not in ln and "v_b#" not in ln, ln
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.minhash_lsh_dedup(docs, threshold=0.5))
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert any("gkey_a" in ln for ln in agg_lines)
+    for ln in agg_lines:
+        assert "sh_a#" not in ln and "sh_b#" not in ln, ln
+
+
 def test_textstats_stays_in_codegen(spark):
     from cdx_writer_spark.functions import textstats
 

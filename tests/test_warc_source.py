@@ -186,6 +186,28 @@ def test_lone_lf_delimited_warc_parses_all_records(tmp_path):
         f"http://www.example.com/{i}" for i in range(4)]
 
 
+def test_single_stream_records_get_file_order_ordinals(tmp_path):
+    """Records of one multi-record member share the member offset (V
+    fallback), so record_seq must supply the deterministic file-order
+    tie-break the sort=False sinks sort by."""
+    data = gzip.compress(b"".join(RECORDS))
+    rows = list(warc_source.archive_to_rows("single.warc.gz", data))
+    assert [r["record_seq"] for r in rows] == list(range(len(RECORDS)))
+    assert {r["offset"] for r in rows} == {0}  # the tie record_seq breaks
+
+
+def test_multi_record_member_residue_raises(tmp_path):
+    """A multi-record member whose re-split leaves undecodable bytes
+    (truncated/corrupt record mid-member) must raise like the corrupt-
+    gzip path, not silently drop the tail records."""
+    import pytest
+
+    junk = b"WARC/1.0\r\nbroken-header-without-terminator"
+    data = gzip.compress(b"".join(RECORDS[:3]) + junk)
+    with pytest.raises(ValueError, match="unparseable record data"):
+        list(warc_source.archive_to_rows("resid.warc.gz", data))
+
+
 def test_corrupt_gzip_member_raises(tmp_path):
     """Trailing undecodable bytes after valid members raise (reference
     parity: ParseError on stream errors) instead of silently truncating
