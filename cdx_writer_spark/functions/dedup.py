@@ -80,6 +80,22 @@ def normalized_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` exactly once per row and hand it to ``fn`` as a
+    bound lambda VARIABLE (single-element transform trick).
+
+    Catalyst's CollapseProject + ColumnPruning freely inline a column's
+    defining expression into every consumer — including into
+    higher-order-function lambda bodies, where the inlined argument is
+    re-evaluated on EVERY iteration.  A MinHash signature that slices
+    an inlined 32-hash expression per band re-tokenizes each document
+    32x (measured 93s vs 5s per pass at sf0.1).  A lambda-bound
+    variable cannot be inlined, so this is the load-bearing
+    materialization barrier for every expensive expression referenced
+    inside an iterating lambda."""
+    return F.transform(F.array(col), fn)[0]
+
+
 # --- pair-enumeration plumbing (shared by MinHash / SimHash / embedding) ----
 
 def _exact_groups(df: DataFrame, key: Column, id_col: str,
@@ -195,35 +211,44 @@ def minhash_signature_col(shingles: Column, num_hashes: int = 32,
     lowercase hex, so the lexicographic ``array_min`` equals the
     numeric min and ANY engine with md5 reproduces the signature
     byte-for-byte (the DuckDB oracle does exactly that)."""
-    if portable:
+    def sig_over(sh: Column) -> Column:
+        if portable:
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda j: F.array_min(
+                    F.transform(sh,
+                                lambda s: F.md5(F.concat(j.cast("string"),
+                                                         F.lit(":"), s)))))
         return F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda j: F.array_min(
-                F.transform(shingles,
-                            lambda s: F.md5(F.concat(j.cast("string"),
-                                                     F.lit(":"), s)))),
-        )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(j, s))),
-    )
+                F.transform(sh, lambda s: F.xxhash64(j, s))))
+
+    # bind the shingle array ONCE: the signature lambda iterates
+    # num_hashes times, and an inlined shingle expression would be
+    # re-evaluated on every iteration (see bind_once)
+    return bind_once(shingles, sig_over)
 
 
 def _minhash_banded(sig_df: DataFrame, bands: int, rows: int,
                     portable: bool) -> DataFrame:
-    """(gkey, band, bucket) from (gkey, sig): one row per band."""
-    def band_bucket(b):
+    """(gkey, band, bucket) from (gkey, sig): one row per band.
+    The signature is bound once — the band lambda slices a VARIABLE,
+    so column pruning/collapse can never re-inline (and per-band
+    re-evaluate) the 32-hash signature expression."""
+    def band_bucket(b, sig):
         joined = F.concat_ws(
-            ",", F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+            ",", F.transform(F.slice(sig, b * rows + 1, rows),
                              lambda v: v.cast("string")))
         bucket = F.md5(joined) if portable else F.xxhash64(joined)
         return F.struct(b.alias("band"), bucket.alias("bucket"))
 
+    buckets = bind_once(
+        F.col("sig"),
+        lambda sig: F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                                lambda b: band_bucket(b, sig)))
     return sig_df.select(
-        "gkey",
-        F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-                              band_bucket)).alias("bb"),
+        "gkey", F.explode(buckets).alias("bb"),
     ).select("gkey", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
 
@@ -243,9 +268,16 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
         df, F.md5(F.col(text_col)), id_col, F.col(text_col), "text")
     shingled = reps.select(
         "gkey", shingles_col(F.col("text")).alias("sh"))
+    # CRITICAL: keep "sh" in this projection even though banding only
+    # needs "sig".  With sh referenced once, CollapseProject inlines
+    # the whole shingle computation INTO the num_hashes-iteration
+    # signature lambda, re-tokenizing every row once per hash
+    # (measured 18x: 93s -> 5s per pass at sf0.1).  The second
+    # reference blocks the collapse, so shingles materialize once.
     sig = shingled.select(
-        "gkey", minhash_signature_col(F.col("sh"), num_hashes,
-                                      portable).alias("sig"))
+        "gkey", "sh",
+        minhash_signature_col(F.col("sh"), num_hashes,
+                              portable).alias("sig"))
     cand = _banded_candidate_pairs(
         _minhash_banded(sig, bands, rows, portable),
         ["band", "bucket"], max_bucket_size)
@@ -381,12 +413,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     membership, reps = _exact_groups(
         df, F.md5(F.col(text_col)), id_col, F.col(text_col), "text")
     if portable:
-        # bands = 4 disjoint 16-char substrings of the bit-string
+        # bands = 4 disjoint 16-char substrings of the bit-string; the
+        # simhash is bound once (bind_once) so pruning can't re-inline
+        # the 64-bit majority vote into the 4-band lambda
         banded_src = reps.select(
             "gkey", simhash_bits_col("text").alias("simhash")
-        ).withColumn("_bands", F.expr(
-            "transform(sequence(0, 3), b -> substring(simhash, "
-            "b * 16 + 1, 16))"))
+        ).withColumn("_bands", bind_once(
+            F.col("simhash"),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.substr(s, b * 16 + 1, F.lit(16)))))
         ham = F.expr(
             "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
             "if(substring(sh_a, i, 1) <> substring(sh_b, i, 1), 1, 0))")

@@ -256,6 +256,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         F.col(vec_col), lambda x: x.cast("string"))))
     membership, reps = _exact_groups(emb, gkey, id_col,
                                      F.col(vec_col), "v")
+    # `v` is an AGGREGATE output (first(v)) — always materialized, so
+    # referencing it per plane is a cheap attribute read and needs no
+    # bind_once barrier (measured: binding it here costs ~2x in array
+    # copies; contrast dedup._minhash_banded, where the referenced
+    # column is a collapsible projection expression)
     banded = reps.select(
         "gkey",
         F.explode(F.array(*[
