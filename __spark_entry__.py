@@ -235,12 +235,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         textstats.token_count_col(t).alias("token_count"),
+        textstats.bpe_token_count_col(t).alias("bpe_token_count"),
         textstats.punct_ratio_col(t).alias("punct_ratio"),
         textstats.stopword_ratio_col(t).alias("stopword_ratio"),
         textstats.quality_score_col(t).alias("quality_score"),
         textstats.lang_id_col(t).alias("lang_id"),
         textstats.fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — MOSS-style;
+    the oracle re-derives k-gram hashing, the sliding min-window and
+    the distinct-set in DuckDB list SQL (arrays projected to csv for
+    the driver's sortable-schema contract)."""
+    # both outputs read the fingerprint array -> bind it once
+    both = dedup.bind_once(
+        dedup.winnowing_fingerprints_col(F.col("text")),
+        lambda f: F.struct(
+            F.size(f).cast("long").alias("n_fingerprints"),
+            F.concat_ws(",", f).alias("fingerprints_csv")))
+    return _docs(spark, sf_dir).select(
+        "doc_id", both.alias("_b")).select(
+        "doc_id", "_b.n_fingerprints", "_b.fingerprints_csv")
 
 
 # --- training-data pipeline: similarity search --------------------------------
@@ -461,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "text_stats": q_text_stats,
+        "text_winnowing": q_text_winnowing,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -726,6 +744,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "m AS (SELECT doc_id, text, "
             "CAST(len(tk) AS BIGINT) AS token_count, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+            "AS bpe_token_count, "
             "round(CAST(length(text) - length(regexp_replace(text, "
             "'[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
             "/ greatest(length(text), 1), 6) AS punct_ratio, "
@@ -739,7 +760,7 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(tkl, t -> t IN ('der', 'die', 'und', 'das', "
             "'ist', 'ein', 'nicht'))) AS de_v "
             "FROM toks) "
-            "SELECT doc_id, token_count, "
+            "SELECT doc_id, token_count, bpe_token_count, "
             "CAST(punct_ratio AS DOUBLE) AS punct_ratio, "
             "CAST(stopword_ratio AS DOUBLE) AS stopword_ratio, "
             "CAST(round(0.4 * least(1.0, "
@@ -753,6 +774,23 @@ def oracle_sql() -> dict[str, str]:
             "md5(trim(regexp_replace(regexp_replace(lower(text), "
             "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
             "FROM m"),
+        # Winnowing fingerprints re-derived: char 8-grams of the
+        # normalized text -> md5-prefix hashes -> min of each
+        # 4-hash window -> sorted distinct set
+        "text_winnowing": (
+            "WITH nrm AS (SELECT doc_id, "
+            "trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS t "
+            "FROM documents), "
+            "h AS (SELECT doc_id, list_transform(range(1, "
+            "greatest(len(t) - 7, 1) + 1), i -> "
+            "substr(md5(substr(t, i, 8)), 1, 8)) AS hs FROM nrm), "
+            "fp AS (SELECT doc_id, list_sort(list_distinct("
+            "list_transform(range(1, greatest(len(hs) - 3, 1) + 1), "
+            "j -> list_aggregate(list_slice(hs, j, j + 3), 'min')))) "
+            "AS fps FROM h) "
+            "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints, "
+            "array_to_string(fps, ',') AS fingerprints_csv FROM fp"),
         "similarity_topk": (
             "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec "
             "FROM embeddings WHERE vec_id < 3), "

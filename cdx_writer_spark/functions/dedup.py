@@ -312,6 +312,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return minhash_lsh_dedup(df, text_col, id_col, threshold=threshold)
 
 
+# --- Winnowing fingerprints --------------------------------------------------
+
+def winnowing_fingerprints_col(text: Column, k: int = 8,
+                               w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum; the distinct selected hashes are the
+    document's fingerprint set (guarantees: any shared substring of
+    length >= k+w-1 yields a shared fingerprint).
+
+    Engine-portable by construction — k-gram hash = first 8 hex chars
+    of md5 (lexicographic min == numeric min), so the DuckDB oracle
+    re-derives the set exactly.  All native (no Python); the
+    normalized text and the hash array are bind_once-bound because
+    both are referenced from iterating lambdas."""
+    from .textstats import normalized_text_col
+
+    def over_hashes(h: Column) -> Column:
+        n_win = F.greatest(F.size(h) - (w - 1), F.lit(1))
+        mins = F.transform(F.sequence(F.lit(1), n_win),
+                           lambda j: F.array_min(F.slice(h, j, w)))
+        return F.array_sort(F.array_distinct(mins))
+
+    def over_norm(nrm: Column) -> Column:
+        n_grams = F.greatest(F.length(nrm) - (k - 1), F.lit(1))
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(F.substr(nrm, i, F.lit(k))), 1, 8))
+        return bind_once(hashes, over_hashes)
+
+    return bind_once(normalized_text_col(text), over_norm)
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash_hex_col(text_expr: str, bands: int = 4,

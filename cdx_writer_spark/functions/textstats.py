@@ -74,6 +74,21 @@ def lang_id_col(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer shape, reduced to a regex both engines
+# implement identically: letter runs, digit runs, single
+# non-alphanumeric non-space marks.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count (the LLM-pipeline 'how many tokens is this
+    document' estimator): counts letter runs + digit runs + individual
+    punctuation marks — the shape of a byte-pair-encoding
+    pre-tokenizer, without a vocab.  Native regexp_count, zero Python;
+    DuckDB re-derives it with regexp_extract_all."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
 def normalized_text_col(text: Column) -> Column:
     """Dedup normalization: lowercase, strip non-alphanumerics,
     collapse whitespace."""

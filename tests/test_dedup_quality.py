@@ -172,6 +172,26 @@ def test_bucket_cap_drops_loudly(spark, caplog):
     assert len(pairs) == 50 * 49 // 2 + 1
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core property (Schleimer et al.): documents sharing
+    a normalized substring of length >= k + w - 1 (= 11 here) share at
+    least one fingerprint; unrelated texts share none (md5 8-hex-char
+    collisions aside)."""
+    shared = "identical plagiarized passage here"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"omega psi {shared} chi phi"),
+        (3, "completely different words nowhere overlapping at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: set(r.fps) for r in df.select(
+        "doc_id",
+        dedup.winnowing_fingerprints_col(F.col("text")).alias("fps"))
+        .collect()}
+    assert got[1] & got[2], "shared substring must share a fingerprint"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+
+
 def test_simhash_banded_equals_exact_hamming(spark, corpus):
     """simhash_near_pairs must equal the EXACT all-pairs Hamming <= 3
     set — the 4x16-bit banding is a guarantee, not a heuristic: <= 3
