@@ -346,6 +346,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_status")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize plumbing (1 row -> 1 row) with the
+    deterministic fake kernel (real PIL resize stubbed): the DuckDB
+    oracle recomputes resized_digest = md5(sha256(payload) || '@64x64')
+    and the raw RGB buffer size."""
+    pages = pages_from_documents(spark, sf_dir)
+    return multimodal.resize_images(
+        pages.select("doc_id", F.col("html").alias("payload")),
+        bin_col="payload", width=64, height=64, fake_resize=True)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame-sampling plumbing — the 1-row -> N-rows fan-out
+    batch shape (every 4th frame of a digest-derived frame count); the
+    DuckDB oracle re-derives frame counts, sampled indices, per-frame
+    digests and luma bytes from the same hash chain."""
+    pages = pages_from_documents(spark, sf_dir)
+    return multimodal.sample_frames(
+        pages.select("doc_id", F.col("html").alias("payload")),
+        bin_col="payload", stride=4, fake_decode=True)
+
+
 # --- frontier scheduler (north rule; no reference counterpart) ----------------
 
 def _frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "frontier_topk": q_frontier_topk,
         "frontier_seen_split": q_frontier_seen_split,
         "frontier_crawl": q_frontier_crawl,
@@ -829,6 +853,37 @@ def oracle_sql() -> dict[str, str]:
             "AS VARCHAR)), ',') AS features_csv, "
             "'ok_fake' AS decode_status "
             "FROM pay"),
+        # Fake-resize recomputed: digest chain md5(sha256(payload) ||
+        # '@64x64'), raw RGB buffer size 64*64*3
+        "multimodal_resize": (
+            _W + ", pay AS (SELECT doc_id, "
+            f"sha256({_PAYLOAD_SQL}) AS dg FROM pages) "
+            "SELECT doc_id, CAST(64 AS INTEGER) AS out_width, "
+            "CAST(64 AS INTEGER) AS out_height, "
+            "CAST(64 * 64 * 3 AS BIGINT) AS resized_bytes, "
+            "md5(dg || '@64x64') AS resized_digest, "
+            "'ok_fake' AS resize_status FROM pay"),
+        # Frame sampling re-derived: n_frames = 8 + (sha256 byte 2 mod
+        # 25), every 4th index unnested, frame digest + luma byte from
+        # the same md5 chain the kernel uses
+        "multimodal_frames": (
+            _W + ", pay AS (SELECT doc_id, "
+            f"sha256({_PAYLOAD_SQL}) AS dg FROM pages), "
+            "nf AS (SELECT doc_id, dg, "
+            f"CAST(8 + {_HEX_BYTE.format(p1=5, p2=6)} % 25 AS INTEGER) "
+            "AS n_frames FROM pay), "
+            "fr AS (SELECT doc_id, n_frames, "
+            "unnest(range(0, n_frames, 4)) AS fi, dg FROM nf), "
+            "fd AS (SELECT doc_id, n_frames, "
+            "CAST(fi AS INTEGER) AS frame_index, "
+            "md5(dg || ':' || CAST(fi AS VARCHAR)) AS frame_digest "
+            "FROM fr) "
+            "SELECT doc_id, n_frames, frame_index, frame_digest, "
+            "CAST((strpos('0123456789abcdef', "
+            "substr(frame_digest, 1, 1)) - 1) * 16 "
+            "+ (strpos('0123456789abcdef', "
+            "substr(frame_digest, 2, 1)) - 1) AS INTEGER) "
+            "AS frame_luma_x256 FROM fd"),
         "similarity_ivf": (
             "WITH c AS (SELECT vec_id AS cid, embedding AS cvec "
             "FROM embeddings WHERE vec_id % 37 = 0), "

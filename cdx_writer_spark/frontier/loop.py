@@ -110,16 +110,31 @@ def latest_round(state_dir: str) -> int:
     return best
 
 
+def _write_concurrent(rnd_dir: str, named: list[tuple[str, DataFrame]]
+                      ) -> None:
+    """Submit the independent state writes from one thread each: the
+    per-job fixed cost (submission, task scheduling, output commit) is
+    serial time a 4x-core level cannot parallelize away when jobs run
+    back-to-back, but concurrent jobs fill each other's idle task
+    slots.  Content is unaffected — each write is the same
+    deterministic frame — so the crawl-order digest is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item: tuple[str, DataFrame]) -> None:
+        sub, df = item
+        df.write.mode("overwrite").parquet(os.path.join(rnd_dir, sub))
+
+    with ThreadPoolExecutor(max_workers=len(named)) as ex:
+        # list() so every future's exception propagates
+        list(ex.map(one, named))
+
+
 def _commit(rnd_dir: str, frontier: DataFrame, seen: DataFrame,
             filters: DataFrame, scheduled: DataFrame,
             metrics: DataFrame) -> None:
-    frontier.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "frontier"))
-    seen.write.mode("overwrite").parquet(os.path.join(rnd_dir, "seen"))
-    filters.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "filters"))
-    scheduled.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "scheduled"))
+    _write_concurrent(rnd_dir, [
+        ("frontier", frontier), ("seen", seen), ("filters", filters),
+        ("scheduled", scheduled)])
     # metrics last: its _SUCCESS is the round's commit marker
     metrics.write.mode("overwrite").parquet(
         os.path.join(rnd_dir, "metrics"))
@@ -312,14 +327,12 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
         scheduled, f"scheduled_{rnd}")
     seen_obs, get_new = _observed_count(seen_delta, f"seen_{rnd}")
 
-    frontier_next.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "frontier"))
-    seen_obs.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "seen"))
-    filters_next.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "filters"))
-    scheduled_obs.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "scheduled"))
+    # the four independent state writes are submitted concurrently
+    # (shared upstream stages are persisted above, so the writers
+    # reuse — not recompute — batch/flagged/new)
+    _write_concurrent(rnd_dir, [
+        ("frontier", frontier_next), ("seen", seen_obs),
+        ("filters", filters_next), ("scheduled", scheduled_obs)])
     # metrics last: its _SUCCESS is the round's commit marker.
     # coalesce(1): the frame is one row per filter partition (~64) but
     # inherits shuffle-partition fan-out from its joins — writing it

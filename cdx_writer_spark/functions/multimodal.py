@@ -115,3 +115,132 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
 
     return df.select(id_col, bin_col).mapInPandas(
         kernel, schema=IMAGE_DECODE_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+    StructField("resized_bytes", LongType()),
+    StructField("resized_digest", StringType()),
+    StructField("resize_status", StringType()),
+])
+
+
+def resize_images(df: DataFrame, bin_col: str = "payload",
+                  id_col: str = "doc_id", width: int = 64,
+                  height: int = 64, fake_resize: bool = False) -> DataFrame:
+    """Arrow-batched image resize over mapInPandas (1 row -> 1 row).
+
+    The real kernel (PIL/cv2 ``Image.resize``) is absent from this
+    container, so it is the clearly-marked NotImplementedError
+    integration point; ``fake_resize=True`` substitutes a deterministic
+    stand-in — resized_digest = md5(sha256(payload) || '@WxH') and
+    resized_bytes = W*H*3 (the raw RGB buffer a real resize would
+    produce) — so the batching/schema/pruning plumbing is fully
+    testable and the DuckDB oracle recomputes every value (both
+    engines hash the same lowercase-hex UTF-8 string).
+    """
+
+    tag = f"@{width}x{height}"
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "out_width": [], "out_height": [],
+                   "resized_bytes": [], "resized_digest": [],
+                   "resize_status": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                out["doc_id"].append(doc_id)
+                if payload is None:
+                    out["out_width"].append(None)
+                    out["out_height"].append(None)
+                    out["resized_bytes"].append(None)
+                    out["resized_digest"].append(None)
+                    out["resize_status"].append("null_payload")
+                    continue
+                if not fake_resize:
+                    try:
+                        import PIL  # noqa: F401
+                    except ImportError:
+                        raise NotImplementedError(
+                            "image resize requires PIL/cv2, absent in this "
+                            "environment; pass fake_resize=True for the "
+                            "deterministic test double")
+                dg = hashlib.sha256(bytes(payload)).hexdigest()
+                out["out_width"].append(width)
+                out["out_height"].append(height)
+                out["resized_bytes"].append(width * height * 3)
+                out["resized_digest"].append(
+                    hashlib.md5((dg + tag).encode()).hexdigest())
+                out["resize_status"].append("ok_fake")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=IMAGE_RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_index", IntegerType()),
+    StructField("frame_digest", StringType()),
+    StructField("frame_luma_x256", IntegerType()),
+])
+
+
+def sample_frames(df: DataFrame, bin_col: str = "payload",
+                  id_col: str = "doc_id", stride: int = 4,
+                  fake_decode: bool = False) -> DataFrame:
+    """Video frame sampling over mapInPandas — the 1-row -> N-rows batch
+    shape (each input payload fans out to every ``stride``-th frame).
+
+    Real frame extraction needs ffmpeg/cv2 (absent here): the kernel is
+    the marked NotImplementedError integration point.  With
+    ``fake_decode=True`` the frame count and per-frame values derive
+    deterministically from the payload digest — n_frames = 8 +
+    (sha256 byte 2 mod 25), frame_digest = md5(hex_digest ':' index),
+    luma byte = first byte of the frame digest — stable across runs
+    and partitionings, and independently recomputable by the DuckDB
+    oracle (range + md5 over the same strings).
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_index": [],
+                   "frame_digest": [], "frame_luma_x256": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(None)
+                    out["frame_index"].append(None)
+                    out["frame_digest"].append(None)
+                    out["frame_luma_x256"].append(None)
+                    continue
+                if not fake_decode:
+                    try:
+                        import cv2  # noqa: F401
+                    except ImportError:
+                        raise NotImplementedError(
+                            "frame sampling requires ffmpeg/cv2, absent in "
+                            "this environment; pass fake_decode=True for "
+                            "the deterministic test double")
+                d = hashlib.sha256(bytes(payload))
+                hx = d.hexdigest()
+                n_frames = 8 + d.digest()[2] % 25
+                for i in range(0, n_frames, stride):
+                    fd = hashlib.md5(f"{hx}:{i}".encode()).hexdigest()
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(n_frames)
+                    out["frame_index"].append(i)
+                    out["frame_digest"].append(fd)
+                    out["frame_luma_x256"].append(int(fd[:2], 16))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=FRAME_SAMPLE_SCHEMA)
