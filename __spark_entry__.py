@@ -148,6 +148,51 @@ def q_cdx_date_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-sniff taxonomy (HttpHandler.parse_charset,
+    cdx_writer.py:324-343) over synthesized HTTP blocks: the header
+    charset wins; a QUOTED header charset fails the reference's value
+    pattern (quote stops ``[a-z0-9_-]+``) and falls through to the
+    ``<meta http-equiv=content-type>`` tag; ``win-`` normalizes to
+    ``windows-``.  Runs the real pipeline pieces — ``http_split`` ->
+    ``meta_tags_udf`` -> ``charset_column`` — over raw bytes; the
+    oracle re-runs the sniff regexes in DuckDB on the same synthesized
+    strings."""
+    from cdx_writer_spark.fields import charset_column
+    from cdx_writer_spark.udfs import http_split, meta_tags_udf
+
+    d = F.col("doc_id")
+    ct_value = (
+        F.when(d % 7 == 1, F.lit("text/html; charset=UTF-8"))
+        .when(d % 7 == 2, F.lit("text/html; charset=win-1252"))
+        .when(d % 7 == 3, F.lit("text/html; charset = iso-8859-1"))
+        .when(d % 7 == 5, F.lit("TEXT/HTML; CHARSET=Shift_JIS"))
+        .when(d % 7 == 6, F.lit('text/html; charset="utf-8"'))
+        .otherwise(F.lit("text/html"))  # 0 and 4: no header charset
+    )
+    meta_tag = (
+        F.when(d % 7 == 0,
+               F.lit('<meta http-equiv="Content-Type" '
+                     'content="text/html; charset=utf-8">'))
+        .when(d % 7 == 6,
+              F.lit('<meta http-equiv="content-type" '
+                    'content="text/html; charset=EUC-JP">'))
+        .otherwise(F.lit(""))
+    )
+    block = F.encode(
+        F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct_value,
+                 F.lit("\r\n\r\n<html><head>"), meta_tag,
+                 F.lit("</head><body>ok</body></html>")), "UTF-8")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", http_split(block).alias("_s"))
+        .select("doc_id",
+                charset_column(F.col("_s.headers"),
+                               meta_tags_udf(F.col("_s.body")))
+                .alias("charset"))
+    )
+
+
 def q_cdx_checksum_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-field digest-header fast path (cdx_writer.py:449-453): the
     'sha1:' strip is native; payload bytes never reach Python."""
@@ -491,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_stats": q_cdx_stats,
         "cdx_excluded": q_cdx_excluded,
         "cdx_date_norm": q_cdx_date_norm,
+        "cdx_charset": q_cdx_charset,
         "cdx_checksum_fast": q_cdx_checksum_fast,
         "cdx_checksum_computed": q_cdx_checksum_computed,
         "cdx_mime_status": q_cdx_mime_status,
@@ -677,6 +723,26 @@ def oracle_sql() -> dict[str, str]:
             "ELSE strftime(TIMESTAMP '2011-02-18 23:32:56' "
             "+ to_seconds(doc_id), '%Y%m%d%H%M%S') END AS date14 "
             "FROM documents"),
+        "cdx_charset": (
+            "WITH blocks AS (SELECT doc_id, "
+            "CASE doc_id % 7 "
+            "WHEN 1 THEN 'text/html; charset=UTF-8' "
+            "WHEN 2 THEN 'text/html; charset=win-1252' "
+            "WHEN 3 THEN 'text/html; charset = iso-8859-1' "
+            "WHEN 5 THEN 'TEXT/HTML; CHARSET=Shift_JIS' "
+            "WHEN 6 THEN 'text/html; charset=\"utf-8\"' "
+            "ELSE 'text/html' END AS ct, "
+            "CASE doc_id % 7 "
+            "WHEN 0 THEN 'text/html; charset=utf-8' "
+            "WHEN 6 THEN 'text/html; charset=EUC-JP' "
+            "ELSE NULL END AS meta_ct "
+            "FROM documents) "
+            "SELECT doc_id, replace(COALESCE("
+            "NULLIF(regexp_extract(ct, "
+            "'(?i)charset\\s*=\\s*([a-z0-9_-]+)', 1), ''), "
+            "NULLIF(regexp_extract(meta_ct, "
+            "'(?i)charset\\s*=\\s*([a-z0-9_-]+)', 1), '')), "
+            "'win-', 'windows-') AS charset FROM blocks"),
         "cdx_checksum_fast": (
             _W + " SELECT doc_id, digest AS new_style_checksum "
             "FROM admitted "

@@ -217,6 +217,39 @@ def aif_meta_tags_column(handler: Column, mime_type: Column, payload: Column,
                   ).otherwise(F.lit(None))
 
 
+# --- charset sniff (cdx_writer.py:324-343) ------------------------------------
+
+# The reference's charset_pattern (cdx_writer.py:386): value chars are
+# [a-z0-9_-] case-insensitively, so a quoted charset ("utf-8") does NOT
+# match — the quote stops the required first char — and the sniff falls
+# through to the meta tag, which this expression reproduces.
+_RE_CHARSET = r"(?i)charset\s*=\s*([a-z0-9_\-]+)"
+
+
+def charset_column(http_headers: Column, meta_tags: Column) -> Column:
+    """Charset detection (HttpHandler.parse_charset, cdx_writer.py:324-343):
+    the HTTP Content-Type header value wins; the HTML
+    ``<meta http-equiv=content-type>`` map entry is the fallback; a
+    ``win-`` prefix is normalized to ``windows-`` (:341-342).  In the
+    reference this feeds only the disabled redirect computation
+    (:300-322); it is exposed here as a standalone helper so the full
+    §2 surface carries over.  All-native: two regexp_extracts and a
+    literal replace, no UDF."""
+    # parse_http_header('content-type') is an unanchored search with
+    # re.I and a to-end-of-line capture (cdx_writer.py:360-363)
+    ct_header = F.nullif(
+        F.regexp_extract(http_headers, r"(?i)content-type:\s*(.+)", 1),
+        F.lit(""))
+    from_header = F.nullif(
+        F.regexp_extract(ct_header, _RE_CHARSET, 1), F.lit(""))
+    from_meta = F.nullif(
+        F.regexp_extract(F.element_at(meta_tags, F.lit("content-type")),
+                         _RE_CHARSET, 1),
+        F.lit(""))
+    charset = F.coalesce(from_header, from_meta)
+    return F.replace(charset, F.lit("win-"), F.lit("windows-"))
+
+
 # --- N/a/g assembly ------------------------------------------------------------
 
 def add_cdx_field_columns(df: DataFrame, *, host_massage: bool = True,

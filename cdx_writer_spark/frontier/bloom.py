@@ -122,6 +122,17 @@ class BloomFilter:
             [self.bits, np.zeros(pad, dtype=np.uint8)])
         return [int(w) for w in b.view("<i8")]
 
+    @classmethod
+    def from_longs(cls, longs, n_bits: int, k: int,
+                   n_items: int = 0) -> "BloomFilter":
+        """Inverse of :meth:`to_longs`: rebuild the byte-level filter
+        from the little-endian int64 word view (the native fold path
+        assembles words JVM-side and only crosses into Python for this
+        64-row blob serialization)."""
+        b = np.asarray(longs, dtype="<i8").view(np.uint8)
+        n_bytes = (int(n_bits) + 7) // 8
+        return cls(n_bits, k, bits=b[:n_bytes].copy(), n_items=n_items)
+
     # --- serialization ---------------------------------------------------
 
     def to_bytes(self) -> bytes:

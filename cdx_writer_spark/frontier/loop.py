@@ -77,6 +77,21 @@ class CrawlConfig:
     # (per-pid shuffle, the 10^10-key path where filter state is too
     # big to broadcast).
     probe_strategy: str = "native"
+    # Bloom FOLD strategy (seen.update_filters): 'native' explodes the
+    # k probe positions JVM-side and bit_or-aggregates words (Python
+    # sees only the n_partitions final blob serializations); 'pandas'
+    # is the cogroup/numpy fold.  Byte parity between the two is
+    # property-tested.
+    fold_strategy: str = "native"
+    # Prepare the web table once per run_crawl call: repartition by
+    # surt_key + sort within partitions + persist.  The fetch join's
+    # BIG side then satisfies the SortMergeJoin's distribution and
+    # ordering from cache — measured as the dominant per-round cost
+    # (regenerate + exchange + sort of the full web EVERY round).
+    # This is the sandbox stand-in for the real-scale design (a
+    # surt-bucketed Iceberg/parquet web table, where the exchange
+    # happens zero times); content and crawl order are unchanged.
+    prepare_web: bool = True
 
 
 def _round_dir(state_dir: str, rnd: int) -> str:
@@ -129,15 +144,23 @@ def _write_concurrent(rnd_dir: str, named: list[tuple[str, DataFrame]]
         list(ex.map(one, named))
 
 
-def _commit(rnd_dir: str, frontier: DataFrame, seen: DataFrame,
-            filters: DataFrame, scheduled: DataFrame,
-            metrics: DataFrame) -> None:
-    _write_concurrent(rnd_dir, [
-        ("frontier", frontier), ("seen", seen), ("filters", filters),
-        ("scheduled", scheduled)])
-    # metrics last: its _SUCCESS is the round's commit marker
-    metrics.write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "metrics"))
+def _profile_phase(label: str, fn):
+    """Opt-in phase profiler (SPARK_GRAFT_ROUND_PROFILE=1): times a
+    blocking action and prints it to stderr.  Profiling forces extra
+    materialization actions in run_round to decompose the round's
+    wall time — it changes what is measured, never what is computed,
+    and stays off in benchmarks."""
+    import sys
+    import time as _time
+
+    t0 = _time.monotonic()
+    out = fn()
+    print(f"[round-profile] {label}: {_time.monotonic() - t0:.2f}s",
+          file=sys.stderr, flush=True)
+    return out
+
+
+_PROFILE = "SPARK_GRAFT_ROUND_PROFILE"
 
 
 def _observed_count(df: DataFrame, obs_name: str):
@@ -168,15 +191,28 @@ def init_state(spark: SparkSession, seeds: DataFrame, state_dir: str,
     filters = seenmod.update_filters(
         seeds, seenmod.empty_filters(spark, cfg.n_partitions,
                                      cfg.filter_capacity, cfg.filter_fpr),
-        cfg.n_partitions, cfg.filter_capacity, cfg.filter_fpr)
+        cfg.n_partitions, cfg.filter_capacity, cfg.filter_fpr,
+        strategy=cfg.fold_strategy)
     scheduled = seeds.limit(0).withColumn(
         "host_pos", F.lit(0)).withColumn("round", F.lit(-1))
+    # the seed count rides the frontier write as an Observation — a
+    # standalone seeds.count() was a full extra job over the seeds DAG
+    # (pure fixed cost at every parallelism level)
+    rnd_dir = _round_dir(state_dir, 0)
+    seeds_obs, get_n = _observed_count(seeds, "seeds_init")
+    _write_concurrent(rnd_dir, [
+        ("frontier", seeds_obs), ("seen", seen_tbl),
+        ("filters", filters), ("scheduled", scheduled)])
+    n_seeds = get_n()
+    if n_seeds is None:   # empty-input action: observation absent
+        n_seeds = spark.read.parquet(
+            os.path.join(rnd_dir, "frontier")).count()
     metrics = spark.createDataFrame(
-        [(-1, -1, seeds.count(), 0, 0, 0)],
+        [(-1, -1, n_seeds, 0, 0, 0)],
         "round int, partition_id int, candidates_in long, "
         "maybe_seen long, new_keys long, filter_items long")
-    _commit(_round_dir(state_dir, 0), seeds, seen_tbl, filters,
-            scheduled, metrics)
+    metrics.write.mode("overwrite").parquet(
+        os.path.join(rnd_dir, "metrics"))
 
 
 def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
@@ -281,19 +317,24 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
         new.select("surt_key"), cfg.n_partitions)
     # append-only: this round's seen dir holds ONLY the new keys
     seen_delta = new_keyed.select("surt_key", "pid")
+    # persisted: the fold (cogroup over n_partitions blobs) executes
+    # once — inside the filters checkpoint write — and the metrics
+    # join below reuses the cached 64 rows instead of either
+    # re-executing the fold OR re-reading the just-committed parquet
+    # (the round-2 workaround; the read-back was ~1s/round of pure
+    # fixed cost at every parallelism level)
     filters_next = seenmod.update_filters(
         new, filters, cfg.n_partitions, cfg.filter_capacity,
-        cfg.filter_fpr)
+        cfg.filter_fpr, strategy=cfg.fold_strategy).persist()
 
     # per-partition lineage — derived from the PERSISTED flagged frame
     # (flagged ≡ discovered + maybe_seen), never from the discover DAG:
     # recomputing that lineage would re-run the fetch join + outlink
     # explode once more per metric.  candidates_in + maybe_seen come
     # from ONE aggregation pass (not two frames full-joined), and the
-    # filter_items column joins the COMMITTED filters parquet, not the
-    # filters_next DAG — referencing filters_next here re-executed the
-    # Bloom cogroup fold a second time every round (measured as the
-    # largest per-round fixed cost after the checkpoint writes).
+    # filter_items column joins the PERSISTED filters_next frame,
+    # already materialized by the checkpoint write that precedes the
+    # metrics write.
     rnd_dir = _round_dir(state_dir, rnd)
     flagged_keyed = seenmod.with_hash_cols(flagged, cfg.n_partitions)
     cand_by_pid = flagged_keyed.groupBy("pid").agg(
@@ -330,18 +371,31 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
     # the four independent state writes are submitted concurrently
     # (shared upstream stages are persisted above, so the writers
     # reuse — not recompute — batch/flagged/new)
-    _write_concurrent(rnd_dir, [
-        ("frontier", frontier_next), ("seen", seen_obs),
-        ("filters", filters_next), ("scheduled", scheduled_obs)])
-    # metrics last: its _SUCCESS is the round's commit marker.
-    # coalesce(1): the frame is one row per filter partition (~64) but
-    # inherits shuffle-partition fan-out from its joins — writing it
-    # wide is pure per-round fixed cost (task launch + file create per
-    # partition) that a 4x-core level cannot parallelize away
-    metrics_from(
-        spark.read.parquet(os.path.join(rnd_dir, "filters"))
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(rnd_dir, "metrics"))
+    if os.environ.get(_PROFILE) == "1":
+        # decompose the round: force each persisted stage in turn so
+        # the write block's cost separates from the compute stages
+        _profile_phase("schedule(batch)", batch.count)
+        _profile_phase("probe(flagged)", flagged.count)
+        _profile_phase("verify(new)", new.count)
+        _profile_phase("commit(4 writes)", lambda: _write_concurrent(
+            rnd_dir, [("frontier", frontier_next), ("seen", seen_obs),
+                      ("filters", filters_next),
+                      ("scheduled", scheduled_obs)]))
+        _profile_phase("metrics", lambda: metrics_from(filters_next)
+                       .coalesce(1).write.mode("overwrite").parquet(
+                           os.path.join(rnd_dir, "metrics")))
+    else:
+        _write_concurrent(rnd_dir, [
+            ("frontier", frontier_next), ("seen", seen_obs),
+            ("filters", filters_next), ("scheduled", scheduled_obs)])
+        # metrics last: its _SUCCESS is the round's commit marker.
+        # coalesce(1): the frame is one row per filter partition (~64)
+        # but inherits shuffle-partition fan-out from its joins —
+        # writing it wide is pure per-round fixed cost (task launch +
+        # file create per partition) that a 4x-core level cannot
+        # parallelize away
+        metrics_from(filters_next).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(rnd_dir, "metrics"))
 
     n_scheduled = get_scheduled()
     n_new = get_new()
@@ -354,6 +408,7 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
     batch.unpersist()
     flagged.unpersist()
     new.unpersist()
+    filters_next.unpersist()
     for b in bloom_cleanup:
         b.unpersist()
     return {"round": rnd, "scheduled": n_scheduled, "new_urls": n_new}
@@ -372,12 +427,29 @@ def run_crawl(spark: SparkSession, web: DataFrame, state_dir: str,
             raise ValueError("fresh crawl needs seeds")
         init_state(spark, seeds, state_dir, cfg)
         start = 0
+    prepped = None
+    if cfg.prepare_web:
+        from pyspark import StorageLevel
+
+        # DISK_ONLY: the prepared web is a full-scan-per-round table —
+        # the serialized columnar form on executor-local disk is the
+        # honest cluster pattern (a bucketed table scan) and keeps the
+        # multi-GB cache out of the execution heap, where it competes
+        # with the round's joins exactly when parallelism is highest
+        prepped = (web.repartition("surt_key")
+                   .sortWithinPartitions("surt_key")
+                   .persist(StorageLevel.DISK_ONLY))
+        web = prepped
     out = []
-    for rnd in range(start + 1, start + 1 + n_rounds):
-        summary = run_round(spark, web, state_dir, rnd, rules, cfg)
-        out.append(summary)
-        if summary["scheduled"] == 0:
-            break  # frontier drained
+    try:
+        for rnd in range(start + 1, start + 1 + n_rounds):
+            summary = run_round(spark, web, state_dir, rnd, rules, cfg)
+            out.append(summary)
+            if summary["scheduled"] == 0:
+                break  # frontier drained
+    finally:
+        if prepped is not None:
+            prepped.unpersist()
     return out
 
 

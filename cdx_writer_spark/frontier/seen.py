@@ -249,13 +249,117 @@ def split_new(candidates: DataFrame, filters: DataFrame, seen: DataFrame,
     return definitely_new.unionByName(verified_new)
 
 
+def _update_filters_native(new_keys: DataFrame, filters: DataFrame,
+                           n_partitions: int, capacity: int,
+                           fpr: float) -> DataFrame:
+    """The Bloom fold as (almost) pure Catalyst: explode each new key
+    into its k probe positions (the SAME masked double-hash arithmetic
+    as ``_native_probe_col`` — bit parity is property-tested against
+    the numpy fold), ``bit_or`` the per-word bit masks with map-side
+    partial aggregation, then merge the sparse new words onto the
+    dense old word arrays.  Python touches exactly ``n_partitions``
+    final rows — the blob header serialization — instead of every new
+    key (the pandas-cogroup fold shipped the whole keyed delta through
+    Arrow, and its Python workers borrowing cores beyond the task-slot
+    count is a single-box scaling distortion).
+
+    Word-count note: all filters produced by ``empty_filters``/this
+    fold share the uniform config geometry; a partition absent from
+    ``filters`` (never the case after init_state) gets the default
+    geometry, like the pandas fold."""
+    from .bloom import H1_MASK, H2_MASK
+
+    sized = BloomFilter.sized_for(capacity, fpr)
+    d_words = len(sized.to_longs())
+
+    keyed = with_hash_cols(new_keys.select("surt_key"), n_partitions)
+    geo = filters.select(F.col("partition_id").alias("pid"),
+                         F.col("n_bits").alias("_nb"),
+                         F.col("k").alias("_k"))
+    g = keyed.join(F.broadcast(geo), "pid", "left")
+    h1m = F.col("h1").bitwiseAND(F.lit(H1_MASK))
+    h2m = F.col("h2").bitwiseAND(F.lit(H2_MASK)).bitwiseOR(F.lit(1))
+    nb = F.coalesce(F.col("_nb"), F.lit(sized.n_bits))
+    kk = F.coalesce(F.col("_k"), F.lit(sized.k))
+    pos = F.explode(F.transform(
+        F.sequence(F.lit(0), kk - F.lit(1)),
+        lambda i: F.pmod(h1m + i.cast("long") * h2m, nb)))
+    sparse = (
+        g.select("pid", pos.alias("p"))
+        .groupBy("pid", F.shiftright("p", 6).alias("word"))
+        .agg(F.bit_or(F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            F.pmod("p", F.lit(64)).cast("int"))).alias("add_bits"))
+    )
+    counts = keyed.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("_n_new"))
+
+    # dense word skeleton: existing filters posexplode their word
+    # arrays; pids seen only in the delta synthesize default-geometry
+    # zero words
+    old_words = filters.select(
+        F.col("partition_id").alias("pid"),
+        F.posexplode("bits_longs").alias("word", "old_bits"))
+    new_pids = (keyed.select("pid").distinct()
+                .join(geo.select("pid"), "pid", "left_anti"))
+    zero_words = new_pids.select(
+        "pid", F.explode(F.sequence(
+            F.lit(0), F.lit(d_words - 1))).alias("word"),
+        F.lit(0).cast("long").alias("old_bits"))
+    dense = old_words.unionByName(zero_words)
+    merged = (
+        dense.join(sparse, ["pid", "word"], "left")
+        .select("pid", "word",
+                F.col("old_bits").bitwiseOR(
+                    F.coalesce("add_bits", F.lit(0))).alias("bits"))
+    )
+    folded = merged.groupBy("pid").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("word", "bits"))),
+                    lambda s: s["bits"]).alias("bits_longs"))
+
+    meta = (filters.select(F.col("partition_id").alias("pid"),
+                           "n_bits", "k", "n_items")
+            .unionByName(new_pids.select(
+                "pid",
+                F.lit(sized.n_bits).cast("long").alias("n_bits"),
+                F.lit(sized.k).cast("int").alias("k"),
+                F.lit(0).cast("long").alias("n_items")))
+            .join(counts, "pid", "left")
+            .select("pid", "n_bits", "k",
+                    (F.col("n_items")
+                     + F.coalesce("_n_new", F.lit(0))).alias("n_items")))
+
+    # blob header+bytes: n_partitions rows of pure serialization — a
+    # row-at-a-time UDF is fine at this cardinality
+    blob = F.udf(
+        lambda longs, nbits, k_, items: BloomFilter.from_longs(
+            longs, nbits, k_, items).to_bytes(),
+        "binary")
+    return (
+        folded.join(F.broadcast(meta), "pid")
+        .select(F.col("pid").alias("partition_id"),
+                blob("bits_longs", "n_bits", "k", "n_items")
+                .alias("filter_blob"),
+                "n_items", "bits_longs", "n_bits", "k")
+    )
+
+
 def update_filters(new_keys: DataFrame, filters: DataFrame,
                    n_partitions: int = DEFAULT_PARTITIONS,
                    capacity: int = DEFAULT_CAPACITY,
-                   fpr: float = DEFAULT_FPR) -> DataFrame:
+                   fpr: float = DEFAULT_FPR,
+                   strategy: str = "native") -> DataFrame:
     """Fold new SURT keys into the partition blobs; returns the full
     next-generation filters table (one row per partition — partitions
-    with no new keys pass their blob through unchanged)."""
+    with no new keys pass their blob through unchanged).
+
+    ``strategy='native'`` (default) folds JVM-side with only the final
+    per-partition blob serialization in Python;  ``'pandas'`` is the
+    cogroup fold (numpy per partition), kept as the cross-check the
+    parity property test runs both of."""
+    if strategy == "native":
+        return _update_filters_native(new_keys, filters, n_partitions,
+                                      capacity, fpr)
     keyed = with_hash_cols(new_keys.select("surt_key"), n_partitions)
 
     def fold(kpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:

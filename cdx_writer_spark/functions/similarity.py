@@ -154,6 +154,97 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     return topk_per_query(scored, k, q_id_col, id_col)
 
 
+def _codebook_row(cents: DataFrame) -> DataFrame:
+    """Aggregate a (cid, cvec) codebook into ONE row holding a
+    cid-sorted array of (cid, cvec) structs — the broadcastable form
+    every assignment stage cross-joins onto the scan (collect_list
+    order is partition-dependent; array_sort on the leading cid field
+    restores determinism)."""
+    return cents.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("cid"), F.col("cvec")))).alias("_codebook"))
+
+
+def _nearest_cells(vec: Column, n: int) -> Column:
+    """The ``n`` best cells of ``_codebook`` for ``vec``: highest
+    cosine, ties toward the lower centroid id (array_sort ascending on
+    struct(cos, neg_cid), then reverse + slice)."""
+    scored = F.transform(
+        F.col("_codebook"),
+        lambda c: F.struct(
+            F.round(cosine_col(vec, c["cvec"]), 9).alias("cos"),
+            (-c["cid"]).alias("neg_cid")))
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda s: -s["neg_cid"])
+
+
+def kmeans_codebook(emb: DataFrame, n_centroids: int = 8,
+                    n_iter: int = 4, quant: int = 1024,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Train an IVF codebook with spherical Lloyd iterations, fully
+    distributed and **deterministic at any partitioning**.
+
+    Why this is safe to run on 100 TB where naive KMeans is not:
+
+    * Inputs are quantized to the ``1/quant`` grid (``quant`` a power
+      of two), so every per-cell coordinate sum is a dyadic rational
+      with bounded denominator — IEEE double addition of such values
+      is EXACT (no rounding while ``|sum|*quant < 2^53``), hence
+      **order-independent**: the same codebook falls out at 2 or 2000
+      partitions, and re-runs are byte-identical (the property the
+      determinism test pins).
+    * The mean recomputation is a posexplode over (cell, pos, val)
+      with map-side partial ``sum``/``count`` aggregation — a narrow
+      3-column shuffle of size rows×dim, never a ``collect()``; the
+      codebook itself only ever materializes as ``n_centroids`` rows.
+    * Assignment reuses the broadcast one-row codebook cross-join of
+      :func:`ivf_topk` — a map-only stage, no shuffle.
+
+    Seeding is deterministic: the ``n_centroids`` lowest-id vectors.
+    Cells that lose all members keep their previous centroid.  Means
+    are re-quantized to the grid so the NEXT iteration's sums stay
+    exact.  Assignment scores by cosine (scale-invariant), so this is
+    spherical k-means; pass the result as ``codebook=`` to
+    :func:`ivf_topk`.
+    """
+    qgrid = F.lit(float(quant))
+    q = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(_as_double(F.col(vec_col)),
+                    lambda x: F.round(x * qgrid) / qgrid).alias("_qv"))
+    cents = (q.orderBy("_id").limit(n_centroids)
+             .select(F.col("_id").alias("cid"), F.col("_qv").alias("cvec"))
+             .persist())
+    cents.count()
+    for _ in range(n_iter):
+        cb = _codebook_row(cents)
+        assigned = q.crossJoin(F.broadcast(cb)).select(
+            "_qv", _nearest_cells(F.col("_qv"), 1)[0].alias("cell"))
+        means = (
+            assigned.select("cell", F.posexplode("_qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .select("cell", "pos",
+                    (F.round(F.col("s") / F.col("c") * qgrid) / qgrid)
+                    .alias("m")))
+        new_cents = (
+            means.groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cvec"))
+            .select(F.col("cell").alias("cid"), "cvec"))
+        prev = cents
+        cents = (prev.select("cid", F.col("cvec").alias("_prev"))
+                 .join(new_cents, "cid", "left")
+                 .select("cid",
+                         F.coalesce(F.col("cvec"), F.col("_prev"))
+                         .alias("cvec"))
+                 .persist())
+        cents.count()   # materialize: keeps the unrolled-loop lineage flat
+        prev.unpersist()
+    return cents
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 37, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -187,29 +278,13 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     if cents.limit(1).count() == 0:
         raise ValueError("no centroids: stride larger than id range "
                          "(or empty codebook)")
-    # one row: the codebook as a cid-sorted array of (cid, cvec)
-    # structs (collect_list order is partition-dependent; array_sort
-    # on the struct restores determinism via the leading cid field)
-    cb = cents.agg(F.array_sort(F.collect_list(
-        F.struct(F.col("cid"), F.col("cvec")))).alias("_codebook"))
-
-    def cells_for(vec, n):
-        # array_sort ascending on struct(cos, neg_cid); reverse+slice
-        # keeps the n best cells: highest cosine, ties -> lowest cid
-        scored = F.transform(
-            F.col("_codebook"),
-            lambda c: F.struct(
-                F.round(cosine_col(vec, c["cvec"]), 9).alias("cos"),
-                (-c["cid"]).alias("neg_cid")))
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda s: -s["neg_cid"])
-
+    cb = _codebook_row(cents)
     assigned = emb.crossJoin(F.broadcast(cb)).select(
         F.col(id_col), F.col(vec_col),
-        cells_for(F.col(vec_col), 1)[0].alias("cell"))
+        _nearest_cells(F.col(vec_col), 1)[0].alias("cell"))
     q_cells = queries.crossJoin(F.broadcast(cb)).select(
         F.col(q_id_col), F.col(q_vec_col),
-        F.explode(cells_for(F.col(q_vec_col), nprobe)).alias("cell"))
+        F.explode(_nearest_cells(F.col(q_vec_col), nprobe)).alias("cell"))
     # each vector lives in exactly ONE cell and the query's nprobe
     # cells are distinct, so the join matches any (query, vector) pair
     # at most once — no dedup (and no shuffle) needed

@@ -42,11 +42,17 @@ n_pages = int(sys.argv[4])
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
          .appName(f"scaling-{cpus}")
-         # 4x cores shuffle partitions: wave balancing; 16MB advisory +
-         # 32MB file splits keep AQE-coalesced stages wide enough on
-         # small-row data; 64MB broadcast threshold lets AQE convert
-         # the fetch join when the round batch is small
-         .config("spark.sql.shuffle.partitions", str(4 * cpus))
+         # shuffle.partitions is a JOB config, not a cluster-size
+         # config: production keeps it fixed while executors scale, so
+         # both levels run the identical value (4x the HI core count —
+         # wave balancing at the top level; AQE coalesces the surplus
+         # at the low level).  Varying it per level conflated plan
+         # shape with scaling.  16MB advisory + 32MB file splits keep
+         # AQE-coalesced stages wide enough on small-row data; 64MB
+         # broadcast threshold lets AQE convert the fetch join when
+         # the round batch is small
+         .config("spark.sql.shuffle.partitions",
+                 os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "32"))
          .config("spark.default.parallelism", str(cpus))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -57,6 +63,17 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
          .config("spark.driver.memory", driver_mem)
+         # shuffle/spill on tmpfs for the same reason the crawl
+         # checkpoints are: both levels otherwise funnel ~3 GB/round of
+         # fetch-join + discovery shuffle through ONE disk-backed /tmp
+         # device whose fixed bandwidth caps the faster level (a
+         # single-box artifact; real executors have their own local
+         # SSDs, so aggregate shuffle bandwidth scales with N)
+         .config("spark.local.dir",
+                 os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                                f"/dev/shm/spark-local-{cpus}"
+                                if os.path.isdir("/dev/shm")
+                                else "/tmp"))
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from cdx_writer_spark.job import CDXConfig, cdx_lines, cdx_lines_per_file
@@ -126,6 +143,9 @@ print(json.dumps({
     "crawl_order_sha256": digest,
 }))
 spark.stop()
+# tmpfs shuffle dirs are RAM — free them even if Spark's shutdown hook
+# already did (rmtree of a missing dir is a no-op here)
+shutil.rmtree(f"/dev/shm/spark-local-{cpus}", ignore_errors=True)
 """
 
 

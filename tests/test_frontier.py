@@ -253,3 +253,53 @@ def test_native_probe_bit_arithmetic_matches_numpy(spark):
     got = {r.surt_key: r.maybe_seen for r in seenmod.flag_maybe_seen(
         cand, one_filter, n_partitions=1, strategy="native").collect()}
     assert got == {k: bool(v) for k, v in expected.items()}
+
+
+def test_fold_strategies_byte_identical(spark):
+    """The native Catalyst fold must produce byte-identical filter
+    state to the pandas/numpy cogroup fold: same blob bytes, same
+    word arrays, same counters — for a fresh fold, an incremental
+    fold on top of it, and an empty delta (pass-through)."""
+    keys1 = webgraph.pages(spark, 400).select("surt_key")
+    keys2 = webgraph.pages(spark, 700).select("surt_key").filter(
+        F.col("surt_key").rlike("/p/[3-9]"))
+    empty = seenmod.empty_filters(spark, n_partitions=8, capacity=500)
+
+    def snap(df):
+        return sorted(
+            (r.partition_id, bytes(r.filter_blob), r.n_items,
+             tuple(r.bits_longs), r.n_bits, r.k)
+            for r in df.collect())
+
+    f_nat = seenmod.update_filters(keys1, empty, 8, 500,
+                                   strategy="native")
+    f_pd = seenmod.update_filters(keys1, empty, 8, 500,
+                                  strategy="pandas")
+    s_nat, s_pd = snap(f_nat), snap(f_pd)
+    assert s_nat == s_pd
+    assert sum(r[2] for r in s_nat) == 400  # n_items counts the delta
+
+    # incremental fold on committed state (the per-round shape)
+    s2_nat = snap(seenmod.update_filters(keys2, f_pd, 8, 500,
+                                         strategy="native"))
+    s2_pd = snap(seenmod.update_filters(keys2, f_pd, 8, 500,
+                                        strategy="pandas"))
+    assert s2_nat == s2_pd
+
+    # empty delta: both pass the state through unchanged
+    none = keys1.limit(0)
+    assert snap(seenmod.update_filters(none, f_pd, 8, 500,
+                                       strategy="native")) == s_pd
+
+
+def test_native_fold_python_only_touches_final_rows(spark):
+    """The native fold's only Python node is the n_partitions-row blob
+    serialization — the keyed delta itself must never cross into
+    Python (no Arrow/batch eval below the final projection)."""
+    keys = webgraph.pages(spark, 300).select("surt_key")
+    empty = seenmod.empty_filters(spark, n_partitions=8, capacity=500)
+    plan = (seenmod.update_filters(keys, empty, 8, 500,
+                                   strategy="native")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("BatchEvalPython") == 1  # the 8-row blob UDF

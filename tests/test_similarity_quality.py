@@ -209,3 +209,74 @@ def test_ivf_recall_vs_exact_baseline(spark, emb):
     assert len(exact & got4) >= len(exact & got2)
     # the query vector itself always shares its own cell
     assert {(q, q) for q in range(3)} <= got2
+
+
+def _planted_cluster_vecs(spark, n=60, dim=8):
+    """60 deterministic vectors in 3 well-separated directions:
+    coordinate `id % 3` carries the 1.0 spike, every other coordinate a
+    small dyadic jitter ((id*7+j) % 16)/256 — exact in float at every
+    step, and ids 0/1/2 (the kmeans seeds) land one per cluster."""
+    d = F.col("id")
+    coords = [
+        F.when(d % 3 == j, F.lit(1.0)).otherwise(
+            ((d * 7 + F.lit(j)) % 16).cast("double") / F.lit(256.0))
+        for j in range(dim)
+    ]
+    return spark.range(n).select(
+        d.alias("vec_id"), F.array(*coords).alias("embedding"),
+        (d % 3).alias("cluster"))
+
+
+def test_kmeans_codebook_recovers_planted_clusters(spark):
+    """3-iteration spherical Lloyd on 3 planted directions: every
+    vector's nearest trained centroid groups exactly by cluster."""
+    vecs = _planted_cluster_vecs(spark)
+    cb = similarity.kmeans_codebook(vecs, n_centroids=3, n_iter=3)
+    cb_row = similarity._codebook_row(cb)
+    assigned = vecs.crossJoin(F.broadcast(cb_row)).select(
+        "cluster",
+        similarity._nearest_cells(
+            similarity._as_double(F.col("embedding")), 1)[0].alias("cell"))
+    cells_by_cluster = {}
+    for r in assigned.collect():
+        cells_by_cluster.setdefault(r.cluster, set()).add(r.cell)
+    assert all(len(cells) == 1 for cells in cells_by_cluster.values())
+    assert len(set.union(*cells_by_cluster.values())) == 3
+    cb.unpersist()
+
+
+def test_kmeans_codebook_deterministic_across_partitioning(spark):
+    """The quantized-sum design makes per-cell means EXACT doubles, so
+    the trained codebook is byte-identical at any partitioning — the
+    cluster-size-independence property the scaling gate needs."""
+    vecs = _planted_cluster_vecs(spark)
+    cbs = []
+    for parts in (2, 16):
+        cb = similarity.kmeans_codebook(
+            vecs.repartition(parts, "vec_id"), n_centroids=3, n_iter=3)
+        cbs.append(sorted((r.cid, tuple(r.cvec)) for r in cb.collect()))
+        cb.unpersist()
+    assert cbs[0] == cbs[1]
+
+
+def test_ivf_with_trained_codebook_finds_clone(spark, emb):
+    """ivf_topk over a kmeans-trained codebook keeps the parallel-clone
+    guarantee: the x2 clone has bit-identical centroid cosines, shares
+    the query's cell, and surfaces with cosine 1.0."""
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    aug = emb.unionByName(
+        queries.select((F.col("q_id") + 10_000_000).alias("vec_id"),
+                       F.transform("q_vec", lambda x: (x * 2)
+                                   .cast("float")).alias("embedding")))
+    cb = similarity.kmeans_codebook(emb, n_centroids=4, n_iter=2)
+    got = similarity.ivf_topk(aug, queries, k=3, nprobe=1,
+                              codebook=cb).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cosine))
+    for q in range(2):
+        top2 = sorted(by_q[q])[:2]
+        assert [(v, c) for _, v, c in top2] == [(q, 1.0),
+                                               (q + 10_000_000, 1.0)]
+    cb.unpersist()
