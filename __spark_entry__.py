@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from cdx_writer_spark.job import (
     CDXConfig, cdx_flagged, cdx_lines, stats_aggregation,
 )
-from cdx_writer_spark.functions import dedup, multimodal, similarity, textstats
+from cdx_writer_spark.functions import (dedup, extract, multimodal,
+                                        similarity, textstats)
 from cdx_writer_spark.webview import ORACLE_PAGES_CTE, pages_from_documents
 
 # Format without the k (checksum) field: the computed-SHA1 path is not
@@ -190,6 +191,21 @@ def q_cdx_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 charset_column(F.col("_s.headers"),
                                meta_tags_udf(F.col("_s.body")))
                 .alias("charset"))
+    )
+
+
+def q_cdx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/extract.py; the north rule's
+    per-row invariant).  Runs the REAL pipeline — dispatch, http_split,
+    charset sniff, Arrow decode, native strip chain — over the
+    synthesized record blocks; the oracle rebuilds the payload string
+    from doc_id and applies the same documented regex/replace spec in
+    pure DuckDB SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract.extract_text(pages)
+    return (
+        out.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id"), F.col("url"), F.col("text"))
     )
 
 
@@ -537,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_excluded": q_cdx_excluded,
         "cdx_date_norm": q_cdx_date_norm,
         "cdx_charset": q_cdx_charset,
+        "cdx_extract_text": q_cdx_extract_text,
         "cdx_checksum_fast": q_cdx_checksum_fast,
         "cdx_checksum_computed": q_cdx_checksum_computed,
         "cdx_mime_status": q_cdx_mime_status,
@@ -743,6 +760,34 @@ def oracle_sql() -> dict[str, str]:
             "NULLIF(regexp_extract(meta_ct, "
             "'(?i)charset\\s*=\\s*([a-z0-9_-]+)', 1), '')), "
             "'win-', 'windows-') AS charset FROM blocks"),
+        # HTML -> text extraction: rebuild the response BODY (the part
+        # after the blank line) from doc_id, then apply the documented
+        # strip spec (functions/extract.py) — script/style/comment/tag
+        # removal, the 7 ordered entity replaces (&amp; last),
+        # ASCII-whitespace collapse, space trim — entirely in RE2.
+        "cdx_extract_text": (
+            _W + ", elig AS ("
+            "SELECT doc_id, url, "
+            "'<html><head>' || "
+            "(CASE WHEN doc_id % 20 = 0 THEN "
+            "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
+            "|| '</head><body>' || text || '</body></html>' AS body "
+            "FROM pages "
+            "WHERE record_type = 'response' AND status <> '304') "
+            "SELECT doc_id, url, "
+            "trim(regexp_replace("
+            "replace(replace(replace(replace(replace(replace(replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "body, "
+            "'(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), "
+            "'(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'), "
+            "'(?s)<!--.*?-->', ' ', 'g'), "
+            "'<[^>]*>', ' ', 'g'), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+            "'&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), "
+            "'&amp;', '&'), "
+            "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS text "
+            "FROM elig"),
         "cdx_checksum_fast": (
             _W + " SELECT doc_id, digest AS new_style_checksum "
             "FROM admitted "

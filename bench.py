@@ -47,7 +47,7 @@ def build_spark() -> SparkSession:
 
 
 def bench_queries(spark: SparkSession, sf_dir: str):
-    from cdx_writer_spark.functions import dedup, similarity
+    from cdx_writer_spark.functions import dedup, extract, similarity
     from cdx_writer_spark.job import CDXConfig, cdx_lines
     from cdx_writer_spark.webview import pages_from_documents
     import __spark_entry__ as entrymod
@@ -76,6 +76,9 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             docs, threshold=0.5),
         "dedup_simhash": lambda: dedup.simhash_dedup(docs),
         "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
+        "extract_text": lambda: extract.extract_text(
+            pages_from_documents(spark, sf_dir, amplify=AMPLIFY))
+        .select("url", "text"),
         "similarity_topk": lambda: similarity.cosine_topk(
             emb, emb_q, k=10),
         "embedding_near_dup": lambda: similarity.embedding_near_dup_pairs(

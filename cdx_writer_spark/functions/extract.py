@@ -1,0 +1,174 @@
+"""HTML -> text extraction over the ``pages`` table.
+
+The north rule's per-row invariant is "byte-identical extracted text
+per url".  The reference (``cdx_writer.py``) never extracts body text —
+its only HTML read is the ``<head>`` meta scan (cdx_writer.py:461-519)
+— so the extraction contract is defined HERE, deterministically, and
+enforced three independent ways:
+
+* a pure-Python row oracle re-deriving the text from raw record bytes
+  over the reference golden corpus + pathological fixtures
+  (``tests/test_extract_text.py``),
+* a pure-SQL DuckDB oracle on the synthetic pages (driver query
+  ``cdx_extract_text`` in ``__spark_entry__.py``),
+* the Spark pipeline itself.
+
+Spec, applied in this exact order (every step chosen so that Java
+regex, RE2 and Python ``re`` agree symbol-for-symbol):
+
+1. **Eligibility** — response records admitted by the dispatch
+   (``handler == 'response'``) whose CDX mime is ``text/html`` with a
+   non-null payload.  Everything else gets NULL text.
+2. **Decode** the payload with the sniffed charset
+   (``fields.charset_column``, reference precedence per
+   cdx_writer.py:324-343: HTTP header, then
+   ``<meta http-equiv=content-type>``, default utf-8; codec names
+   Python does not know fall back to utf-8), ``errors='replace'``.
+3. **Strip markup**: drop ``<script>``/``<style>`` elements, then
+   comments, then every remaining tag — each match becomes ONE space.
+4. **Unescape** the named entities ``&lt; &gt; &quot; &#39; &apos;
+   &nbsp;`` (plain string replaces), then ``&amp;`` LAST — so the
+   source text ``&amp;lt;`` round-trips to the literal ``&lt;``.
+5. **Collapse** ASCII whitespace runs ``[ \\t\\n\\r\\f\\x0b]+`` to a
+   single space (explicit class: Python ``\\s`` is unicode-aware and
+   Java/RE2 differ on ``\\x0b``, so ``\\s`` is banned here), then trim
+   spaces from both ends.
+
+Steps 3-5 are native Catalyst ``regexp_replace``/``replace`` chains —
+whole-stage codegen, zero Python.  Step 2 is the single Arrow-batched
+UDF, masked by the caller so only eligible payloads cross the Python
+boundary, and vectorized as one ``Series.str.decode`` per distinct
+charset per batch (a web corpus batch carries a handful of charsets,
+not a handful of rows).
+
+Scale: the operator adds no shuffle — it is a per-row projection that
+pipelines into whatever exchange the consumer needs, and the payload
+bytes are dropped immediately after decode so only the (much smaller)
+text string survives the stage.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# --- step 2: charset decode (the one Python hop) -------------------------------
+
+
+@pandas_udf(StringType())
+def decode_payload_udf(body: pd.Series, charset: pd.Series) -> pd.Series:
+    """Decode payload bytes with the sniffed charset, errors='replace'.
+
+    Vectorized per distinct charset: ``Series.str.decode`` runs the
+    codec over the whole sub-batch at once.  Unknown/unsupported codec
+    names (the sniff regex admits any ``[a-z0-9_-]+`` token) fall back
+    to utf-8, as does a NULL charset.
+    """
+    out = pd.Series([None] * len(body), dtype=object)
+    mask = body.notna()
+    if not mask.any():
+        return out
+    cs = charset.where(charset.notna(), "utf-8")
+    cs = cs.str.strip().str.lower().replace("", "utf-8")
+    for name in cs[mask].unique():
+        try:
+            codecs.lookup(name)
+            codec = name
+        except (LookupError, TypeError):
+            codec = "utf-8"
+        sel = mask & (cs == name)
+        out[sel] = body[sel].str.decode(codec, errors="replace")
+    return out
+
+
+# --- steps 3-5: native markup strip ---------------------------------------------
+
+# (pattern, replacement) in application order.  Kept to the regex
+# subset where Java regex (Spark), RE2 (DuckDB) and Python `re` agree:
+# inline (?is), non-greedy .*?, explicit ASCII classes, \b.
+STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+
+# Literal entity replaces, in order; &amp; MUST stay last.
+ENTITY_REPLACES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+WHITESPACE_RUN = r"[ \t\n\r\f\x0B]+"
+
+
+def strip_html_column(decoded: Column) -> Column:
+    """Steps 3-5 as one whole-stage-codegen expression chain."""
+    t = decoded
+    for pat, rep in STRIP_PATTERNS:
+        t = F.regexp_replace(t, pat, rep)
+    for ent, rep in ENTITY_REPLACES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, WHITESPACE_RUN, " ")
+    return F.trim(t)
+
+
+def extracted_text_column(handler: Column, mime_type: Column,
+                          payload: Column, http_headers: Column,
+                          meta_tags: Column) -> Column:
+    """The full extraction expression over a flagged frame's columns.
+
+    The eligibility mask is applied to the UDF *input* (ineligible rows
+    ship NULL, not multi-MB payloads, across Arrow — same masking
+    discipline as the digest/meta UDFs, ``udfs.py`` module docstring).
+    """
+    from ..fields import charset_column
+
+    eligible = ((handler == "response") & (mime_type == "text/html")
+                & payload.isNotNull())
+    body = F.when(eligible, payload).otherwise(F.lit(None))
+    charset = F.when(eligible,
+                     charset_column(http_headers, meta_tags)
+                     ).otherwise(F.lit(None))
+    return strip_html_column(decode_payload_udf(body, charset))
+
+
+def extract_text(pages: DataFrame, cfg=None) -> DataFrame:
+    """``pages`` -> the same frame with the ``text`` column populated
+    from ``html`` (NULL where ineligible).
+
+    Runs the shared dispatch pipeline (``job.cdx_flagged``) so the
+    HTTP split/meta parse happen exactly once, then projects back to
+    the input's columns — a pure per-row map, no shuffle.
+    """
+    from ..fields import aif_meta_tags_column  # noqa: F401 (doc pointer)
+    from ..job import CDXConfig, cdx_flagged
+    from ..schema import META_PARSE_LIMIT
+    from ..udfs import meta_tags_udf
+
+    cfg = cfg or CDXConfig()
+    flagged = cdx_flagged(pages, cfg)
+    # charset sniff needs the meta map; reuse the M-field gate
+    # (text/html responses only, <=5MB) so the meta payload crosses
+    # Arrow under the same mask as the robots scan (fields.py:184-192)
+    eff_len = F.coalesce(F.col("content_length"), F.octet_length("html"))
+    meta_input = F.when(
+        (F.col("handler") == "response")
+        & (F.col("mime_type") == "text/html")
+        & F.col("payload").isNotNull() & (eff_len <= META_PARSE_LIMIT),
+        F.col("payload")).otherwise(F.lit(None))
+    text = extracted_text_column(
+        F.col("handler"), F.col("mime_type"), F.col("payload"),
+        F.col("http_headers"), meta_tags_udf(meta_input))
+    out_cols = [text.alias(c) if c == "text" else c for c in pages.columns]
+    return flagged.select(*out_cols)
