@@ -24,7 +24,13 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Prefer the --py-files-shipped package (cluster mode: the repo tree is
+# not on the workers); fall back to the repo checkout for local dev runs.
+try:
+    import cdx_writer_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

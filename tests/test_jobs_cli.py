@@ -1,0 +1,97 @@
+"""Ship-path tests: the --py-files artifact and the spark-submit jobs.
+
+The north rule requires the whole job to ship via
+``spark-submit --py-files``.  Three gates:
+
+* ``scripts/package.py`` builds a DETERMINISTIC zip (byte-identical on
+  rebuild) containing the full package;
+* the zip imports from a CLEAN interpreter (cwd outside the repo, repo
+  not on sys.path) — proving the artifact is self-contained;
+* ``jobs/cdx_job.py`` runs end-to-end under real ``spark-submit
+  --py-files <zip>`` from outside the repo, and its sorted CDX output
+  is byte-identical to the pure-Python row oracle's.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import package as packager  # scripts/package.py
+
+
+def test_pyfiles_zip_is_deterministic_and_complete(tmp_path):
+    z1 = packager.build(str(tmp_path / "a.zip"))
+    z2 = packager.build(str(tmp_path / "b.zip"))
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+    import zipfile
+    names = zipfile.ZipFile(z1).namelist()
+    assert "cdx_writer_spark/__init__.py" in names
+    assert "cdx_writer_spark/functions/extract.py" in names
+    assert "cdx_writer_spark/frontier/loop.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+def test_pyfiles_zip_imports_from_clean_interpreter(tmp_path):
+    z = packager.build(str(tmp_path / "app.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import cdx_writer_spark.job, cdx_writer_spark.frontier.loop, "
+        "cdx_writer_spark.functions.extract; "
+        "print('zipimport-ok', cdx_writer_spark.job.__file__)" % z)
+    r = subprocess.run([sys.executable, "-c", code], cwd=str(tmp_path),
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "zipimport-ok" in r.stdout
+    assert "app.zip" in r.stdout  # loaded from the zip, not the repo
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_cdx_job_via_spark_submit_pyfiles(spark, tmp_path):
+    from cdx_writer_spark.oracle import oracle_cdx
+    from cdx_writer_spark.pages_gen import bulk_rows
+    from cdx_writer_spark.schema import PAGES_SCHEMA
+
+    rows = bulk_rows(150)
+    pages_dir = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(pages_dir)
+
+    z = packager.build(str(tmp_path / "app.zip"))
+    job = str(tmp_path / "cdx_job.py")  # run from OUTSIDE the repo so
+    shutil.copy(os.path.join(REPO, "jobs", "cdx_job.py"), job)
+    out = str(tmp_path / "out_cdx")
+    stats_file = str(tmp_path / "stats.json")
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)  # the zip must be the only source
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", z,
+         job, pages_dir, out, "--stats-file", stats_file, "--cpus", "4"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=420,
+        env=env)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    files = sorted(p for p in glob.glob(os.path.join(out, "*"))
+                   if not os.path.basename(p).startswith("_SUCCESS")
+                   and not p.endswith(".crc"))
+    got = []
+    for p in files:
+        got += open(p).read().splitlines()
+    assert got[0].startswith(" CDX N b a m s k r M S V g")
+
+    expected, exp_stats = oracle_cdx(
+        sorted(rows, key=lambda x: (x["warc_file"], x["offset"])),
+        all_records=False)
+    assert got[1:] == sorted(expected)
+    assert json.load(open(stats_file)) == exp_stats
