@@ -29,10 +29,14 @@ At 10^10 keys / P=4096 partitions each blob sizes for ~2.4M keys →
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, BinaryType, LongType,
+                               StructField, StructType)
 
 from .bloom import BloomFilter
 
@@ -252,96 +256,120 @@ def split_new(candidates: DataFrame, filters: DataFrame, seen: DataFrame,
 def _update_filters_native(new_keys: DataFrame, filters: DataFrame,
                            n_partitions: int, capacity: int,
                            fpr: float) -> DataFrame:
-    """The Bloom fold as (almost) pure Catalyst: explode each new key
-    into its k probe positions (the SAME masked double-hash arithmetic
-    as ``_native_probe_col`` — bit parity is property-tested against
-    the numpy fold), ``bit_or`` the per-word bit masks with map-side
-    partial aggregation, then merge the sparse new words onto the
-    dense old word arrays.  Python touches exactly ``n_partitions``
-    final rows — the blob header serialization — instead of every new
-    key (the pandas-cogroup fold shipped the whole keyed delta through
-    Arrow, and its Python workers borrowing cores beyond the task-slot
-    count is a single-box scaling distortion).
+    """The Bloom fold with all hash math in Catalyst: explode each new
+    key into its k probe positions JVM-side (the SAME masked
+    double-hash arithmetic as ``_native_probe_col`` — bit parity is
+    property-tested against the numpy fold), collect the flat position
+    list per partition in ONE aggregation, then scatter-OR them into
+    the dense word arrays inside an Arrow-batched UDF that touches
+    exactly ``n_partitions`` rows — no per-key Python, no shuffle of
+    existing filter words, one vectorized ``np.bitwise_or.at`` per
+    partition.  (The pandas-cogroup fold ships the whole keyed delta
+    through Arrow and recomputes positions in Python; its workers
+    borrowing cores beyond the task-slot count is also a single-box
+    scaling distortion.)
 
-    Word-count note: all filters produced by ``empty_filters``/this
-    fold share the uniform config geometry; a partition absent from
-    ``filters`` (never the case after init_state) gets the default
-    geometry, like the pandas fold."""
+    Geometry note: this path assumes UNIFORM filter geometry — always
+    true for filters produced by ``empty_filters``/this fold under one
+    config — so positions use the config's literal (n_bits, k) and no
+    per-key geometry join is needed (a broadcast join per fold was
+    pure fixed cost).  The scatter UDF fail-fasts on a filter row
+    whose n_bits disagrees (resume with a different capacity/fpr, or
+    hand-built filters): the pandas fold handles per-pid geometry."""
     from .bloom import H1_MASK, H2_MASK
 
     sized = BloomFilter.sized_for(capacity, fpr)
-    d_words = len(sized.to_longs())
 
     keyed = with_hash_cols(new_keys.select("surt_key"), n_partitions)
-    geo = filters.select(F.col("partition_id").alias("pid"),
-                         F.col("n_bits").alias("_nb"),
-                         F.col("k").alias("_k"))
-    g = keyed.join(F.broadcast(geo), "pid", "left")
     h1m = F.col("h1").bitwiseAND(F.lit(H1_MASK))
     h2m = F.col("h2").bitwiseAND(F.lit(H2_MASK)).bitwiseOR(F.lit(1))
-    nb = F.coalesce(F.col("_nb"), F.lit(sized.n_bits))
-    kk = F.coalesce(F.col("_k"), F.lit(sized.k))
-    pos = F.explode(F.transform(
-        F.sequence(F.lit(0), kk - F.lit(1)),
-        lambda i: F.pmod(h1m + i.cast("long") * h2m, nb)))
-    sparse = (
-        g.select("pid", pos.alias("p"))
-        .groupBy("pid", F.shiftright("p", 6).alias("word"))
-        .agg(F.bit_or(F.call_function(
-            "shiftleft", F.lit(1).cast("long"),
-            F.pmod("p", F.lit(64)).cast("int"))).alias("add_bits"))
+    pos_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(sized.k - 1)),
+        lambda i: F.pmod(h1m + i.cast("long") * h2m,
+                         F.lit(sized.n_bits)))
+    # ONE aggregation pass over the keyed delta: per-pid flat position
+    # lists (k positions per key, computed JVM-side — Python never
+    # touches hash math) + the new-key count in the same groupBy.
+    # Earlier shapes measured slower at every scale tried: (a) the
+    # first native fold posexploded every EXISTING filter word into a
+    # dense explode → join → collect_list/array_sort rebuild (a full
+    # shuffle + sort of n_partitions × d_words rows per round even
+    # when 0.1% of words changed, ~2.5s/fold of fixed cost at bench
+    # scale); (b) a (pid, word) bit_or pre-aggregation — at Bloom
+    # occupancy almost every group is a singleton, so the extra
+    # exchange bought nothing.  Positions per pid stay small at any
+    # scale (new_keys × k / n_partitions — the partition count grows
+    # with the crawl), so the lists are bounded Arrow payloads.
+    adds = (
+        keyed.select("pid", F.posexplode(pos_arr).alias("i", "p"))
+        .groupBy("pid")
+        .agg(F.collect_list("p").alias("_ps"),
+             F.sum(F.when(F.col("i") == 0, 1).otherwise(0))
+             .alias("_n_new"))
     )
-    counts = keyed.groupBy("pid").agg(
-        F.count(F.lit(1)).alias("_n_new"))
 
-    # dense word skeleton: existing filters posexplode their word
-    # arrays; pids seen only in the delta synthesize default-geometry
-    # zero words
-    old_words = filters.select(
-        F.col("partition_id").alias("pid"),
-        F.posexplode("bits_longs").alias("word", "old_bits"))
-    new_pids = (keyed.select("pid").distinct()
-                .join(geo.select("pid"), "pid", "left_anti"))
-    zero_words = new_pids.select(
-        "pid", F.explode(F.sequence(
-            F.lit(0), F.lit(d_words - 1))).alias("word"),
-        F.lit(0).cast("long").alias("old_bits"))
-    dense = old_words.unionByName(zero_words)
-    merged = (
-        dense.join(sparse, ["pid", "word"], "left")
-        .select("pid", "word",
-                F.col("old_bits").bitwiseOR(
-                    F.coalesce("add_bits", F.lit(0))).alias("bits"))
-    )
-    folded = merged.groupBy("pid").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("word", "bits"))),
-                    lambda s: s["bits"]).alias("bits_longs"))
+    # full outer: pids missing from `filters` (delta-only — never the
+    # case after init_state) synthesize a default-geometry zero array
+    # in the scatter; pids with no new keys pass their blob through
+    base = filters.select(
+        F.col("partition_id").alias("pid"), "bits_longs",
+        F.col("n_bits").alias("_old_nb"), "k", "n_items")
 
-    meta = (filters.select(F.col("partition_id").alias("pid"),
-                           "n_bits", "k", "n_items")
-            .unionByName(new_pids.select(
-                "pid",
-                F.lit(sized.n_bits).cast("long").alias("n_bits"),
-                F.lit(sized.k).cast("int").alias("k"),
-                F.lit(0).cast("long").alias("n_items")))
-            .join(counts, "pid", "left")
-            .select("pid", "n_bits", "k",
-                    (F.col("n_items")
-                     + F.coalesce("_n_new", F.lit(0))).alias("n_items")))
+    # scatter-OR + blob serialization: n_partitions rows of Python,
+    # Arrow-batched (the dense word arrays cross as Arrow lists, not
+    # pickled rows).  Each row ORs its (few) changed words into its
+    # dense word array — vectorized numpy per row, no per-key Python
+    # and no word-level shuffle anywhere.
+    ub, uk = sized.n_bits, sized.k
 
-    # blob header+bytes: n_partitions rows of pure serialization — a
-    # row-at-a-time UDF is fine at this cardinality
-    blob = F.udf(
-        lambda longs, nbits, k_, items: BloomFilter.from_longs(
-            longs, nbits, k_, items).to_bytes(),
-        "binary")
-    return (
-        folded.join(F.broadcast(meta), "pid")
-        .select(F.col("pid").alias("partition_id"),
-                blob("bits_longs", "n_bits", "k", "n_items")
-                .alias("filter_blob"),
-                "n_items", "bits_longs", "n_bits", "k")
-    )
+    def scatter(longs, poss, old_nb, old_k, items, n_new):
+        blobs, words_out, totals = [], [], []
+        for lg, ps, nb_, kk_, it, nn in zip(longs, poss, old_nb, old_k,
+                                            items, n_new):
+            if lg is None:
+                words = np.zeros((ub + 63) // 64, dtype=np.int64)
+            else:
+                if int(nb_) != ub or int(kk_) != uk:
+                    raise ValueError(
+                        "native fold needs uniform filter geometry "
+                        f"(config n_bits={ub} k={uk}, filter row has "
+                        f"n_bits={nb_} k={kk_}); resume with the "
+                        "original capacity/fpr or use the pandas fold")
+                words = np.asarray(lg, dtype=np.int64).copy()
+            if ps is not None and len(ps):
+                p = np.asarray(ps, dtype=np.int64)
+                # duplicate positions within a batch are common —
+                # bitwise_or.at applies the OR per occurrence
+                np.bitwise_or.at(
+                    words, p >> 6,
+                    np.int64(1) << (p & np.int64(63)))
+            total = int(it if it is not None and not pd.isna(it)
+                        else 0) + int(nn if nn is not None
+                                      and not pd.isna(nn) else 0)
+            blobs.append(BloomFilter.from_longs(
+                words, ub, uk, total).to_bytes())
+            words_out.append(words)
+            totals.append(total)
+        return pd.DataFrame({"filter_blob": blobs,
+                             "bits_longs": words_out,
+                             "n_items": totals})
+
+    scatter_udf = pandas_udf(scatter, StructType([
+        StructField("filter_blob", BinaryType()),
+        StructField("bits_longs", ArrayType(LongType())),
+        StructField("n_items", LongType()),
+    ]))
+    merged = (base.join(adds, "pid", "full_outer")
+              .withColumn("_s", scatter_udf("bits_longs", "_ps",
+                                            "_old_nb", "k", "n_items",
+                                            "_n_new")))
+    return merged.select(
+        F.col("pid").alias("partition_id"),
+        F.col("_s.filter_blob").alias("filter_blob"),
+        F.col("_s.n_items").alias("n_items"),
+        F.col("_s.bits_longs").alias("bits_longs"),
+        F.coalesce("_old_nb", F.lit(ub)).cast("long").alias("n_bits"),
+        F.coalesce("k", F.lit(uk)).cast("int").alias("k"))
 
 
 def update_filters(new_keys: DataFrame, filters: DataFrame,

@@ -301,5 +301,11 @@ def test_native_fold_python_only_touches_final_rows(spark):
     plan = (seenmod.update_filters(keys, empty, 8, 500,
                                    strategy="native")
             ._jdf.queryExecution().executedPlan().toString())
-    assert "ArrowEvalPython" not in plan
-    assert plan.count("BatchEvalPython") == 1  # the 8-row blob UDF
+    # exactly ONE Python node: the Arrow-batched n_partitions-row
+    # scatter/serialize UDF (fed by the JVM-side position aggregation)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no pickled row-at-a-time UDF
+    # the delta aggregation is JVM-side: positions reach Python only
+    # as per-pid collect_list output, so the Arrow node sits above the
+    # aggregate, never above the raw keyed delta
+    assert plan.index("ArrowEvalPython") < plan.index("collect_list")
