@@ -209,6 +209,24 @@ def q_cdx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-ingest path composed end-to-end over the crawl table:
+    pages -> dispatch -> HTML extraction (functions/extract.py) ->
+    language-ID / quality / token analysis (functions/textstats.py),
+    one declarative plan — Catalyst fuses the native strip chain and
+    the textstat expressions into the same projection, so the decoded
+    text never rematerializes between 'stages'."""
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract.extract_text(pages).filter(F.col("text").isNotNull())
+    t = F.col("text")
+    return ext.select(
+        "doc_id", "url",
+        textstats.token_count_col(t).alias("token_count"),
+        textstats.quality_score_col(t).alias("quality_score"),
+        textstats.lang_id_col(t).alias("lang_id"),
+    )
+
+
 def q_cdx_checksum_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-field digest-header fast path (cdx_writer.py:449-453): the
     'sha1:' strip is native; payload bytes never reach Python."""
@@ -554,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_date_norm": q_cdx_date_norm,
         "cdx_charset": q_cdx_charset,
         "cdx_extract_text": q_cdx_extract_text,
+        "web_text_pipeline": q_web_text_pipeline,
         "cdx_checksum_fast": q_cdx_checksum_fast,
         "cdx_checksum_computed": q_cdx_checksum_computed,
         "cdx_mime_status": q_cdx_mime_status,
@@ -582,6 +601,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _W = "WITH " + ORACLE_PAGES_CTE
+
+# eligible response bodies (the part after the HTTP blank line),
+# rebuilt straight from doc_id — shared by the extraction oracles
+_EXTRACT_ELIG_CTE = (
+    ", elig AS ("
+    "SELECT doc_id, url, "
+    "'<html><head>' || "
+    "(CASE WHEN doc_id % 20 = 0 THEN "
+    "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
+    "|| '</head><body>' || text || '</body></html>' AS body "
+    "FROM pages "
+    "WHERE record_type = 'response' AND status <> '304')")
+
+
+def _strip_sql(expr: str) -> str:
+    """The extraction strip spec (functions/extract.py steps 3-5) as a
+    DuckDB/RE2 expression around ``expr`` — shared by every oracle
+    that consumes extracted text."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        + expr + ", "
+        "'(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), "
+        "'(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'), "
+        "'(?s)<!--.*?-->', ' ', 'g'), "
+        "'<[^>]*>', ' ', 'g'), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), "
+        "'&amp;', '&'), "
+        "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))")
 
 # The synthesized record payload (webview.html_str) re-derived in pure
 # SQL — shared by the multimodal oracles.
@@ -766,28 +816,45 @@ def oracle_sql() -> dict[str, str]:
         # removal, the 7 ordered entity replaces (&amp; last),
         # ASCII-whitespace collapse, space trim — entirely in RE2.
         "cdx_extract_text": (
-            _W + ", elig AS ("
-            "SELECT doc_id, url, "
-            "'<html><head>' || "
-            "(CASE WHEN doc_id % 20 = 0 THEN "
-            "'<meta name=\"robots\" content=\"noindex\">' ELSE '' END) "
-            "|| '</head><body>' || text || '</body></html>' AS body "
-            "FROM pages "
-            "WHERE record_type = 'response' AND status <> '304') "
-            "SELECT doc_id, url, "
-            "trim(regexp_replace("
-            "replace(replace(replace(replace(replace(replace(replace("
-            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-            "body, "
-            "'(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), "
-            "'(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'), "
-            "'(?s)<!--.*?-->', ' ', 'g'), "
-            "'<[^>]*>', ' ', 'g'), "
-            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
-            "'&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), "
-            "'&amp;', '&'), "
-            "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS text "
-            "FROM elig"),
+            _W + _EXTRACT_ELIG_CTE
+            + " SELECT doc_id, url, " + _strip_sql("body")
+            + " AS text FROM elig"),
+        # crawl-table -> text pipeline: the extraction composed with
+        # the language-ID / quality / token operators — the whole LLM
+        # ingest path (pages -> extract -> analyze) re-derived in SQL
+        "web_text_pipeline": (
+            _W + _EXTRACT_ELIG_CTE
+            + ", xt AS (SELECT doc_id, url, " + _strip_sql("body")
+            + " AS text FROM elig), "
+            "toks AS (SELECT doc_id, url, text, "
+            "string_split_regex(trim(text), '\\s+') AS tk, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS tkl "
+            "FROM xt), "
+            "m AS (SELECT doc_id, url, "
+            "CAST(len(tk) AS BIGINT) AS token_count, "
+            "round(CAST(length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1), 6) AS punct_ratio, "
+            "round(CAST(len(list_filter(tkl, t -> t IN ('the', 'and', "
+            "'of', 'to', 'in', 'is', 'a'))) AS DOUBLE) "
+            "/ greatest(len(tkl), 1), 6) AS stopword_ratio, "
+            "len(list_filter(tkl, t -> t IN ('the', 'and', 'of', 'to', "
+            "'in', 'is', 'a'))) AS en_v, "
+            "len(list_filter(tkl, t -> t IN ('le', 'la', 'les', 'et', "
+            "'des', 'un', 'est'))) AS fr_v, "
+            "len(list_filter(tkl, t -> t IN ('der', 'die', 'und', 'das', "
+            "'ist', 'ein', 'nicht'))) AS de_v "
+            "FROM toks) "
+            "SELECT doc_id, url, token_count, "
+            "CAST(round(0.4 * least(1.0, "
+            "CAST(token_count AS DOUBLE) / 100.0) "
+            "+ 0.3 * (1.0 - punct_ratio) "
+            "+ 0.3 * least(1.0, stopword_ratio * 5.0), 4) AS DOUBLE) "
+            "AS quality_score, "
+            "CASE WHEN en_v >= fr_v AND en_v >= de_v AND en_v > 0 "
+            "THEN 'en' WHEN fr_v >= de_v AND fr_v > 0 THEN 'fr' "
+            "WHEN de_v > 0 THEN 'de' ELSE 'und' END AS lang_id "
+            "FROM m"),
         "cdx_checksum_fast": (
             _W + " SELECT doc_id, digest AS new_style_checksum "
             "FROM admitted "
