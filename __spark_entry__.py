@@ -227,6 +227,50 @@ def q_web_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots pipeline end-to-end: per-host robots.txt TEXTS
+    (synthesized deterministically: a cdxbot-specific group with
+    Allow/Disallow/Crawl-delay on every 3rd host, a wildcard group
+    with * and $ rules elsewhere) are PARSED by frontier/robots.py,
+    LIKE-compiled, broadcast, and longest-match-applied to candidate
+    URLs.  The oracle re-derives the admitted set + crawl-delay
+    budgets straight from doc_id arithmetic — group selection,
+    longest-match ties, wildcard/anchor semantics all re-decided in
+    SQL without parsing anything."""
+    from cdx_writer_spark.frontier import robots as robotsmod
+
+    hosts = spark.range(37).select(
+        F.concat(F.lit("site"), F.col("id").cast("string")).alias("host"),
+        F.when(F.col("id") % 3 == 0, F.concat(
+            F.lit("User-agent: cdxbot\nDisallow: /private/\n"
+                  "Allow: /private/ok\nCrawl-delay: "),
+            (F.lit(1) + F.col("id") % 5).cast("string"),
+            F.lit("\n\nUser-agent: *\nDisallow: /\n")))
+        .otherwise(F.lit("User-agent: *\nDisallow: /tmp*\n"
+                         "Disallow: /exact$\n")).alias("robots_txt"))
+    rules = robotsmod.compile_robots(hosts, agent="cdxbot/2.1")
+
+    d = F.col("doc_id")
+    h = (d % 37).cast("string")
+    v = d % 6
+    ds = d.cast("string")
+    path = (F.when(v == 0, F.concat(F.lit("/private/p"), ds))
+            .when(v == 1, F.concat(F.lit("/private/ok"), ds))
+            .when(v == 2, F.concat(F.lit("/tmp/x"), ds))
+            .when(v == 3, F.lit("/exact"))
+            .when(v == 4, F.concat(F.lit("/exact/sub"), ds))
+            .otherwise(F.lit("")))
+    cand = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(F.lit("site"), h).alias("host"),
+        F.concat(F.lit("http://site"), h, F.lit(".example.com"),
+                 path).alias("url"))
+    out = robotsmod.apply_robots_rep(cand, rules)
+    return out.select(
+        "doc_id", "url",
+        F.col("budget_per_round").cast("long").alias("budget_per_round"))
+
+
 def q_cdx_checksum_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-field digest-header fast path (cdx_writer.py:449-453): the
     'sha1:' strip is native; payload bytes never reach Python."""
@@ -591,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "frontier_robots": q_frontier_robots,
         "frontier_topk": q_frontier_topk,
         "frontier_seen_split": q_frontier_seen_split,
         "frontier_crawl": q_frontier_crawl,
@@ -1100,6 +1145,27 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) "
             "AS cosine FROM aug a JOIN aug b ON a.id < b.id) "
             "SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95"),
+        # RFC 9309 robots: admitted set + budgets re-decided in SQL —
+        # group selection (cdxbot group on h%3=0 hosts), longest-match
+        # with allow-beats-equal-disallow, * wildcard, $ anchor,
+        # crawl-delay -> floor(60/delay) budget
+        "frontier_robots": (
+            "WITH c AS (SELECT doc_id, doc_id % 37 AS h, "
+            "doc_id % 6 AS v, "
+            "CASE doc_id % 6 "
+            "WHEN 0 THEN '/private/p' || doc_id "
+            "WHEN 1 THEN '/private/ok' || doc_id "
+            "WHEN 2 THEN '/tmp/x' || doc_id "
+            "WHEN 3 THEN '/exact' "
+            "WHEN 4 THEN '/exact/sub' || doc_id "
+            "ELSE '' END AS path FROM documents) "
+            "SELECT doc_id, "
+            "'http://site' || h || '.example.com' || path AS url, "
+            "CAST(CASE WHEN h % 3 = 0 THEN 60 // (1 + h % 5) "
+            "ELSE 8 END AS BIGINT) AS budget_per_round "
+            "FROM c "
+            "WHERE CASE WHEN h % 3 = 0 THEN v <> 0 "
+            "ELSE v <> 2 AND v <> 3 END"),
         "frontier_topk": (
             "WITH cand AS (SELECT doc_id, doc_id % 37 AS h, "
             "'site' || (doc_id % 37) || '.example.com' AS host, "

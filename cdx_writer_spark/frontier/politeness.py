@@ -10,6 +10,12 @@ the candidates side never shuffles for politeness:
 * ``budget_per_round`` — the per-host token budget consumed by the
   priority selection (priority.py); hosts absent from the corpus get
   ``DEFAULT_BUDGET`` (crawl-delay unknown → default pacing).
+
+The full RFC 9309 surface — robots.txt TEXT parsing, user-agent group
+selection, longest-match-wins with * / $ and Crawl-delay-derived
+budgets — lives in :mod:`.robots` (``compile_robots`` +
+``apply_robots_rep``); this module stays the minimal dimension-table
+model the crawl loop's synthetic webgraph uses.
 """
 
 from __future__ import annotations

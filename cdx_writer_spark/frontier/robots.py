@@ -1,0 +1,229 @@
+"""robots.txt: RFC 9309 parser + longest-match-wins rule matcher.
+
+The north rule calls for "robots.txt rule caches broadcast to
+executors".  ``politeness.apply_robots`` keeps the simple
+single-prefix-per-host dimension model; this module is the full REP
+(Robots Exclusion Protocol) surface:
+
+* :func:`parse_robots` — pure-Python RFC 9309 parser (groups of
+  ``User-agent`` lines followed by ``Allow``/``Disallow``/
+  ``Crawl-delay`` rules; comments and unknown fields per spec).
+  Group selection: the most specific matching user-agent token wins
+  (longest token that is a case-insensitive substring of the crawler's
+  product token; ``*`` has specificity 0); ALL groups carrying the
+  winning token merge, matching RFC 9309 §2.2.1.
+* :func:`compile_robots` — the per-host robots corpus (tiny: one text
+  per fetched robots.txt) parsed in one Arrow batch pass into a
+  broadcastable rules table: LIKE-compiled allow/disallow pattern
+  lists + a crawl-delay-derived per-round budget.
+* :func:`apply_robots_rep` — the matcher as PURE Catalyst expressions
+  over the candidates (broadcast hash join, zero shuffle, zero
+  Python): RFC longest-match-wins — the matching rule with the
+  longest path (octet length of the rule text) decides; an allow and
+  disallow of equal length → allow wins (§2.2.2).  ``*`` wildcards
+  and the ``$`` end anchor (both MUST-support per §2.2.3) compile to
+  SQL LIKE patterns (linear-time match, no per-row regex compile),
+  with ``%``/``_``/``\\`` in rule text escaped.
+
+Documented simplification: paths are compared as-is — no
+percent-encoding normalization pass (both sides of this engine's
+crawl pipeline carry raw URL bytes, so the comparison is internally
+consistent).
+
+Scale: parsing touches one row per HOST (the robots corpus), never
+per candidate; the compiled rules broadcast like any small dimension,
+and the per-candidate decision is a whole-stage-codegen expression —
+the candidates side never shuffles and never enters Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               StringType, StructField, StructType)
+
+from ..functions.dedup import bind_once
+from .politeness import DEFAULT_BUDGET, url_path_col
+
+# Budget derivation: a crawl round models ~ROUND_SECONDS of per-host
+# wall clock; Crawl-delay d caps the host at ROUND_SECONDS/d fetches
+# per round (floor, min 1).  Hosts without a delay get DEFAULT_BUDGET.
+ROUND_SECONDS = 60
+
+_RULE_FIELDS = ("allow", "disallow", "crawl-delay")
+
+
+def parse_robots(text: str, agent: str = "*"):
+    """Parse robots.txt text for ``agent``; returns
+    ``(allow_rules, disallow_rules, crawl_delay)`` with rules as raw
+    path strings (empty-value rules dropped per RFC — ``Disallow:``
+    with no value means allow-all)."""
+    agent_l = agent.lower()
+    groups = []  # (ua_tokens, allows, disallows, delay)
+    cur_uas: list[str] = []
+    cur: tuple | None = None
+    in_header = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_header:
+                cur_uas, cur, in_header = [], None, True
+            cur_uas.append(value.lower())
+            continue
+        if field in _RULE_FIELDS:
+            in_header = False
+            if cur is None:
+                if not cur_uas:
+                    continue  # rules before any user-agent line: ignored
+                cur = (cur_uas, [], [], [None])
+                groups.append(cur)
+            if field == "allow" and value:
+                cur[1].append(value)
+            elif field == "disallow" and value:
+                cur[2].append(value)
+            elif field == "crawl-delay":
+                try:
+                    cur[3][0] = float(value)
+                except ValueError:
+                    pass
+        # unknown fields (sitemap, host, ...) are ignored per RFC
+
+    # group selection: longest UA token that matches (substring of the
+    # agent, case-insensitive); '*' matches everything at length 0
+    def specificity(uas):
+        best = -1
+        for t in uas:
+            if t == "*":
+                best = max(best, 0)
+            elif t and t in agent_l:
+                best = max(best, len(t))
+        return best
+
+    scored = [(specificity(g[0]), g) for g in groups]
+    best = max((s for s, _ in scored), default=-1)
+    allow: list[str] = []
+    disallow: list[str] = []
+    delay = None
+    if best >= 0:
+        for s, g in scored:
+            if s == best:
+                allow += g[1]
+                disallow += g[2]
+                if g[3][0] is not None:
+                    delay = g[3][0]
+    return allow, disallow, delay
+
+
+def rule_to_like(rule: str) -> str:
+    """A robots path rule as a SQL LIKE pattern (escape char ``\\``):
+    ``*`` → ``%``; a trailing ``$`` anchors the match (no trailing
+    ``%``); literal ``%``/``_``/``\\`` escaped."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    pat = "".join(out)
+    return pat if anchored else pat + "%"
+
+
+_RULES_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("allow", ArrayType(StructType([
+        StructField("pat", StringType()),
+        StructField("rlen", IntegerType())]))),
+    StructField("disallow", ArrayType(StructType([
+        StructField("pat", StringType()),
+        StructField("rlen", IntegerType())]))),
+    StructField("crawl_delay", DoubleType()),
+    StructField("budget_per_round", IntegerType()),
+])
+
+
+def compile_robots(corpus: DataFrame, agent: str = "*",
+                   default_budget: int = DEFAULT_BUDGET,
+                   round_seconds: int = ROUND_SECONDS) -> DataFrame:
+    """``corpus`` (host, robots_txt) -> broadcastable rules table
+    (host, allow, disallow, crawl_delay, budget_per_round).  One Arrow
+    pass over the per-host corpus; rule lengths are the RAW rule-path
+    lengths (the RFC's longest-match metric), patterns are
+    LIKE-compiled once here so the matcher never string-processes."""
+
+    def compile_batch(it):
+        for pdf in it:
+            rows = {"host": [], "allow": [], "disallow": [],
+                    "crawl_delay": [], "budget_per_round": []}
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                al, dis, delay = parse_robots(txt or "", agent)
+                rows["host"].append(host)
+                rows["allow"].append(
+                    [(rule_to_like(r), len(r)) for r in al])
+                rows["disallow"].append(
+                    [(rule_to_like(r), len(r)) for r in dis])
+                rows["crawl_delay"].append(delay)
+                rows["budget_per_round"].append(
+                    default_budget if delay is None
+                    else max(1, int(round_seconds // max(delay, 1e-9))))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("host", "robots_txt").mapInPandas(
+        compile_batch, schema=_RULES_SCHEMA)
+
+
+def _match_len(path, rules):
+    """Longest matching rule length (octets of the raw rule), -1 when
+    nothing matches — pure Catalyst (LIKE inside the HOF lambda)."""
+    return F.coalesce(
+        F.array_max(F.transform(
+            F.filter(rules,
+                     lambda r: F.call_function(
+                         "like", path, r["pat"], F.lit("\\"))),
+            lambda r: r["rlen"])),
+        F.lit(-1))
+
+
+def apply_robots_rep(candidates: DataFrame, rules: DataFrame,
+                     default_budget: int = DEFAULT_BUDGET) -> DataFrame:
+    """Candidates minus REP-disallowed URLs, plus ``budget_per_round``.
+
+    Broadcast hash join on host; the longest-match decision is a
+    codegen expression (ties → allow, per RFC 9309 §2.2.2; hosts with
+    no robots row are allowed with the default budget).  The URL path
+    is bound ONCE per row (``bind_once``) so the LIKE lambda never
+    re-derives it per rule."""
+    r = F.broadcast(rules.select("host", "allow", "disallow",
+                                 "budget_per_round"))
+    joined = candidates.join(r, "host", "left")
+    # nested bind_once: path AND the disallow match-length are each
+    # evaluated exactly once per row (a bound variable cannot be
+    # re-inlined into the LIKE lambdas — see dedup.bind_once)
+    # an empty path (bare "http://host") normalizes to "/" before
+    # matching, as crawlers (and urllib.robotparser) do
+    raw_path = url_path_col(F.col("url"))
+    allowed = F.col("allow").isNull() | bind_once(
+        F.coalesce(F.nullif(raw_path, F.lit("")), F.lit("/")),
+        lambda path: bind_once(
+            _match_len(path, F.col("disallow")),
+            lambda d: (d == -1)                      # nothing disallows
+            | (_match_len(path, F.col("allow")) >= d)))  # allow wins ties
+    return (
+        joined.filter(allowed)
+        .withColumn("budget_per_round",
+                    F.coalesce(F.col("budget_per_round"),
+                               F.lit(default_budget)))
+        .drop("allow", "disallow")
+    )

@@ -1,0 +1,187 @@
+"""RFC 9309 robots.txt parser + longest-match matcher gates.
+
+Layers:
+
+* pure-Python parser unit tests (group merging, most-specific UA
+  selection, comments/blank lines/case, empty-value rules,
+  crawl-delay, unknown fields);
+* equivalence against the stdlib ``urllib.robotparser`` on
+  disallow-only corpora — the one regime where Python's
+  first-match-in-order semantics coincide with RFC longest-match
+  (every match is a disallow, so "any match" == "longest match");
+* matcher semantics end-to-end through Spark: longest-match-wins,
+  allow/disallow ties → allow, ``*`` wildcards, ``$`` anchors,
+  literal ``%``/``_`` escaping, no-robots-row default;
+* plan shape: broadcast join, zero Python nodes in the decision.
+"""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+from pyspark.sql import functions as F
+
+from cdx_writer_spark.frontier.robots import (
+    apply_robots_rep,
+    compile_robots,
+    parse_robots,
+    rule_to_like,
+)
+
+RFC_TXT = """
+# comment line
+User-agent: examplebot
+Disallow: /private/
+Allow: /private/public
+Crawl-delay: 2
+
+User-agent: *
+Disallow: /tmp*
+Disallow: /exact$
+
+User-Agent: ExampleBot
+DISALLOW: /also-private/
+"""
+
+
+def test_parser_groups_and_specificity():
+    al, dis, delay = parse_robots(RFC_TXT, agent="examplebot/1.2")
+    # both examplebot groups merge; the * group is out-specificized
+    assert al == ["/private/public"]
+    assert sorted(dis) == ["/also-private/", "/private/"]
+    assert delay == 2.0
+    al, dis, delay = parse_robots(RFC_TXT, agent="otherbot")
+    assert al == [] and sorted(dis) == ["/exact$", "/tmp*"]
+    assert delay is None
+
+
+def test_parser_edge_cases():
+    # empty-value Disallow means allow-all (rule dropped)
+    al, dis, _ = parse_robots("User-agent: *\nDisallow:\n")
+    assert (al, dis) == ([], [])
+    # rules before any user-agent line are ignored
+    al, dis, _ = parse_robots("Disallow: /x\nUser-agent: *\nDisallow: /y\n")
+    assert dis == ["/y"]
+    # consecutive UA lines share one group; a UA line after rules
+    # starts a NEW group
+    txt = ("User-agent: a\nUser-agent: b\nDisallow: /ab\n"
+           "User-agent: b\nDisallow: /b2\n")
+    _, dis, _ = parse_robots(txt, agent="b")
+    assert sorted(dis) == ["/ab", "/b2"]
+    # unknown fields + junk delay ignored
+    al, dis, delay = parse_robots(
+        "User-agent: *\nSitemap: http://x/s.xml\nCrawl-delay: soon\n"
+        "Disallow: /q\n")
+    assert dis == ["/q"] and delay is None
+    # no matching group at all
+    assert parse_robots("User-agent: onlybot\nDisallow: /\n",
+                        agent="me") == ([], [], None)
+
+
+def test_rule_to_like():
+    assert rule_to_like("/a") == "/a%"
+    assert rule_to_like("/a*b") == "/a%b%"
+    assert rule_to_like("/a$") == "/a"
+    assert rule_to_like("/a*b$") == "/a%b"
+    assert rule_to_like("/100%_x") == "/100\\%\\_x%"
+
+
+def test_disallow_only_equivalence_with_stdlib():
+    """On disallow-only rule sets RFC longest-match and stdlib
+    first-match agree; sweep a deterministic corpus of rules/paths."""
+    rules = ["/a", "/a/b", "/c*d", "/e$", "/f/", "/", "/g*"]
+    paths = ["/a", "/a/b/c", "/ab", "/c/x/d", "/cd", "/e", "/e/f",
+             "/f/", "/f", "/x", "/g/h", "", "/c/d/e"]
+    txt = "User-agent: *\n" + "".join(f"Disallow: {r}\n" for r in rules)
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(txt.splitlines())
+    al, dis, _ = parse_robots(txt)
+    assert al == [] and dis == rules
+    import re as _re
+
+    def like_match(pat, s):
+        rx = "^" + "".join(
+            ".*" if c == "%" else _re.escape(c)
+            for c in _re.sub(r"\\\\(.)", r"\1", pat)) + ("$" if not
+                                                         pat.endswith("%")
+                                                         else "")
+        return _re.match(rx, s) is not None
+
+    for p in paths:
+        norm = p or "/"  # empty path normalizes to "/" (matcher does too)
+        ours = not any(like_match(rule_to_like(r), norm) for r in dis)
+        theirs = rp.can_fetch("bot", "http://h" + p)
+        assert ours == theirs, (p, ours, theirs)
+
+
+def _decide(spark, robots_txt, paths, agent="cdxbot"):
+    corpus = spark.createDataFrame([("h", robots_txt)],
+                                   "host string, robots_txt string")
+    rules = compile_robots(corpus, agent=agent)
+    cand = spark.createDataFrame(
+        [("h", "http://h" + p, p) for p in paths],
+        "host string, url string, path string")
+    out = apply_robots_rep(cand, rules)
+    kept = {r["path"] for r in out.select("path").collect()}
+    return kept
+
+
+def test_matcher_longest_match_and_ties(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /p/\n"
+           "Allow: /p/ok\n"       # longer than /p/ -> allows /p/ok*
+           "Disallow: /p/okx\n")  # longer still -> beats the allow
+    kept = _decide(spark, txt, ["/p/a", "/p/ok", "/p/ok2", "/p/okx",
+                                "/q", "/p/okxy"])
+    assert kept == {"/p/ok", "/p/ok2", "/q"}
+    # equal-length allow and disallow -> allow wins (RFC 9309 §2.2.2)
+    kept = _decide(spark, "User-agent: *\nDisallow: /t1\nAllow: /t2\n",
+                   ["/t1", "/t2"])
+    assert kept == {"/t2"}
+    kept = _decide(spark, "User-agent: *\nDisallow: /tie\nAllow: /tie\n",
+                   ["/tie/x"])
+    assert kept == {"/tie/x"}
+
+
+def test_matcher_wildcards_anchors_and_defaults(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /w*z\n"
+           "Disallow: /end$\n"
+           "Disallow: /100%\n")
+    kept = _decide(spark, txt, ["/w/y/z", "/wz", "/w", "/end", "/end/x",
+                                "/100%x", "/100x"])
+    assert kept == {"/w", "/end/x", "/100x"}
+    # host with no robots row: allowed, default budget
+    corpus = spark.createDataFrame([("other", "User-agent: *\nDisallow: /\n")],
+                                   "host string, robots_txt string")
+    cand = spark.createDataFrame([("h", "http://h/x")],
+                                 "host string, url string")
+    out = apply_robots_rep(cand, compile_robots(corpus)).collect()
+    assert len(out) == 1 and out[0]["budget_per_round"] == 8
+
+
+def test_crawl_delay_budget(spark):
+    corpus = spark.createDataFrame(
+        [("slow", "User-agent: *\nCrawl-delay: 12\nDisallow: /no\n"),
+         ("fast", "User-agent: *\nCrawl-delay: 0.5\n"),
+         ("plain", "User-agent: *\nDisallow: /no\n")],
+        "host string, robots_txt string")
+    rules = {r["host"]: r for r in compile_robots(corpus).collect()}
+    assert rules["slow"]["budget_per_round"] == 5     # 60 // 12
+    assert rules["fast"]["budget_per_round"] == 120   # 60 // 0.5
+    assert rules["plain"]["budget_per_round"] == 8    # DEFAULT_BUDGET
+
+
+def test_matcher_plan_is_broadcast_and_python_free(spark):
+    corpus = spark.createDataFrame([("h", "User-agent: *\nDisallow: /p\n")],
+                                   "host string, robots_txt string")
+    rules = compile_robots(corpus)
+    cand = spark.createDataFrame([("h", "http://h/p")],
+                                 "host string, url string")
+    plan = (apply_robots_rep(cand, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    # Python appears only below the broadcast (rules compilation), so
+    # strip the broadcast subtree marker side: the candidates' filter
+    # expression itself must be UDF-free
+    assert "pythonUDF" not in plan.split("BroadcastHashJoin")[0]
