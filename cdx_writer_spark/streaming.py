@@ -86,3 +86,76 @@ def run_cdx_stream(spark: SparkSession, input_dir: str, out_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+# --- custom stateful operator: streaming per-host politeness budget ---------
+
+def politeness_stream(candidates: DataFrame,
+                      budget_per_host: int = 8) -> DataFrame:
+    """Streaming frontier admission with a PER-HOST cumulative budget —
+    the crawl loop's politeness gate lifted to an unbounded stream of
+    discovered candidates, as a CUSTOM stateful operator
+    (``applyInPandasWithState``): the per-host admitted count survives
+    across micro-batches in the state store, so a host exhausted in
+    batch 1 admits nothing in batch 2 even though the rows are new.
+
+    Within a batch the host's rows are admitted in the SAME total
+    order the batch scheduler uses — ``(depth, surt_key)`` ascending
+    (priority.select_batch) — so one availableNow drain is equivalent
+    to the batch per-host top-k (tested), and the admitted set is
+    deterministic at any parallelism.
+
+    Input columns: host, url, surt_key, depth.  State per host: one
+    long (admitted-so-far).  At 10^8 hosts the state store shards per
+    key group exactly like the batch frontier's host partitioning;
+    rows per (host, batch) are bounded by discovery fan-out, and the
+    pandas function sees each host's rows as Arrow chunks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def admit(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        chunks = [p for p in pdfs]
+        pdf = (pd.concat(chunks) if chunks
+               else pd.DataFrame(columns=["host", "url", "surt_key",
+                                          "depth"]))
+        pdf = pdf.sort_values(["depth", "surt_key"], kind="mergesort")
+        take = max(0, budget_per_host - used)
+        admitted = pdf.head(take)
+        state.update((used + len(admitted),))
+        yield admitted[["host", "url", "surt_key", "depth"]]
+
+    return (
+        candidates.select("host", "url", "surt_key", "depth")
+        .groupBy("host")
+        .applyInPandasWithState(
+            admit,
+            outputStructType="host string, url string, surt_key string, "
+                             "depth int",
+            stateStructType="used long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
+def run_politeness_stream(spark: SparkSession, input_dir: str,
+                          out_dir: str, checkpoint_dir: str,
+                          budget_per_host: int = 8,
+                          input_schema: str = "host string, url string, "
+                          "surt_key string, depth int") -> None:
+    """availableNow drain of a candidates landing dir through the
+    stateful budget gate; the checkpoint carries BOTH the source
+    offsets and the per-host state, so re-running after new files
+    land admits only what each host's remaining budget allows."""
+    cand = (spark.readStream.schema(input_schema).parquet(input_dir))
+    q = (
+        politeness_stream(cand, budget_per_host)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

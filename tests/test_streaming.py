@@ -64,3 +64,66 @@ def test_stream_stats_window_matches_batch(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n")).collect())
     assert sum(n for n, _ in got.values()) == len(rows)
     assert len(got) == len(batch)
+
+
+def _cand_rows(n, hosts=5, start=0):
+    rows = []
+    for i in range(start, start + n):
+        h = "host%d" % (i % hosts)
+        rows.append((h, "http://%s/p/%d" % (h, i),
+                     "com,%s)/p/%d" % (h, i), i % 4))
+    return rows
+
+
+_CAND_DDL = "host string, url string, surt_key string, depth int"
+
+
+def test_politeness_stream_budget_and_batch_equivalence(spark, tmp_path):
+    """One availableNow drain == the batch per-host (depth, surt)
+    top-k; a second drain admits only each host's REMAINING budget
+    (per-host state survives in the checkpoint)."""
+    from cdx_writer_spark.streaming import run_politeness_stream
+
+    land = str(tmp_path / "cand")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt2")
+    budget = 3
+
+    first = _cand_rows(40, hosts=5)
+    spark.createDataFrame(first, _CAND_DDL).write.mode("append").parquet(land)
+    run_politeness_stream(spark, land, out, ckpt, budget_per_host=budget)
+    got1 = {(r["host"], r["surt_key"])
+            for r in spark.read.parquet(out).collect()}
+
+    # batch reference: per-host top-k in (depth, surt_key) order
+    import itertools
+    expected1 = set()
+    by_host = {}
+    for h, u, s, d in first:
+        by_host.setdefault(h, []).append((d, s))
+    for h, items in by_host.items():
+        for d, s in sorted(items)[:budget]:
+            expected1.add((h, s))
+    assert got1 == expected1
+    assert all(sum(1 for h, _ in got1 if h == hh) == budget
+               for hh in by_host)
+
+    # drain 2: every host's budget is spent -> nothing admitted,
+    # even though all rows are new
+    spark.createDataFrame(_cand_rows(20, hosts=5, start=1000),
+                          _CAND_DDL).write.mode("append").parquet(land)
+    run_politeness_stream(spark, land, out, ckpt, budget_per_host=budget)
+    got2 = {(r["host"], r["surt_key"])
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == got1
+
+    # a fresh host in drain 3 still gets its full budget
+    extra = [("newhost", "http://newhost/p/%d" % i,
+              "com,newhost)/p/%d" % i, 0) for i in range(5)]
+    spark.createDataFrame(extra, _CAND_DDL).write.mode("append").parquet(land)
+    run_politeness_stream(spark, land, out, ckpt, budget_per_host=budget)
+    got3 = {(r["host"], r["surt_key"])
+            for r in spark.read.parquet(out).collect()}
+    new_admitted = {s for h, s in got3 - got2 if h == "newhost"}
+    assert got3 - got2 == {("newhost", s) for s in new_admitted}
+    assert len(new_admitted) == budget
