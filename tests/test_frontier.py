@@ -309,3 +309,29 @@ def test_native_fold_python_only_touches_final_rows(spark):
     # as per-pid collect_list output, so the Arrow node sits above the
     # aggregate, never above the raw keyed delta
     assert plan.index("ArrowEvalPython") < plan.index("collect_list")
+
+
+def test_native_fold_rejects_mismatched_geometry(spark):
+    """The native fold computes probe positions with the CONFIG's
+    uniform (n_bits, k); folding into filters built under a different
+    capacity must fail fast (silently scattering positions computed
+    for one modulus into another geometry's bit array would corrupt
+    the no-false-negative guarantee).  The pandas fold handles
+    per-partition geometry and stays the escape hatch."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    keys = webgraph.pages(spark, 100).select("surt_key")
+    other = seenmod.empty_filters(spark, n_partitions=4, capacity=9999)
+    bad = seenmod.update_filters(keys, other, 4, capacity=500)
+    with _pytest.raises(Exception) as ei:
+        bad.select("n_items").collect()
+    assert "uniform filter geometry" in str(ei.value)
+    # same capacity: fine
+    ok_filters = seenmod.empty_filters(spark, n_partitions=4, capacity=500)
+    out = seenmod.update_filters(keys, ok_filters, 4, capacity=500)
+    assert out.select(F.sum("n_items")).first()[0] == 100
+    # pandas fold accepts the mismatched geometry (per-pid blobs)
+    pd_out = seenmod.update_filters(keys, other, 4, capacity=500,
+                                    strategy="pandas")
+    assert pd_out.select(F.sum("n_items")).first()[0] == 100
