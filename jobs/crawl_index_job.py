@@ -44,6 +44,9 @@ def main() -> None:
     p.add_argument("--seeds", type=int, default=200)
     p.add_argument("--cdx-out", default=None,
                    help="emit sorted CDX for the crawled synthetic pages")
+    p.add_argument("--text-out", default=None,
+                   help="emit (url, text) parquet via the HTML->text "
+                        "extraction (the north rule's per-row invariant)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument("--probe", default="native",
@@ -83,7 +86,7 @@ def main() -> None:
     for s in summaries:
         print(json.dumps(s))
 
-    if args.cdx_out:
+    if args.cdx_out or args.text_out:
         # index what was crawled: join the committed schedule against a
         # synthesized pages view and run the CDX projection + sorted sink
         from cdx_writer_spark.job import CDXConfig
@@ -118,8 +121,20 @@ def main() -> None:
                      F.col("round").cast("string"),
                      F.lit(".warc.gz")).alias("warc_file"),
         )
-        stats = write_sorted_cdx(pages_view, args.cdx_out, CDXConfig())
-        print(json.dumps({"cdx_stats": stats}))
+        if args.cdx_out:
+            stats = write_sorted_cdx(pages_view, args.cdx_out, CDXConfig())
+            print(json.dumps({"cdx_stats": stats}))
+
+        if args.text_out:
+            # byte-identical extracted text per url (functions/extract.py)
+            from cdx_writer_spark.functions.extract import extract_text
+            out = (extract_text(pages_view)
+                   .filter(F.col("text").isNotNull())
+                   .select("url", "text"))
+            out.write.mode("overwrite").parquet(args.text_out)
+            n_text = spark.read.parquet(args.text_out).count()
+            print(json.dumps({"text_out": args.text_out,
+                              "text_rows": n_text}))
 
     spark.stop()
 
