@@ -669,8 +669,10 @@ def _strip_sql(expr: str) -> str:
         "replace(replace(replace(replace(replace(replace(replace("
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         + expr + ", "
-        "'(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), "
-        "'(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'), "
+        "'(?is)<script([ \\t\\n\\r\\f\\x0B/][^>]*)?>"
+        ".*?</script[ \\t\\n\\r\\f\\x0B]*>', ' ', 'g'), "
+        "'(?is)<style([ \\t\\n\\r\\f\\x0B/][^>]*)?>"
+        ".*?</style[ \\t\\n\\r\\f\\x0B]*>', ' ', 'g'), "
         "'(?s)<!--.*?-->', ' ', 'g'), "
         "'<[^>]*>', ' ', 'g'), "
         "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "

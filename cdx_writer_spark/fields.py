@@ -178,18 +178,28 @@ def checksum_column(handler: Column, warc_headers: Column, html: Column,
 
 # --- M: AIF meta tags / robots flags (cdx_writer.py:248-254, 461-554) ---------
 
-def aif_meta_tags_column(handler: Column, mime_type: Column, payload: Column,
-                         content_length: Column, html: Column,
-                         http_headers: Column, warc_headers: Column) -> Column:
-    # meta parse gate: text/html responses only, blank/oversized -> no tags
-    # (:471-486); the >5MB limit compares the record content length (:485)
+def meta_input_col(handler: Column, mime_type: Column, payload: Column,
+                   content_length: Column, html: Column) -> Column:
+    """The meta-parse gate shared by the M field and the text
+    extraction's charset sniff: text/html responses only,
+    blank/oversized -> no payload crosses into Python
+    (cdx_writer.py:471-486; the >5MB limit compares the record content
+    length, :485).  ONE definition so the two consumers can never
+    drift — and since both call ``meta_tags_udf`` on the identical
+    expression, Catalyst deduplicates them into a single Arrow pass."""
     eff_len = F.coalesce(content_length, F.octet_length(html))
-    meta_input = F.when(
+    return F.when(
         (handler == "response") & (mime_type == "text/html")
         & payload.isNotNull() & (eff_len <= META_PARSE_LIMIT),
         payload,
     ).otherwise(F.lit(None))
-    meta = meta_tags_udf(meta_input)
+
+
+def aif_meta_tags_column(handler: Column, mime_type: Column, payload: Column,
+                         content_length: Column, html: Column,
+                         http_headers: Column, warc_headers: Column) -> Column:
+    meta = meta_tags_udf(meta_input_col(handler, mime_type, payload,
+                                        content_length, html))
 
     robots_meta = F.element_at(meta, F.lit("robots"))
     x_robots = F.nullif(

@@ -8,10 +8,10 @@ single-prefix-per-host dimension model; this module is the full REP
 * :func:`parse_robots` — pure-Python RFC 9309 parser (groups of
   ``User-agent`` lines followed by ``Allow``/``Disallow``/
   ``Crawl-delay`` rules; comments and unknown fields per spec).
-  Group selection: the most specific matching user-agent token wins
-  (longest token that is a case-insensitive substring of the crawler's
-  product token; ``*`` has specificity 0); ALL groups carrying the
-  winning token merge, matching RFC 9309 §2.2.1.
+  Group selection: the crawler's product token must match a group's
+  user-agent token EXACTLY (case-insensitive); ``*`` matches all at
+  lower specificity; all groups carrying the winning token merge and
+  the max declared crawl-delay wins (RFC 9309 §2.2.1).
 * :func:`compile_robots` — the per-host robots corpus (tiny: one text
   per fetched robots.txt) parsed in one Arrow batch pass into a
   broadcastable rules table: LIKE-compiled allow/disallow pattern
@@ -42,7 +42,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                StringType, StructField, StructType)
 
@@ -97,16 +96,22 @@ def parse_robots(text: str, agent: str = "*"):
                     pass
         # unknown fields (sitemap, host, ...) are ignored per RFC
 
-    # group selection: longest UA token that matches (substring of the
-    # agent, case-insensitive); '*' matches everything at length 0
+    # group selection (RFC 9309 §2.2.1): the crawler's PRODUCT TOKEN
+    # (the part before '/') must match a group's user-agent token
+    # EXACTLY, case-insensitively; '*' matches everything at lower
+    # specificity.  Substring/prefix matching is deliberately NOT done
+    # — a group for an unrelated crawler named 'bot' must not capture
+    # 'cdxbot'.  Duplicate groups carrying the winning token merge;
+    # when several declare a crawl-delay the MAX wins (deterministic
+    # and the politest interpretation).
+    product = agent_l.split("/", 1)[0].strip()
+
     def specificity(uas):
-        best = -1
-        for t in uas:
-            if t == "*":
-                best = max(best, 0)
-            elif t and t in agent_l:
-                best = max(best, len(t))
-        return best
+        if product and product in uas:
+            return 1
+        if "*" in uas:
+            return 0
+        return -1
 
     scored = [(specificity(g[0]), g) for g in groups]
     best = max((s for s, _ in scored), default=-1)
@@ -119,7 +124,8 @@ def parse_robots(text: str, agent: str = "*"):
                 allow += g[1]
                 disallow += g[2]
                 if g[3][0] is not None:
-                    delay = g[3][0]
+                    delay = (g[3][0] if delay is None
+                             else max(delay, g[3][0]))
     return allow, disallow, delay
 
 

@@ -90,10 +90,16 @@ def decode_payload_udf(body: pd.Series, charset: pd.Series) -> pd.Series:
 
 # (pattern, replacement) in application order.  Kept to the regex
 # subset where Java regex (Spark), RE2 (DuckDB) and Python `re` agree:
-# inline (?is), non-greedy .*?, explicit ASCII classes, \b.
+# inline (?is), non-greedy .*?, explicit ASCII classes.  \s and \b are
+# BANNED even here: Java's \s includes \x0B where RE2's does not, and
+# Python's \s/\b are unicode-aware where the others are ASCII — any of
+# them silently breaks the three-way byte-identity.  RE2 has no
+# lookahead, so the tag-name boundary is the explicit
+# "(delimiter + attrs)? >" alternation instead of \b.
+_WS = r" \t\n\r\f\x0B"
 STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
-    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
-    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<script([%s/][^>]*)?>.*?</script[%s]*>" % (_WS, _WS), " "),
+    (r"(?is)<style([%s/][^>]*)?>.*?</style[%s]*>" % (_WS, _WS), " "),
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]*>", " "),
 )
@@ -151,22 +157,19 @@ def extract_text(pages: DataFrame, cfg=None) -> DataFrame:
     HTTP split/meta parse happen exactly once, then projects back to
     the input's columns — a pure per-row map, no shuffle.
     """
-    from ..fields import aif_meta_tags_column  # noqa: F401 (doc pointer)
+    from ..fields import meta_input_col
     from ..job import CDXConfig, cdx_flagged
-    from ..schema import META_PARSE_LIMIT
     from ..udfs import meta_tags_udf
 
     cfg = cfg or CDXConfig()
     flagged = cdx_flagged(pages, cfg)
-    # charset sniff needs the meta map; reuse the M-field gate
-    # (text/html responses only, <=5MB) so the meta payload crosses
-    # Arrow under the same mask as the robots scan (fields.py:184-192)
-    eff_len = F.coalesce(F.col("content_length"), F.octet_length("html"))
-    meta_input = F.when(
-        (F.col("handler") == "response")
-        & (F.col("mime_type") == "text/html")
-        & F.col("payload").isNotNull() & (eff_len <= META_PARSE_LIMIT),
-        F.col("payload")).otherwise(F.lit(None))
+    # charset sniff needs the meta map; the gate is the SHARED M-field
+    # gate (fields.meta_input_col) — identical expression, so Catalyst
+    # collapses this meta_tags_udf call with the M field's into one
+    # Arrow pass when both are computed
+    meta_input = meta_input_col(
+        F.col("handler"), F.col("mime_type"), F.col("payload"),
+        F.col("content_length"), F.col("html"))
     text = extracted_text_column(
         F.col("handler"), F.col("mime_type"), F.col("payload"),
         F.col("http_headers"), meta_tags_udf(meta_input))

@@ -23,13 +23,13 @@ import json
 import os
 import sys
 
-# Prefer the --py-files-shipped package (cluster mode: the repo tree is
-# not on the workers); fall back to the repo checkout for local dev runs.
-try:
-    import cdx_writer_spark  # noqa: F401
-except ImportError:
-    sys.path.insert(0, os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
+# Path precedence: a repo checkout next to this script wins (local dev
+# edits must never be shadowed by a stale installed copy); otherwise
+# rely on the --py-files-shipped package (cluster mode: the repo tree
+# is not on the workers).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo, "cdx_writer_spark")):
+    sys.path.insert(0, _repo)
 
 
 def main() -> None:

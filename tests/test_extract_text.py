@@ -82,8 +82,11 @@ def _oracle_extract(block: bytes) -> str | None:
     except LookupError:
         cs = "utf-8"
     s = body.decode(cs, errors="replace")
-    s = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", s)
-    s = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", s)
+    ws = " \\t\\n\\r\\f\\x0B"
+    s = re.sub(r"(?is)<script([%s/][^>]*)?>.*?</script[%s]*>" % (ws, ws),
+               " ", s)
+    s = re.sub(r"(?is)<style([%s/][^>]*)?>.*?</style[%s]*>" % (ws, ws),
+               " ", s)
     s = re.sub(r"(?s)<!--.*?-->", " ", s)
     s = re.sub(r"<[^>]*>", " ", s)
     for ent, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
@@ -212,3 +215,47 @@ def test_extract_preserves_schema_and_row_count(spark):
     assert out.columns == pages.columns
     assert out.count() == 10
     assert out.filter(F.col("text").isNotNull()).count() == 10
+
+
+def test_strip_regex_subset_is_engine_identical(spark):
+    """The spec bans \\s and \\b (Java \\s includes \\x0B, RE2's does
+    not; Python's \\s/\\b are unicode-aware) — drive the exact
+    divergence inputs through all THREE engines: Spark, the Python row
+    oracle, and DuckDB's RE2 via the shared _strip_sql helper."""
+    import importlib.util
+    import os as _os
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_strip", _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    payload = (b"<html><body>"
+               b"<script>a</script\x0b>keep1"      # \x0B in close tag
+               b"<scripty>keep2</scripty>"          # NOT a script element
+               b"<script\xc3\xa9>keep3"             # unicode after name:
+               b"<style>s</style\t>keep4"           # tab in close tag
+               b"</body></html>")
+    rows = [_row("http://e.example.com/ws", html=http_block(payload=payload))]
+    got = list(_run(spark, rows).values())[0]["text"]
+
+    expected = _oracle_extract(bytes(http_block(payload=payload)))
+    assert got == expected
+    # <script\x0B-close> element dropped wholesale; scripty tags strip
+    # as generic tags (keep2 survives); '<scripté>' is a generic tag in
+    # every engine (keep3 survives); style with tab-close dropped
+    assert "keep1" in got and "keep2" in got
+    assert "keep3" in got and "keep4" in got
+    assert "a" not in got.split() and "s" not in got.split()
+
+    con = duckdb.connect()
+    decoded = bytes(http_block(payload=payload)).split(b"\r\n\r\n", 1)[1]
+    ducked = con.execute(
+        "WITH t AS (SELECT ? AS body) SELECT "
+        + entry._strip_sql("body") + " FROM t",
+        [decoded.decode("utf-8")]).fetchone()[0]
+    assert ducked == got

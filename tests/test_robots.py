@@ -102,7 +102,7 @@ def test_disallow_only_equivalence_with_stdlib():
     def like_match(pat, s):
         rx = "^" + "".join(
             ".*" if c == "%" else _re.escape(c)
-            for c in _re.sub(r"\\\\(.)", r"\1", pat)) + ("$" if not
+            for c in _re.sub(r"\\(.)", r"\1", pat)) + ("$" if not
                                                          pat.endswith("%")
                                                          else "")
         return _re.match(rx, s) is not None
@@ -185,3 +185,31 @@ def test_matcher_plan_is_broadcast_and_python_free(spark):
     # strip the broadcast subtree marker side: the candidates' filter
     # expression itself must be UDF-free
     assert "pythonUDF" not in plan.split("BroadcastHashJoin")[0]
+
+def test_unrelated_token_never_captures_substring_agent():
+    """Exact product-token matching (RFC 9309): a group for a crawler
+    literally named 'bot' must not capture 'cdxbot', and a one-letter
+    token must not out-rank '*' for agents merely containing it."""
+    txt = ("User-agent: bot\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /only\n")
+    al, dis, _ = parse_robots(txt, agent="cdxbot/2.1")
+    assert dis == ["/only"]
+    txt2 = "User-agent: a\nDisallow: /\nUser-agent: *\nDisallow: /w\n"
+    _, dis2, _ = parse_robots(txt2, agent="alpha-crawler")
+    assert dis2 == ["/w"]
+    # the exact token still wins over *
+    _, dis3, _ = parse_robots(txt2, agent="a/9")
+    assert dis3 == ["/"]
+
+
+def test_duplicate_group_crawl_delay_takes_max():
+    """Merged duplicate groups: the max declared delay wins — never
+    file-order-dependent."""
+    txt = ("User-agent: x\nCrawl-delay: 1\nDisallow: /a\n"
+           "User-agent: x\nCrawl-delay: 10\nDisallow: /b\n")
+    _, dis, d = parse_robots(txt, agent="x")
+    assert sorted(dis) == ["/a", "/b"] and d == 10.0
+    rev = ("User-agent: x\nCrawl-delay: 10\nDisallow: /b\n"
+           "User-agent: x\nCrawl-delay: 1\nDisallow: /a\n")
+    _, _, d2 = parse_robots(rev, agent="x")
+    assert d2 == 10.0
