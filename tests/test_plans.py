@@ -143,3 +143,24 @@ def test_dedup_is_partial_aggregated(spark):
     pre_exchange = plan.split("Exchange")[-1]
     assert "HashAggregate" in pre_exchange  # partial agg below exchange
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_near_dup_verify_is_candidate_pruned(spark):
+    """The exact-verification side must recompute expensive payloads
+    (shingles / simhash / vectors) only for rows that survived banding:
+    the candidate set is persisted (one banding execution, reused by
+    every consumer) and its keys are BROADCAST onto the representative
+    rows before the payload expression — never a second full-corpus
+    pass."""
+    from cdx_writer_spark.functions import dedup, similarity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for df in (dedup.minhash_lsh_dedup(docs, threshold=0.5),
+               dedup.simhash_near_pairs(docs),
+               similarity.embedding_near_dup_pairs(emb, threshold=0.95)):
+        plan = _plan(df)
+        # persisted candidates: banding runs once, consumers read cache
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        # the candidate-keys prune is a broadcast join, not a shuffle
+        assert "BroadcastExchange" in plan
