@@ -2,8 +2,8 @@
 
 Native Catalyst everywhere the semantics allow (date normalization, URL
 safety transform, MIME parse/validation, status extraction, robots-flag
-assembly, size/offset/name passthroughs); Arrow pandas UDFs only for
-SURT, SHA-1/base32, and the HTML meta scan (see udfs.py).  Column names
+assembly, SHA-1/base32 checksum, size/offset/name passthroughs); Arrow
+pandas UDFs only for SURT and the HTML meta scan (see udfs.py).  Column names
 are FIELD_MAP descriptive names with underscores (single-letter codes
 would collide under Spark's case-insensitive resolution: 'S' vs 's').
 
@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .schema import FAKE_BUILD_VERSION, META_PARSE_LIMIT
-from .udfs import make_surt_udf, meta_tags_udf, sha1_b32
+from .udfs import make_surt_udf, meta_tags_udf
 
 
 def field_column_name(code: str) -> str:
@@ -144,6 +144,39 @@ def _strip_sha1(digest: Column) -> Column:
     return F.replace(digest, F.lit("sha1:"), F.lit(""))
 
 
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def sha1_b32_column(data: Column) -> Column:
+    """base32(sha1(bytes)) (cdx_writer.py:222-223) as a PURE-NATIVE
+    expression — the digest itself is Spark's JVM ``sha1`` (so payload
+    bytes never cross the Arrow boundary just to be hashed), and the
+    base32 encoding Spark lacks is derived from the 40-char hex: the
+    160-bit digest is 32 5-bit symbols, and symbol i spans exactly two
+    hex nibbles — an 8-bit window ``w`` starting at nibble (5i div 4),
+    shifted right by ``3 - (5i mod 4)`` and masked to 5 bits.  All 32
+    symbol expressions reference the hex digest as a lambda-BOUND
+    variable (``bind_once``): Catalyst would otherwise inline
+    ``sha1(data)`` into all 32 of them textually, and inside a wide
+    projection whose generated method exceeds the codegen limits that
+    fallback re-hashes the payload 32 times.  NULL in -> NULL out
+    (sha1/concat propagate), so ``when()``-masked callers skip hashing
+    entirely — same contract as the retired Arrow UDF.  Parity anchor:
+    sha1(b'') encodes to 3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ (fixture
+    empty-payload records)."""
+    from .functions.dedup import bind_once
+
+    def symbol(hexd: Column, i: int) -> Column:
+        j, r = (5 * i) // 4, (5 * i) % 4
+        w = F.conv(F.substring(hexd, j + 1, 2), 16, 10).cast("int")
+        idx = F.shiftright(w, 3 - r).bitwiseAND(F.lit(31))
+        return F.lit(_B32_ALPHABET).substr(idx + F.lit(1), F.lit(1))
+
+    return bind_once(
+        F.sha1(data),
+        lambda h: F.concat(*[symbol(h, i) for i in range(32)]))
+
+
 def checksum_column(handler: Column, warc_headers: Column, html: Column,
                     http_headers: Column, payload: Column) -> Column:
     payload_digest = F.element_at(warc_headers, F.lit("WARC-Payload-Digest"))
@@ -162,18 +195,23 @@ def checksum_column(handler: Column, warc_headers: Column, html: Column,
               html)
         .otherwise(F.lit(None))
     )
-    computed = sha1_b32(hash_input)
+    computed = sha1_b32_column(hash_input)
 
-    return (
-        F.when(handler == "response",
-               F.coalesce(_strip_sha1(payload_digest), computed))
-        .when(handler == "revisit", _strip_sha1(payload_digest))  # :569-574, no compute
+    # Digest-header value per handler (reference branch structure
+    # :443-459, :569-574).  The computed digest appears ONCE below —
+    # not per branch — so the 32-symbol base32 tree isn't triplicated
+    # into the projection (the hash_input mask already encodes which
+    # handlers may compute: revisit's input is NULL, so
+    # coalesce(header, computed) degenerates to the header there).
+    header_digest = (
+        F.when(handler.isin("response", "revisit"),
+               _strip_sha1(payload_digest))
         .when(handler == "ftp",
               F.coalesce(_strip_sha1(payload_digest),
-                         _strip_sha1(block_digest), computed))
-        .when(handler.isNotNull(), computed)  # base class (:218-223)
-        .otherwise(F.lit(None))
+                         _strip_sha1(block_digest)))
     )
+    return F.when(handler.isNotNull(),
+                  F.coalesce(header_digest, computed))
 
 
 # --- M: AIF meta tags / robots flags (cdx_writer.py:248-254, 461-554) ---------

@@ -1,7 +1,7 @@
 """The engine's only Python-side scalar ops, as Arrow-vectorized pandas UDFs.
 
 Everything else in the CDX projection is native Catalyst expressions
-(whole-stage codegen).  These four exist because Spark lacks the exact
+(whole-stage codegen).  These three exist because Spark lacks the exact
 semantics natively:
 
 * ``http_split``      — header/payload split of raw HTTP blocks
@@ -10,10 +10,13 @@ semantics natively:
                         reference's parse-once discipline, :348-352).
 * ``make_surt_udf``   — SURT canonicalization with original-URL fallback
                         (cdx_writer.py:128-136) via canonicalize.py.
-* ``sha1_b32``        — SHA-1 digest in base32 (cdx_writer.py:218-223);
-                        Spark's ``sha1()`` emits hex only.
 * ``meta_tags_udf``   — HTML ``<meta>`` scan stopping at ``</head>``
                         (cdx_writer.py:461-519).
+
+(The SHA-1/base32 checksum used to be the fourth — it is now fully
+native: JVM ``sha1`` + a codegen'd hex→base32 encoding in
+``fields.sha1_b32_column``, so payload bytes no longer make a second
+Arrow crossing just to be hashed.)
 
 Callers MASK the inputs with ``when()`` so rows that don't need the op
 ship NULL (not multi-MB payloads) across the Arrow boundary — e.g. the
@@ -23,8 +26,6 @@ Python when a WARC-Payload-Digest header exists.
 
 from __future__ import annotations
 
-import base64
-import hashlib
 import re
 
 import pandas as pd
@@ -126,15 +127,6 @@ def make_surt_udf(host_massage: bool = True, fallback: bool = True):
             lambda u: None if u is None else fn(u, host_massage=host_massage))
 
     return surt_udf
-
-
-@pandas_udf(StringType())
-def sha1_b32(data: pd.Series) -> pd.Series:
-    """base32(sha1(bytes)) (cdx_writer.py:222-223); NULL in -> NULL out,
-    so callers masking with when() skip hashing entirely."""
-    return data.map(
-        lambda b: None if b is None
-        else base64.b32encode(hashlib.sha1(b).digest()).decode("ascii"))
 
 
 # Meta-tag scan regexes — semantics of cdx_writer.py:493-510: scan

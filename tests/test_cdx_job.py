@@ -251,9 +251,10 @@ def test_large_exclude_list_stays_native(spark):
         return sum(plan.count(m) for m in ("BatchEvalPython",
                                            "ArrowEvalPython"))
 
-    # the pipeline's masked Arrow UDFs (http_split, sha1_b32, and the
-    # surt re-eval the excluded-filter itself induces) are the only
-    # Python in the plan — growing the list 2 -> 1002 prefixes adds none
+    # the pipeline's masked Arrow UDFs (http_split and the surt re-eval
+    # the excluded-filter itself induces; the SHA-1/base32 digest is
+    # fully native) are the only Python in the plan — growing the list
+    # 2 -> 1002 prefixes adds none
     baseline = n_python_nodes(
         cdx_flagged(pages, small_cfg).filter("excluded"))
     assert n_python_nodes(big_df) == baseline
@@ -298,3 +299,26 @@ def test_write_single_cdx_matches_reference_shape(spark, tmp_path):
     expected2 = [r.cdx_line for r in cdx_lines(pages, cfg, sort=False)
                  .collect()]
     assert lines2.split("\n")[1:] == expected2
+
+
+def test_native_sha1_b32_matches_hashlib(spark):
+    """fields.sha1_b32_column (JVM sha1 + codegen'd hex->base32) is
+    byte-identical to Python's base64.b32encode(hashlib.sha1(..)) —
+    the reference digest formula (cdx_writer.py:222-223) — over empty,
+    short, long, high-bit and NULL payloads."""
+    import base64
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cdx_writer_spark.fields import sha1_b32_column
+
+    payloads = [b"", b"a", b"abc", bytes(range(256)) * 41,
+                b"\xff" * 1000, "unicode ☃".encode("utf-8"), None]
+    df = spark.createDataFrame([(p,) for p in payloads], "data binary")
+    got = [r.k for r in
+           df.select(sha1_b32_column(F.col("data")).alias("k")).collect()]
+    want = [None if p is None
+            else base64.b32encode(hashlib.sha1(p).digest()).decode("ascii")
+            for p in payloads]
+    assert got == want
