@@ -186,10 +186,14 @@ def q_cdx_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("</head><body>ok</body></html>")), "UTF-8")
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", http_split(block).alias("_s"))
+        .select("doc_id", block.alias("_b"))
+        .select("doc_id", "_b", http_split(F.col("_b")).alias("_s"))
         .select("doc_id",
-                charset_column(F.col("_s.headers"),
-                               meta_tags_udf(F.col("_s.body")))
+                charset_column(
+                    F.col("_s.headers"),
+                    meta_tags_udf(F.substring(
+                        F.col("_b"), F.col("_s.body_off"),
+                        F.octet_length(F.col("_b")))))
                 .alias("charset"))
     )
 

@@ -217,27 +217,37 @@ def checksum_column(handler: Column, warc_headers: Column, html: Column,
 # --- M: AIF meta tags / robots flags (cdx_writer.py:248-254, 461-554) ---------
 
 def meta_input_col(handler: Column, mime_type: Column, payload: Column,
-                   content_length: Column, html: Column) -> Column:
+                   content_length: Column, html: Column,
+                   payload_present: Column | None = None) -> Column:
     """The meta-parse gate shared by the M field and the text
     extraction's charset sniff: text/html responses only,
     blank/oversized -> no payload crosses into Python
     (cdx_writer.py:471-486; the >5MB limit compares the record content
     length, :485).  ONE definition so the two consumers can never
     drift — and since both call ``meta_tags_udf`` on the identical
-    expression, Catalyst deduplicates them into a single Arrow pass."""
+    expression, Catalyst deduplicates them into a single Arrow pass.
+
+    ``payload_present``: the flagged frame passes its cheap
+    offset-nullness boolean here so the gate never evaluates the
+    native payload slice (a byte copy) just to test for NULL — the
+    slice runs only for rows that pass the whole gate."""
+    present = (payload.isNotNull() if payload_present is None
+               else payload_present)
     eff_len = F.coalesce(content_length, F.octet_length(html))
     return F.when(
         (handler == "response") & (mime_type == "text/html")
-        & payload.isNotNull() & (eff_len <= META_PARSE_LIMIT),
+        & present & (eff_len <= META_PARSE_LIMIT),
         payload,
     ).otherwise(F.lit(None))
 
 
 def aif_meta_tags_column(handler: Column, mime_type: Column, payload: Column,
                          content_length: Column, html: Column,
-                         http_headers: Column, warc_headers: Column) -> Column:
+                         http_headers: Column, warc_headers: Column,
+                         payload_present: Column | None = None) -> Column:
     meta = meta_tags_udf(meta_input_col(handler, mime_type, payload,
-                                        content_length, html))
+                                        content_length, html,
+                                        payload_present))
 
     robots_meta = F.element_at(meta, F.lit("robots"))
     x_robots = F.nullif(
@@ -353,7 +363,8 @@ def add_cdx_field_columns(df: DataFrame, *, host_massage: bool = True,
                                          F.col("content_length"),
                                          F.col("html"),
                                          F.col("http_headers"),
-                                         F.col("warc_headers")))
+                                         F.col("warc_headers"),
+                                         F.col("payload_present")))
         .withColumn("compressed_record_size",
                     F.col("compressed_size").cast("string"))  # :232-239
         .withColumn("compressed_arc_file_offset",

@@ -131,17 +131,23 @@ def strip_html_column(decoded: Column) -> Column:
 
 def extracted_text_column(handler: Column, mime_type: Column,
                           payload: Column, http_headers: Column,
-                          meta_tags: Column) -> Column:
+                          meta_tags: Column,
+                          payload_present: Column | None = None) -> Column:
     """The full extraction expression over a flagged frame's columns.
 
     The eligibility mask is applied to the UDF *input* (ineligible rows
     ship NULL, not multi-MB payloads, across Arrow — same masking
     discipline as the digest/meta UDFs, ``udfs.py`` module docstring).
+    ``payload_present`` works as in ``fields.meta_input_col``: the
+    flagged frame's cheap offset-nullness boolean replaces a NULL test
+    that would otherwise evaluate the native payload slice.
     """
     from ..fields import charset_column
 
+    present = (payload.isNotNull() if payload_present is None
+               else payload_present)
     eligible = ((handler == "response") & (mime_type == "text/html")
-                & payload.isNotNull())
+                & present)
     body = F.when(eligible, payload).otherwise(F.lit(None))
     charset = F.when(eligible,
                      charset_column(http_headers, meta_tags)
@@ -169,9 +175,11 @@ def extract_text(pages: DataFrame, cfg=None) -> DataFrame:
     # Arrow pass when both are computed
     meta_input = meta_input_col(
         F.col("handler"), F.col("mime_type"), F.col("payload"),
-        F.col("content_length"), F.col("html"))
+        F.col("content_length"), F.col("html"),
+        F.col("payload_present"))
     text = extracted_text_column(
         F.col("handler"), F.col("mime_type"), F.col("payload"),
-        F.col("http_headers"), meta_tags_udf(meta_input))
+        F.col("http_headers"), meta_tags_udf(meta_input),
+        F.col("payload_present"))
     out_cols = [text.alias(c) if c == "text" else c for c in pages.columns]
     return flagged.select(*out_cols)

@@ -96,7 +96,20 @@ def cdx_flagged(pages: DataFrame, cfg: CDXConfig | None = None) -> DataFrame:
     df = (
         pages.withColumn("_http", split)
         .withColumn("http_headers", F.col("_http.headers"))
-        .withColumn("payload", F.col("_http.body"))
+        # NATIVE payload slice: http_split returns only the byte OFFSET
+        # of the body, so the multi-MB payload bytes never ride the
+        # Arrow return path — substring on a NULL offset propagates
+        # NULL (non-HTTP blocks / non-response records), and an
+        # offset of len+1 slices to b'' (header-only blocks), exactly
+        # the retired body column's semantics
+        .withColumn("payload",
+                    F.substring(F.col("html"), F.col("_http.body_off"),
+                                F.octet_length(F.col("html"))))
+        # cheap NULL test for the masks: payload is NULL iff the offset
+        # is (substring null-propagates) — gating on this int check
+        # instead of payload.isNotNull() keeps the byte-copying slice
+        # out of every gate expression
+        .withColumn("payload_present", F.col("_http.body_off").isNotNull())
         .withColumn("http_status", F.col("_http.status"))
         .withColumn("http_version", F.col("_http.version"))
         .withColumn("http_ct", F.col("_http.ct"))

@@ -31,7 +31,7 @@ import re
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    BinaryType,
+    IntegerType,
     MapType,
     StringType,
     StructField,
@@ -50,7 +50,7 @@ _RE_BEFORE_SEMI = re.compile(r"^(.+?);")
 
 _HTTP_SPLIT_TYPE = StructType([
     StructField("headers", StringType()),
-    StructField("body", BinaryType()),
+    StructField("body_off", IntegerType()),
     StructField("status", StringType()),
     StructField("version", StringType()),
     StructField("ct", StringType()),
@@ -59,14 +59,23 @@ _HTTP_SPLIT_TYPE = StructType([
 
 @pandas_udf(_HTTP_SPLIT_TYPE)
 def http_split(block: pd.Series) -> pd.DataFrame:
-    """Split a raw HTTP message into (headers text, payload bytes,
+    """Split a raw HTTP message into (headers text, payload OFFSET,
     status code, HTTP version, raw content-type value).
 
     Mirrors ResponseHandler.parse_headers_and_content
     (cdx_writer.py:390-407): blocks not starting with ``HTTP`` yield
     all-NULL; blocks with no blank line (empty payloads terminated by
-    a single newline) yield (whole block, b'') so the payload digest is
-    sha1(b'') — fixtures transposed_header / empty_payload_header_*.
+    a single newline) yield (whole block, len+1) so the payload slices
+    to b'' and its digest is sha1(b'') — fixtures transposed_header /
+    empty_payload_header_*.
+
+    ``body_off`` is the 1-based byte offset of the payload within the
+    input block — NOT the payload bytes.  The payload is sliced
+    NATIVELY by the caller (``substring(html, body_off,
+    octet_length(html))``, job.py), so the multi-MB bodies never make
+    the return trip across the Arrow boundary: only the (small) header
+    text and three parsed scalars come back from Python.  ``latin1``
+    decodes 1:1, so ``m.end()`` in bytes is exact.
 
     The status/version groups (:435-441) and the raw Content-Type header
     value up to ';' (:367-384, validation stays native in fields.py) are
@@ -78,27 +87,27 @@ def http_split(block: pd.Series) -> pd.DataFrame:
     (observed 100× slowdown on the full CDX plan).
     """
     headers: list[str | None] = []
-    bodies: list[bytes | None] = []
+    offs: list[int | None] = []
     statuses: list[str | None] = []
     versions: list[str | None] = []
     cts: list[str | None] = []
     for block_bytes in block:
         if block_bytes is None or not block_bytes.startswith(b"HTTP"):
             headers.append(None)
-            bodies.append(None)
+            offs.append(None)
             statuses.append(None)
             versions.append(None)
             cts.append(None)
             continue
-        parts = _CRLF_SPLIT.split(block_bytes, 1)
-        if len(parts) == 2:
-            head = parts[0].decode("latin1")
-            body = parts[1]
+        m_sep = _CRLF_SPLIT.search(block_bytes)
+        if m_sep:
+            head = block_bytes[:m_sep.start()].decode("latin1")
+            off = m_sep.end() + 1
         else:
             head = block_bytes.decode("latin1")
-            body = b""
+            off = len(block_bytes) + 1
         headers.append(head)
-        bodies.append(body)
+        offs.append(off)
         m = _RE_STATUS_LINE.match(head)
         statuses.append(m.group(2) if m else None)
         versions.append(m.group(1) if m else None)
@@ -109,7 +118,7 @@ def http_split(block: pd.Series) -> pd.DataFrame:
             cts.append(semi.group(1) if semi else ct)
         else:
             cts.append(None)
-    return pd.DataFrame({"headers": headers, "body": bodies,
+    return pd.DataFrame({"headers": headers, "body_off": offs,
                          "status": statuses, "version": versions,
                          "ct": cts})
 
