@@ -164,3 +164,24 @@ def test_near_dup_verify_is_candidate_pruned(spark):
         assert "InMemoryTableScan" in plan, plan[:2000]
         # the candidate-keys prune is a broadcast join, not a shuffle
         assert "BroadcastExchange" in plan
+
+
+def test_http_split_returns_no_payload_bytes(spark):
+    """The HTTP-split UDF must return the body OFFSET, never the body
+    bytes: payload bytes returning Python->JVM through Arrow is an
+    O(corpus bytes) serialization (measured 2.0x on 40KB bodies,
+    docs/SCALE.md section 5).  The payload is sliced natively from
+    `html` by job.cdx_flagged."""
+    from pyspark.sql.types import BinaryType
+
+    from cdx_writer_spark.job import cdx_flagged
+    from cdx_writer_spark.udfs import _HTTP_SPLIT_TYPE
+
+    assert not any(isinstance(f.dataType, BinaryType)
+                   for f in _HTTP_SPLIT_TYPE.fields), \
+        "http_split returns binary payload again"
+    # and the flagged frame's payload is the native substring of html,
+    # not a UDF output column: the slice appears as a Project expr
+    pages = spark.createDataFrame(bulk_rows(50), PAGES_SCHEMA)
+    plan = _plan(cdx_flagged(pages).select("payload"))
+    assert "substring" in plan.lower(), plan[:2000]
