@@ -107,7 +107,8 @@ def empty_filters(spark, n_partitions: int = DEFAULT_PARTITIONS,
                   capacity: int = DEFAULT_CAPACITY,
                   fpr: float = DEFAULT_FPR) -> DataFrame:
     """Fresh all-zero filters, built NATIVELY (spark.range +
-    array_repeat + a 16-byte literal prefix), never as a driver local
+    array_repeat + a 20-byte literal prefix: the 4-byte BLF2 magic
+    plus the 16-byte <QII header), never as a driver local
     relation: the obvious ``createDataFrame(rows)`` pickles
     n_partitions × d_words Python ints through py4j — measured ~3.3s
     of crawl-init fixed cost at 64 × 37k words, and O(total filter
