@@ -453,6 +453,37 @@ def run_crawl(spark: SparkSession, web: DataFrame, state_dir: str,
     return out
 
 
+def rebuild_filters(spark: SparkSession, state_dir: str,
+                    cfg: CrawlConfig = CrawlConfig()) -> None:
+    """Recovery path for an incompatible filters checkpoint (the
+    fail-fast in :func:`run_round` / ``bloom.from_bytes``): re-derive
+    the latest committed round's Bloom filters from the EXACT
+    cumulative seen table and overwrite that round's ``filters`` dir,
+    after which ``run_crawl`` resumes normally.
+
+    The seen table is the source of truth — append-only per-round
+    deltas of genuinely-new keys — so the rebuilt filters hold exactly
+    the key set the incremental folds held (the fold is a bit-OR:
+    order-independent, and ``n_items`` counts the same distinct keys),
+    while the blob geometry/layout follows the CURRENT build's sizing.
+    Never probe an old-layout blob with new position arithmetic: bits
+    land elsewhere, probes return false NEGATIVES, and already-seen
+    URLs re-enqueue silently — rebuilding from the exact table is the
+    only safe migration."""
+    rnd = latest_round(state_dir)
+    if rnd < 0:
+        raise ValueError(f"no committed rounds under {state_dir}")
+    keys = seen_table(spark, state_dir, upto_round=rnd).select("surt_key")
+    filters = seenmod.update_filters(
+        keys,
+        seenmod.empty_filters(spark, cfg.n_partitions,
+                              cfg.filter_capacity, cfg.filter_fpr),
+        cfg.n_partitions, cfg.filter_capacity, cfg.filter_fpr,
+        strategy=cfg.fold_strategy)
+    filters.write.mode("overwrite").parquet(
+        os.path.join(_round_dir(state_dir, rnd), "filters"))
+
+
 def crawl_order(spark: SparkSession, state_dir: str) -> DataFrame:
     """The committed crawl order across all rounds: the determinism
     artifact compared across parallelism levels."""

@@ -335,3 +335,43 @@ def test_native_fold_rejects_mismatched_geometry(spark):
     pd_out = seenmod.update_filters(keys, other, 4, capacity=500,
                                     strategy="pandas")
     assert pd_out.select(F.sum("n_items")).first()[0] == 100
+
+
+def test_rebuild_filters_recovers_incompatible_checkpoint(spark, tmp_path):
+    """The documented recovery path: a pre-v2 filters checkpoint
+    (blob-only schema) makes run_round fail fast; rebuild_filters
+    re-derives the filters from the exact seen table, after which the
+    resumed crawl is byte-identical to a straight run."""
+    import os
+
+    web = webgraph.pages(spark, N_PAGES)
+    seeds = webgraph.seeds(spark, 20, N_PAGES)
+    s1 = str(tmp_path / "straight")
+    loop.run_crawl(spark, web, s1, 3, seeds=seeds)
+
+    s2 = str(tmp_path / "broken")
+    loop.run_crawl(spark, web, s2, 2, seeds=seeds)
+    rnd = loop.latest_round(s2)
+    fdir = os.path.join(loop._round_dir(s2, rnd), "filters")
+    good = {r.partition_id: (bytes(r.filter_blob), list(r.bits_longs),
+                             r.n_items)
+            for r in spark.read.parquet(fdir).collect()}
+    # simulate an old-build checkpoint: only the blob-era columns
+    old = spark.read.parquet(fdir).select(
+        "partition_id", "filter_blob", "n_items").toPandas()
+    import shutil
+    shutil.rmtree(fdir)
+    spark.createDataFrame(old).write.mode("overwrite").parquet(fdir)
+    with pytest.raises(ValueError, match="incompatible"):
+        loop.run_round(spark, web, s2, rnd + 1)
+
+    loop.rebuild_filters(spark, s2)
+    rebuilt = {r.partition_id: (bytes(r.filter_blob), list(r.bits_longs),
+                                r.n_items)
+               for r in spark.read.parquet(fdir).collect()}
+    assert rebuilt == good       # exact-table rebuild == incremental fold
+
+    loop.run_crawl(spark, web, s2, 1)        # resume after recovery
+    a = [tuple(r) for r in loop.crawl_order(spark, s1).collect()]
+    b = [tuple(r) for r in loop.crawl_order(spark, s2).collect()]
+    assert a == b
