@@ -55,6 +55,11 @@ def main() -> None:
                         "expression (default), pandas broadcast blobs, "
                         "or per-partition cogroup (filter state too "
                         "large to broadcast)")
+    p.add_argument("--rebuild-filters", action="store_true",
+                   help="before crawling, rebuild the latest round's "
+                        "Bloom filters from the exact seen table "
+                        "(recovery for an incompatible filter "
+                        "checkpoint written by an older build)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -79,6 +84,10 @@ def main() -> None:
         web = webgraph.pages(spark, args.pages, n_partitions=args.cpus)
         n_pages = args.pages
     seeds = webgraph.seeds(spark, args.seeds, n_pages)
+
+    if args.rebuild_filters:
+        loop.rebuild_filters(spark, args.state_dir,
+                             loop.CrawlConfig(probe_strategy=args.probe))
 
     summaries = loop.run_crawl(
         spark, web, args.state_dir, args.rounds, seeds=seeds,
