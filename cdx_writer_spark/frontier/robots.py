@@ -25,10 +25,20 @@ single-prefix-per-host dimension model; this module is the full REP
   SQL LIKE patterns (linear-time match, no per-row regex compile),
   with ``%``/``_``/``\\`` in rule text escaped.
 
-Documented simplification: paths are compared as-is — no
-percent-encoding normalization pass (both sides of this engine's
-crawl pipeline carry raw URL bytes, so the comparison is internally
-consistent).
+Percent-encoding normalization (RFC 9309 §2.2.2): both sides of the
+match are canonicalized before comparison — every valid ``%XX``
+triplet percent-decodes to its octet EXCEPT ``%2F``, which stays the
+literal string ``%2F`` (an encoded slash must remain distinct from
+the path separator).  Rules normalize once per host in Python at
+compile time (wildcard ``*`` and the ``$`` anchor are identified in
+the RAW rule text first, so a decoded ``%2A`` is a literal asterisk,
+never a wildcard); candidate paths normalize natively
+(``try_url_decode`` with ``+`` and ``%2f`` protected — ``+`` is a
+literal plus in a path, not a space).  So a rule ``/a%20b`` matches
+the candidate ``/a b`` and vice versa.  A path whose decode fails
+(malformed triplet, invalid UTF-8) falls back to its raw bytes on the
+candidate side while Python decodes the valid triplets around it —
+the one documented asymmetry, confined to malformed inputs.
 
 Scale: parsing touches one row per HOST (the robots corpus), never
 per candidate; the compiled rules broadcast like any small dimension,
@@ -37,6 +47,10 @@ the candidates side never shuffles and never enters Python.
 """
 
 from __future__ import annotations
+
+import math
+import re
+import urllib.parse
 
 import pandas as pd
 
@@ -129,22 +143,70 @@ def parse_robots(text: str, agent: str = "*"):
     return allow, disallow, delay
 
 
+# the transient stand-in for '%2F' while the rest of the string
+# percent-decodes; \x01 cannot appear in a sane URL path, and a
+# *decoded* %01 colliding with it is pathological enough to document
+# rather than defend (it would read back as a literal '%2F')
+_SLASH_SENTINEL = "\x01"
+_PCT_2F = re.compile("%2f", re.IGNORECASE)
+
+
+def normalize_rule_path(segment: str) -> str:
+    """RFC 9309 §2.2.2 canonical form of a literal rule segment:
+    percent-decode every valid ``%XX`` triplet except ``%2F`` (kept as
+    the uppercase literal ``%2F`` so an encoded slash stays distinct
+    from the separator); malformed triplets pass through raw.  Mirrors
+    the native candidate-side pipeline in :func:`normalize_path_col`
+    step for step."""
+    protected = _PCT_2F.sub(_SLASH_SENTINEL, segment)
+    decoded = urllib.parse.unquote(protected, errors="replace")
+    return decoded.replace(_SLASH_SENTINEL, "%2F")
+
+
+def normalize_path_col(path):
+    """The same canonicalization as :func:`normalize_rule_path`, as
+    pure Catalyst expressions over a candidate path column (zero
+    Python): protect literal ``+`` (a plus in a path is NOT a space)
+    and ``%2f``, ``try_url_decode``, restore.  A malformed path (bad
+    triplet / invalid UTF-8) decodes to NULL and falls back to its
+    raw (case-normalized-``%2F``) bytes."""
+    p = F.regexp_replace(path, r"\+", "%2B")
+    p = F.regexp_replace(p, "(?i)%2f", _SLASH_SENTINEL)
+    p = F.coalesce(F.try_url_decode(p), p)
+    return F.replace(p, F.lit(_SLASH_SENTINEL), F.lit("%2F"))
+
+
 def rule_to_like(rule: str) -> str:
     """A robots path rule as a SQL LIKE pattern (escape char ``\\``):
     ``*`` → ``%``; a trailing ``$`` anchors the match (no trailing
-    ``%``); literal ``%``/``_``/``\\`` escaped."""
+    ``%``); literal segments percent-normalized per RFC 9309 §2.2.2
+    (wildcards and the anchor are recognized in the RAW text BEFORE
+    decoding, so ``%2A``/``%24`` decode to literal ``*``/``$``);
+    literal ``%``/``_``/``\\`` escaped after normalization."""
     anchored = rule.endswith("$")
     body = rule[:-1] if anchored else rule
     out = []
-    for ch in body:
-        if ch == "*":
+    for i, seg in enumerate(body.split("*")):
+        if i:
             out.append("%")
-        elif ch in ("%", "_", "\\"):
-            out.append("\\" + ch)
-        else:
-            out.append(ch)
+        for ch in normalize_rule_path(seg):
+            if ch in ("%", "_", "\\"):
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
     pat = "".join(out)
     return pat if anchored else pat + "%"
+
+
+def rule_norm_len(rule: str) -> int:
+    """Longest-match metric for a rule: octet length of its NORMALIZED
+    text (decoded triplets count their decoded octets, so ``/a%20b``
+    and ``/a b`` rank equally; the ``$`` anchor keeps its octet as
+    before normalization existed)."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    norm = "*".join(normalize_rule_path(s) for s in body.split("*"))
+    return len(norm.encode("utf-8")) + (1 if anchored else 0)
 
 
 _RULES_SCHEMA = StructType([
@@ -177,13 +239,23 @@ def compile_robots(corpus: DataFrame, agent: str = "*",
                 al, dis, delay = parse_robots(txt or "", agent)
                 rows["host"].append(host)
                 rows["allow"].append(
-                    [(rule_to_like(r), len(r)) for r in al])
+                    [(rule_to_like(r), rule_norm_len(r)) for r in al])
                 rows["disallow"].append(
-                    [(rule_to_like(r), len(r)) for r in dis])
+                    [(rule_to_like(r), rule_norm_len(r)) for r in dis])
                 rows["crawl_delay"].append(delay)
-                rows["budget_per_round"].append(
-                    default_budget if delay is None
-                    else max(1, int(round_seconds // max(delay, 1e-9))))
+                # robots.txt is untrusted input: a zero / negative /
+                # non-finite Crawl-delay must not blow up the budget
+                # (60 // 1e-9 overflows IntegerType and kills the whole
+                # Arrow batch).  Invalid delays fall back to the
+                # default budget; valid delays resolve at 1ms — a
+                # sub-millisecond Crawl-delay is indistinguishable from
+                # none, and the cap keeps the budget in int32 range.
+                if delay is None or not (delay > 0 and math.isfinite(delay)):
+                    budget = default_budget
+                else:
+                    budget = max(1, min(round_seconds * 1000,
+                                        int(round_seconds // delay)))
+                rows["budget_per_round"].append(budget)
             yield pd.DataFrame(rows)
 
     return corpus.select("host", "robots_txt").mapInPandas(
@@ -218,10 +290,13 @@ def apply_robots_rep(candidates: DataFrame, rules: DataFrame,
     # evaluated exactly once per row (a bound variable cannot be
     # re-inlined into the LIKE lambdas — see dedup.bind_once)
     # an empty path (bare "http://host") normalizes to "/" before
-    # matching, as crawlers (and urllib.robotparser) do
+    # matching, as crawlers (and urllib.robotparser) do; the path is
+    # then percent-normalized (RFC 9309 §2.2.2) to mirror the rules'
+    # compile-time normalization
     raw_path = url_path_col(F.col("url"))
     allowed = F.col("allow").isNull() | bind_once(
-        F.coalesce(F.nullif(raw_path, F.lit("")), F.lit("/")),
+        normalize_path_col(
+            F.coalesce(F.nullif(raw_path, F.lit("")), F.lit("/"))),
         lambda path: bind_once(
             _match_len(path, F.col("disallow")),
             lambda d: (d == -1)                      # nothing disallows

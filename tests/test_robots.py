@@ -160,6 +160,34 @@ def test_matcher_wildcards_anchors_and_defaults(spark):
     assert len(out) == 1 and out[0]["budget_per_round"] == 8
 
 
+def test_percent_encoding_normalization(spark):
+    """RFC 9309 §2.2.2: rule and candidate paths compare in percent-
+    normalized form — an encoded rule matches a raw candidate and vice
+    versa; %2F stays distinct from the path separator; + is a literal
+    plus; %2A decodes to a literal asterisk, never a wildcard."""
+    txt = ("User-agent: *\n"
+           "Disallow: /a%20b\n"      # encoded rule vs raw candidate
+           "Disallow: /c d\n"        # raw rule vs encoded candidate
+           "Disallow: /e+f\n"        # literal plus both sides
+           "Disallow: /g%2Fh\n"      # encoded slash stays literal
+           "Disallow: /i%2Aj\n")     # %2A = literal '*', NOT a wildcard
+    kept = _decide(spark, txt, [
+        "/a b", "/a%20b", "/a_b",
+        "/c%20d", "/c d",
+        "/e+f", "/e%2Bf", "/e f",
+        "/g%2fh", "/g/h",
+        "/i*j", "/i%2Aj", "/iXXXj",
+    ])
+    assert kept == {"/a_b", "/e f", "/g/h", "/iXXXj"}
+    # normalized lengths rank fairly: the encoded allow (/p%20q/x, 7
+    # normalized octets) out-ranks the raw disallow (/p q/, 5 octets)
+    txt2 = ("User-agent: *\n"
+            "Disallow: /p q/\n"
+            "Allow: /p%20q/x\n")
+    kept2 = _decide(spark, txt2, ["/p q/y", "/p%20q/x1", "/p q/x2"])
+    assert kept2 == {"/p%20q/x1", "/p q/x2"}
+
+
 def test_crawl_delay_budget(spark):
     corpus = spark.createDataFrame(
         [("slow", "User-agent: *\nCrawl-delay: 12\nDisallow: /no\n"),
@@ -170,6 +198,29 @@ def test_crawl_delay_budget(spark):
     assert rules["slow"]["budget_per_round"] == 5     # 60 // 12
     assert rules["fast"]["budget_per_round"] == 120   # 60 // 0.5
     assert rules["plain"]["budget_per_round"] == 8    # DEFAULT_BUDGET
+
+
+def test_crawl_delay_hostile_values_never_crash(spark):
+    """Untrusted robots.txt: zero / negative / NaN / inf / huge
+    Crawl-delay values must compile to a sane bounded budget instead of
+    overflowing IntegerType and aborting the Arrow batch."""
+    corpus = spark.createDataFrame(
+        [("zero", "User-agent: *\nCrawl-delay: 0\n"),
+         ("neg", "User-agent: *\nCrawl-delay: -3\n"),
+         ("nan", "User-agent: *\nCrawl-delay: nan\n"),
+         ("inf", "User-agent: *\nCrawl-delay: inf\n"),
+         ("tiny", "User-agent: *\nCrawl-delay: 0.000001\n"),
+         ("huge", "User-agent: *\nCrawl-delay: 1e18\n")],
+        "host string, robots_txt string")
+    rules = {r["host"]: r for r in compile_robots(corpus).collect()}
+    # invalid (<=0, non-finite) -> default budget
+    assert rules["zero"]["budget_per_round"] == 8
+    assert rules["neg"]["budget_per_round"] == 8
+    assert rules["nan"]["budget_per_round"] == 8
+    assert rules["inf"]["budget_per_round"] == 8
+    assert rules["huge"]["budget_per_round"] == 1  # finite but enormous
+    # valid sub-ms delay -> capped at 1ms resolution, int32-safe
+    assert rules["tiny"]["budget_per_round"] == 60_000
 
 
 def test_matcher_plan_is_broadcast_and_python_free(spark):
