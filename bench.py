@@ -116,6 +116,8 @@ def main() -> None:
         F.sum(_warm(F.col("id")))).collect()
     spark.range(1000).select(F.sum("id")).collect()
 
+    from cdx_writer_spark.functions.dedup import release_candidate_caches
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, build in builders.items():
@@ -125,6 +127,9 @@ def main() -> None:
         elapsed = time.monotonic() - t0
         timings[name] = round(elapsed, 3)
         rows[name] = df.count()
+        # the near-dup ops cache their candidate frames; release so a
+        # 14-query session doesn't accumulate dead cached partitions
+        release_candidate_caches()
 
     # frontier crawl rounds — the north rule's scheduling path (URL-seen
     # Bloom split, politeness, priority windows, checkpoint commit)

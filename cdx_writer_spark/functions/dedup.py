@@ -98,6 +98,67 @@ def bind_once(col: Column, fn) -> Column:
 
 # --- pair-enumeration plumbing (shared by MinHash / SimHash / embedding) ----
 
+# Above this many candidate PAIRS the verify-prune stops force-hinting
+# a broadcast of the candidate-key set and falls back to a plain join
+# (AQE still picks a broadcast at runtime when the ACTUAL key bytes
+# come in under spark.sql.autoBroadcastJoinThreshold).  The bound is
+# conservative: <= 2 keys/pair x ~100 B/key in the hashed relation
+# ~ 400 MB worst case at the default — large but executor-safe; at
+# 10^10-doc scale the key set is multi-GB and MUST shuffle instead.
+VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
+
+# candidate frames persisted by the pair-enumeration ops, released via
+# release_candidate_caches() (Spark's CacheManager never GCs these)
+_CANDIDATE_CACHES: list[DataFrame] = []
+
+
+def _persist_candidates(cand: DataFrame) -> DataFrame:
+    """Persist a candidate-pair frame (its lineage is the whole banding
+    pipeline and it is consumed three times per op) and register it for
+    explicit release."""
+    cand = cand.persist()
+    _CANDIDATE_CACHES.append(cand)
+    return cand
+
+
+def release_candidate_caches() -> int:
+    """Unpersist every candidate frame cached by
+    :func:`minhash_lsh_dedup`, :func:`simhash_near_pairs` and
+    ``similarity.embedding_near_dup_pairs`` since the last release;
+    returns how many were released.  Long-lived sessions that call the
+    ops repeatedly should release once each result is materialized —
+    the cache only exists so banding runs once per op, not per
+    consumer."""
+    n = len(_CANDIDATE_CACHES)
+    while _CANDIDATE_CACHES:
+        _CANDIDATE_CACHES.pop().unpersist()
+    return n
+
+
+def _pruned_reps(reps: DataFrame, cand: DataFrame,
+                 verify_broadcast_limit: int | None = None) -> DataFrame:
+    """The verify-side prune: reps rows whose gkey appears in the
+    candidate pairs.  Joins on reps' RAW columns — callers compute
+    expensive exprs (shingles / simhash) in a select ABOVE this join,
+    otherwise the expr is evaluated for every rep row anyway.
+
+    The candidate-key set is force-broadcast only below
+    ``verify_broadcast_limit`` candidate pairs (default
+    ``VERIFY_BROADCAST_MAX_PAIRS``); above it — or when the limit is
+    <= 0 — the join is left plain and AQE chooses the strategy from
+    the runtime key bytes.  ``cand`` is persisted by the caller, so
+    the gating ``count()`` doubles as the cache materialization
+    (banding runs exactly once, before any consumer)."""
+    limit = (VERIFY_BROADCAST_MAX_PAIRS if verify_broadcast_limit is None
+             else verify_broadcast_limit)
+    cand_keys = (
+        cand.select(F.col("gkey_a").alias("gkey"))
+        .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
+        .distinct())
+    if limit > 0 and 2 * cand.count() <= limit:
+        cand_keys = F.broadcast(cand_keys)
+    return reps.join(cand_keys, "gkey")
+
 def _exact_groups(df: DataFrame, key: Column, id_col: str,
                   payload: Column, payload_name: str):
     """Collapse exact-duplicate rows before pair enumeration.
@@ -262,7 +323,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.7,
                       num_hashes: int = 32, bands: int = 8,
                       portable: bool = False,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      verify_broadcast_limit: int | None = None) -> DataFrame:
     """Verified near-dup pairs (id_a, id_b, jaccard): LSH candidates
     filtered by exact Jaccard over shingle sets, computed only for the
     distinct surviving candidates.  Byte-identical texts are collapsed
@@ -287,20 +349,15 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     # but its lineage contains the whole signature pipeline, and it is
     # consumed three times below (two key projections + the verify
     # join) — persist it so banding runs ONCE, not per consumer.
-    cand = _banded_candidate_pairs(
+    cand = _persist_candidates(_banded_candidate_pairs(
         _minhash_banded(sig, bands, rows, portable),
-        ["band", "bucket"], max_bucket_size).persist()
+        ["band", "bucket"], max_bucket_size))
     # exact verification: shingles recomputed only for the rows that
-    # survived banding.  The candidate keys are broadcast, so at corpus
-    # scale the verify side is a map-side prune of the reps scan — the
-    # corpus is never re-tokenized a second time for verification.
-    cand_keys = (
-        cand.select(F.col("gkey_a").alias("gkey"))
-        .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
-        .distinct())
-    sh_verify = (
-        reps.join(F.broadcast(cand_keys), "gkey")
-        .select("gkey", shingles_col(F.col("text")).alias("sh")))
+    # survived banding — at corpus scale the verify side is a prune of
+    # the reps scan (broadcast below the size gate, shuffle join
+    # above), never a second full-corpus tokenization pass.
+    sh_verify = _pruned_reps(reps, cand, verify_broadcast_limit) \
+        .select("gkey", shingles_col(F.col("text")).alias("sh"))
     sh_a = sh_verify.select(F.col("gkey").alias("gkey_a"),
                             F.col("sh").alias("sh_a"))
     sh_b = sh_verify.select(F.col("gkey").alias("gkey_b"),
@@ -457,7 +514,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
                        portable: bool = False,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       verify_broadcast_limit: int | None = None) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) by banded SimHash:
     candidates share >= 1 of 4 16-bit bands (pigeonhole: guaranteed
     recall for Hamming <= 3), then the true bit distance verifies.
@@ -495,18 +553,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     # persist: small by construction, consumed three times below (see
     # minhash_lsh_dedup) — without it the banding pipeline re-runs per
     # consumer
-    cand = _banded_candidate_pairs(banded, ["band", "bval"],
-                                   max_bucket_size).persist()
-    # verify-side prune: join reps' (gkey, text) to the broadcast
-    # candidate keys FIRST, then recompute the 64-bit majority vote for
-    # the survivors only — never a second full-corpus simhash pass
-    cand_keys = (
-        cand.select(F.col("gkey_a").alias("gkey"))
-        .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
-        .distinct())
-    sh_verify = (
-        reps.join(F.broadcast(cand_keys), "gkey")
-        .select("gkey", sim_col.alias("simhash")))
+    cand = _persist_candidates(_banded_candidate_pairs(
+        banded, ["band", "bval"], max_bucket_size))
+    # verify-side prune: join reps' (gkey, text) to the candidate keys
+    # FIRST (size-gated broadcast), then recompute the 64-bit majority
+    # vote for the survivors only — never a second full-corpus pass
+    sh_verify = _pruned_reps(reps, cand, verify_broadcast_limit) \
+        .select("gkey", sim_col.alias("simhash"))
     sh_a = sh_verify.select(F.col("gkey").alias("gkey_a"),
                             F.col("simhash").alias("sh_a"))
     sh_b = sh_verify.select(F.col("gkey").alias("gkey_b"),

@@ -300,7 +300,9 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              bands: int = 4, planes_per_band: int = 8,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             max_bucket_size: int | None = None) -> DataFrame:
+                             max_bucket_size: int | None = None,
+                             verify_broadcast_limit: int | None = None
+                             ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH self-join +
     exact verification (the embedding tier of the dedup suite).
 
@@ -323,7 +325,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     drops (and logs) degenerate buckets.  No all-pairs join anywhere.
     """
     from .dedup import (_banded_candidate_pairs, _exact_groups,
-                        _expand_rep_pairs, _intra_group_pairs)
+                        _expand_rep_pairs, _intra_group_pairs,
+                        _persist_candidates, _pruned_reps)
 
     # vector identity key: float32 -> string is injective for distinct
     # values, so equal keys == byte-equal vectors
@@ -349,15 +352,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
              F.col("bb.bucket").alias("bucket"))
     # persist: tiny by construction but its lineage is the banding
     # pipeline, and it is consumed three times below
-    cand = _banded_candidate_pairs(banded, ["band", "bucket"],
-                                   max_bucket_size).persist()
-    # re-join vectors for the surviving candidate keys only (broadcast
-    # prune) — the full wide reps never streams through the verify join
-    cand_keys = (
-        cand.select(F.col("gkey_a").alias("gkey"))
-        .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
-        .distinct())
-    v_verify = reps.join(F.broadcast(cand_keys), "gkey")
+    cand = _persist_candidates(_banded_candidate_pairs(
+        banded, ["band", "bucket"], max_bucket_size))
+    # re-join vectors for the surviving candidate keys only (size-gated
+    # broadcast prune) — the wide reps never stream through the verify
+    v_verify = _pruned_reps(reps, cand, verify_broadcast_limit)
     va = v_verify.select(F.col("gkey").alias("gkey_a"),
                          F.col("v").alias("v_a"))
     vb = v_verify.select(F.col("gkey").alias("gkey_b"),

@@ -166,6 +166,55 @@ def test_near_dup_verify_is_candidate_pruned(spark):
         assert "BroadcastExchange" in plan
 
 
+def test_verify_prune_broadcast_is_size_gated(spark):
+    """Above ``verify_broadcast_limit`` candidate pairs the prune must
+    NOT force-hint a broadcast of the key set — at 10^10 docs the
+    distinct candidate keys are a multi-GB relation and a forced
+    broadcast is a driver/executor OOM.  The fallback is a plain join
+    whose strategy AQE picks from runtime sizes (so with the auto
+    threshold disabled, the pre-adaptive plan is a shuffle join)."""
+    from cdx_writer_spark.functions.dedup import _pruned_reps
+
+    reps = spark.createDataFrame(
+        [(f"k{i}", f"text {i}") for i in range(20)], "gkey string, text string")
+    cand = spark.createDataFrame(
+        [(f"k{i}", f"k{i + 1}") for i in range(10)],
+        "gkey_a string, gkey_b string").persist()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # below the gate: forced broadcast even with auto-broadcast off
+        below = _pruned_reps(reps, cand, verify_broadcast_limit=1000)
+        plan_b = below._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" in plan_b, plan_b
+        # above the gate (10 pairs > limit/2): plain join, no hint
+        above = _pruned_reps(reps, cand, verify_broadcast_limit=4)
+        plan_a = above._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" not in plan_a, plan_a
+        assert "Join" in plan_a
+        # semantics identical either way
+        assert sorted(r["gkey"] for r in above.collect()) == \
+            sorted(r["gkey"] for r in below.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        cand.unpersist()
+
+
+def test_release_candidate_caches(spark):
+    """The pair-enumeration ops register their persisted candidate
+    frames; release_candidate_caches unpersists them all (a long-lived
+    session must have a release path — Spark's CacheManager never GCs
+    explicit persists)."""
+    from cdx_writer_spark.functions import dedup
+
+    dedup.release_candidate_caches()  # drain anything earlier tests left
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    dedup.minhash_lsh_dedup(docs, threshold=0.5).count()
+    dedup.simhash_near_pairs(docs).count()
+    assert dedup.release_candidate_caches() == 2
+    assert dedup.release_candidate_caches() == 0
+
+
 def test_http_split_returns_no_payload_bytes(spark):
     """The HTTP-split UDF must return the body OFFSET, never the body
     bytes: payload bytes returning Python->JVM through Arrow is an
