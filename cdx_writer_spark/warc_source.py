@@ -32,6 +32,8 @@ without an offset index, which is exactly the CDX this engine emits).
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import os
 import re
 import zlib
@@ -43,6 +45,13 @@ from .schema import PAGES_SCHEMA
 
 _RE_VERSION = re.compile(rb"^WARC/\d+\.\d+\r?\n")
 _RE_HEADER_SPLIT = re.compile(rb"\r?\n\r?\n", re.S)
+# Two ADJACENT line terminators under universal line endings == the
+# first empty line; the warctools ARC payload-digest boundary (see
+# parse_arc_record).  Each terminator is ATOMIC — a \r\n pair may
+# never backtrack into \r + \n (the (?!\n) guard), or a normal CRLF
+# header line would read as a bare-CR line plus a blank line.
+_RE_UNIVERSAL_BLANK = re.compile(
+    rb"(?:\r\n|\r(?!\n)|\n)(?:\r\n|\r(?!\n)|\n)")
 
 
 def split_gzip_members(data: bytes):
@@ -265,6 +274,24 @@ def parse_arc_record(raw: bytes) -> dict | None:
         headers["IP-address"] = ip
     if length is not None:
         headers["Content-Length"] = str(length)
+    if body.startswith(b"HTTP") and not url.startswith("filedesc://"):
+        # Mirror the reference's patched warctools (requirements.txt
+        # pins internetarchive/warctools@cdx-writer), which FABRICATES
+        # WARC-Payload-Digest for ARC records at parse time
+        # (cdx_writer.py:450-452 consumes it before ever hashing
+        # content itself).  Its header/payload boundary is the first
+        # empty line under UNIVERSAL line endings — a lone \r
+        # terminates a line — which differs from cdx_writer's own
+        # \r?\n\r?\n content split exactly when a bare CR precedes the
+        # blank line: fixture empty_record.arc.gz's block ends
+        # 'Gone\r\r\n\r\n', i.e. a CR-terminated status line + CRLF
+        # blank line + payload b'\r\n' (digest XKFLL...,
+        # tests/test_small_warcs.py:32).  The engine's digest fast
+        # path then uses this header natively, same as for WARC.
+        m_blank = _RE_UNIVERSAL_BLANK.search(body)
+        payload = body[m_blank.end():] if m_blank else b""
+        headers["WARC-Payload-Digest"] = "sha1:" + base64.b32encode(
+            hashlib.sha1(payload).digest()).decode("ascii")
     return {
         "url": url,
         "warc_ts": None,

@@ -8,11 +8,10 @@ The expected strings are parsed from the reference's test file at
 RUNTIME (skipped when /root/reference is absent) — nothing is copied
 into this repo.
 
-Known divergence (excluded below): empty_record.arc.gz — its 410
-record's block ends '\\r\\r\\n\\r\\n' and warctools' internal line
-handling yields content b'\\r\\n' (digest XKFLL...), which no
-span/split of the actual record bytes reproduces; we digest the
-payload after the standard header split instead.
+No exclusions: 86/86 cases.  (empty_record.arc.gz, historically the
+one divergence, is matched by fabricating the ARC payload digest at
+parse time with warctools' universal-line-ending boundary — see
+warc_source.parse_arc_record.)
 """
 
 from __future__ import annotations
@@ -30,7 +29,6 @@ from cdx_writer_spark.job import CDXConfig, cdx_lines
 REF_TESTS = "/root/reference/tests/test_small_warcs.py"
 REF_WARCS = "/root/reference/tests/small_warcs"
 
-KNOWN_DIVERGENCES = {"empty_record.arc.gz"}
 
 
 def _expected_maps():
@@ -55,8 +53,7 @@ def test_reference_corpus_parity(spark, tmp_path, all_records):
     all_rec, defaults = _expected_maps()
     expmap = all_rec if all_records else defaults
     names = [n for n in sorted(expmap)
-             if os.path.exists(os.path.join(REF_WARCS, n))
-             and n not in KNOWN_DIVERGENCES]
+             if os.path.exists(os.path.join(REF_WARCS, n))]
     assert len(names) >= 40
     d = tmp_path / "corpus"
     d.mkdir()
