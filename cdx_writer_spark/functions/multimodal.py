@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are `binary` columns; decode/feature ops run
-as Arrow-batched functions over ``mapInPandas``.  The decode libraries
-(PIL/ffmpeg/etc.) are NOT in this container, so the decode kernel is a
-STUB — `decode_images` raises NotImplementedError unless
-``fake_decode=True``, which substitutes a deterministic hash-derived
-decode so the Spark-side plumbing (schema, batching, partitioning, UDF
-signature) is real and tested end-to-end.
+as Arrow-batched functions over ``mapInPandas``.
+
+PNG payloads decode/resize FOR REAL via the pure-stdlib codec in
+:mod:`.png` (zlib + struct — no image library needed); malformed PNGs
+yield a per-row ``decode_error:*`` status rather than aborting the
+batch.  Every other format (JPEG/GIF/video) needs PIL/ffmpeg, which are
+NOT in this container, so those rows are the clearly-marked
+NotImplementedError integration point — unless ``fake_decode=True``,
+which substitutes a deterministic hash-derived decode so the Spark-side
+plumbing (schema, batching, partitioning, UDF signature) is testable
+and independently recomputable by the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -67,20 +72,27 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                   fake_decode: bool = False) -> DataFrame:
     """Arrow-batched image decode + feature extraction over mapInPandas.
 
-    Real decode requires PIL/cv2 (absent here): without `fake_decode`
-    each batch raises NotImplementedError at the decode kernel, which is
+    PNG payloads decode for real (pure-stdlib codec, :mod:`.png`):
+    width/height/channels from IHDR, pixels unfiltered, features =
+    per-channel mean+std (see ``png.features_from_pixels``); malformed
+    PNGs get a per-row ``decode_error:<PngError reason>`` status.
+    Non-PNG formats require PIL/cv2 (absent here): without
+    `fake_decode` those rows raise NotImplementedError at the kernel,
     the clearly-marked integration point.  With `fake_decode=True` a
     deterministic stand-in derives (width, height, features) from the
-    payload's sha256 — stable across runs/partitionings, so the pipeline
-    shape (schema, batch iteration, column pruning) is fully testable,
-    AND independently recomputable by an ANSI-SQL oracle (DuckDB has
-    sha256; feature values are exact dyadic rationals byte/256, so no
-    float-rounding ambiguity crosses the engine boundary).
+    payload's sha256 — stable across runs/partitionings, so the
+    pipeline shape (schema, batch iteration, column pruning) is fully
+    testable, AND independently recomputable by an ANSI-SQL oracle
+    (DuckDB has sha256; feature values are exact dyadic rationals
+    byte/256, so no float-rounding ambiguity crosses the engine
+    boundary).
     """
 
     def kernel(batches: Iterator) -> Iterator:
         import hashlib
         import pandas as pd
+
+        from . import png as pnglib
 
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
@@ -95,13 +107,29 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                     out["decode_status"].append("null_payload")
                     continue
                 if not fake_decode:
-                    try:
-                        import PIL  # noqa: F401
-                    except ImportError:
-                        raise NotImplementedError(
-                            "image decode requires PIL/cv2, absent in this "
-                            "environment; pass fake_decode=True for the "
-                            "deterministic test double")
+                    data = bytes(payload)
+                    if data.startswith(pnglib.PNG_SIGNATURE):
+                        try:
+                            w, h, ch, pix = pnglib.decode_png(data)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["n_channels"].append(ch)
+                            out["features"].append(
+                                pnglib.features_from_pixels(
+                                    pix, ch, feature_dim))
+                            out["decode_status"].append("ok_png")
+                        except pnglib.PngError as e:
+                            out["width"].append(None)
+                            out["height"].append(None)
+                            out["n_channels"].append(None)
+                            out["features"].append(None)
+                            out["decode_status"].append(
+                                f"decode_error:{e}")
+                        continue
+                    raise NotImplementedError(
+                        "non-PNG image decode requires PIL/cv2, absent "
+                        "in this environment; pass fake_decode=True for "
+                        "the deterministic test double")
                 d = hashlib.sha256(bytes(payload)).digest()
                 out["width"].append(64 + d[0])
                 out["height"].append(64 + d[1])
@@ -132,14 +160,17 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                   height: int = 64, fake_resize: bool = False) -> DataFrame:
     """Arrow-batched image resize over mapInPandas (1 row -> 1 row).
 
-    The real kernel (PIL/cv2 ``Image.resize``) is absent from this
-    container, so it is the clearly-marked NotImplementedError
-    integration point; ``fake_resize=True`` substitutes a deterministic
-    stand-in — resized_digest = md5(sha256(payload) || '@WxH') and
-    resized_bytes = W*H*3 (the raw RGB buffer a real resize would
-    produce) — so the batching/schema/pruning plumbing is fully
-    testable and the DuckDB oracle recomputes every value (both
-    engines hash the same lowercase-hex UTF-8 string).
+    PNG payloads resize for real: decode (pure-stdlib codec), nearest-
+    neighbor resample, deterministic re-encode (fixed zlib level) —
+    resized_bytes = encoded PNG size, resized_digest = md5 of the
+    encoded PNG.  Non-PNG formats need PIL/cv2 (absent from this
+    container), the clearly-marked NotImplementedError integration
+    point; ``fake_resize=True`` substitutes a deterministic stand-in —
+    resized_digest = md5(sha256(payload) || '@WxH') and resized_bytes =
+    W*H*3 (the raw RGB buffer a real resize would produce) — so the
+    batching/schema/pruning plumbing is fully testable and the DuckDB
+    oracle recomputes every value (both engines hash the same
+    lowercase-hex UTF-8 string).
     """
 
     tag = f"@{width}x{height}"
@@ -147,6 +178,8 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
     def kernel(batches: Iterator) -> Iterator:
         import hashlib
         import pandas as pd
+
+        from . import png as pnglib
 
         for pdf in batches:
             out = {"doc_id": [], "out_width": [], "out_height": [],
@@ -162,13 +195,32 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                     out["resize_status"].append("null_payload")
                     continue
                 if not fake_resize:
-                    try:
-                        import PIL  # noqa: F401
-                    except ImportError:
-                        raise NotImplementedError(
-                            "image resize requires PIL/cv2, absent in this "
-                            "environment; pass fake_resize=True for the "
-                            "deterministic test double")
+                    data = bytes(payload)
+                    if data.startswith(pnglib.PNG_SIGNATURE):
+                        try:
+                            w0, h0, ch, pix = pnglib.decode_png(data)
+                            resized = pnglib.resize_nearest(
+                                pix, w0, h0, ch, width, height)
+                            enc = pnglib.encode_png(
+                                width, height, ch, resized)
+                            out["out_width"].append(width)
+                            out["out_height"].append(height)
+                            out["resized_bytes"].append(len(enc))
+                            out["resized_digest"].append(
+                                hashlib.md5(enc).hexdigest())
+                            out["resize_status"].append("ok_png")
+                        except pnglib.PngError as e:
+                            out["out_width"].append(None)
+                            out["out_height"].append(None)
+                            out["resized_bytes"].append(None)
+                            out["resized_digest"].append(None)
+                            out["resize_status"].append(
+                                f"decode_error:{e}")
+                        continue
+                    raise NotImplementedError(
+                        "non-PNG image resize requires PIL/cv2, absent "
+                        "in this environment; pass fake_resize=True for "
+                        "the deterministic test double")
                 dg = hashlib.sha256(bytes(payload)).hexdigest()
                 out["out_width"].append(width)
                 out["out_height"].append(height)
