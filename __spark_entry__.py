@@ -411,6 +411,20 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       portable=True)
 
 
+def q_similarity_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe bucketed ANN (n_probes=2): each query also probes
+    the bucket reached by flipping its lowest-|margin| sign bit.  With
+    the portable hyperplanes the plane dots are exact doubles in both
+    engines, so the DuckDB oracle re-derives the margin argmin, the
+    flipped bucket, the widened candidate set and the ranking
+    bit-for-bit."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.lsh_bucket_topk(emb, queries, k=5, n_planes=8,
+                                      portable=True, n_probes=2)
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k with the deterministic modulo codebook
     (centroids = vec_id % 37 == 0) — the SQL oracle replicates the
@@ -633,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": q_text_winnowing,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_lsh_probe": q_similarity_lsh_probe,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
@@ -741,17 +756,24 @@ def _hex48_sql(h_sql: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _bucket_sql(v: str, n_planes: int = 8) -> str:
-    """The portable hyperplane bucket of FLOAT[] column `v` — mirrors
-    similarity.hyperplane_bucket_col(portable=True): weight =
-    md5-derived 48-bit integer / 2^48 - 0.5 (exact doubles in both
-    engines), bucket = sign-bit string of the plane dots."""
+def _dots_sql(v: str, n_planes: int = 8) -> str:
+    """Per-plane signed dot products of FLOAT[] column `v` against the
+    portable md5-derived hyperplanes — mirrors
+    similarity._plane_dots_col(portable=True): weight = 48-bit integer
+    / 2^48 - 0.5 (exact doubles in both engines), left-fold sum."""
     h = "md5(p::VARCHAR || ',' || d::VARCHAR)"
     w = f"({_hex48_sql(h)} / 281474976710656.0 - 0.5)"
     dot = (f"list_aggregate(list_transform(range(0, len({v})), d -> "
            f"CAST({v}[d + 1] AS DOUBLE) * {w}), 'sum')")
-    return (f"array_to_string(list_transform(range(0, {n_planes}), p -> "
-            f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END), '')")
+    return f"list_transform(range(0, {n_planes}), p -> {dot})"
+
+
+def _bucket_sql(v: str, n_planes: int = 8) -> str:
+    """The portable hyperplane bucket of FLOAT[] column `v` — mirrors
+    similarity.hyperplane_bucket_col(portable=True): sign-bit string
+    of the plane dots (see :func:`_dots_sql`)."""
+    return (f"array_to_string(list_transform({_dots_sql(v, n_planes)}, "
+            "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -982,6 +1004,36 @@ def oracle_sql() -> dict[str, str]:
             + _bucket_sql("embedding", 8) + " AS bucket FROM embeddings), "
             "q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket "
             "FROM b WHERE vec_id < 3), "
+            "scored AS (SELECT q.q_id, e.vec_id, "
+            "round(" + _cos_sql("e.embedding", "q.q_vec") + ", 4) "
+            "AS cosine FROM b e JOIN q ON e.bucket = q.bucket), "
+            "ranked AS (SELECT q_id, vec_id, cosine, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q_id "
+            "ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank "
+            "FROM scored) SELECT q_id, vec_id, cosine, rank "
+            "FROM ranked WHERE rank <= 5"),
+        # multi-probe LSH: the oracle re-derives the per-plane margins,
+        # the argmin-|margin| bit flip (ties -> lowest plane index,
+        # matching probe_buckets_col's (|m|, i) struct sort), the
+        # widened candidate set and the ranking
+        "similarity_lsh_probe": (
+            "WITH b AS (SELECT vec_id, embedding, "
+            + _bucket_sql("embedding", 8) + " AS bucket FROM embeddings), "
+            "qd AS (SELECT vec_id AS q_id, embedding AS q_vec, "
+            + _dots_sql("embedding", 8) + " AS dots "
+            "FROM embeddings WHERE vec_id < 3), "
+            "qb AS (SELECT q_id, q_vec, "
+            "array_to_string(list_transform(dots, "
+            "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket, "
+            "CAST(list_position(list_transform(dots, x -> abs(x)), "
+            "list_aggregate(list_transform(dots, x -> abs(x)), 'min')) "
+            "- 1 AS INTEGER) AS flip FROM qd), "
+            "q AS (SELECT q_id, q_vec, bucket FROM qb "
+            "UNION ALL SELECT q_id, q_vec, "
+            "substr(bucket, 1, flip) || "
+            "(CASE WHEN substr(bucket, flip + 1, 1) = '1' "
+            "THEN '0' ELSE '1' END) || "
+            "substr(bucket, flip + 2, 8 - flip - 1) AS bucket FROM qb), "
             "scored AS (SELECT q.q_id, e.vec_id, "
             "round(" + _cos_sql("e.embedding", "q.q_vec") + ", 4) "
             "AS cosine FROM b e JOIN q ON e.bucket = q.bucket), "

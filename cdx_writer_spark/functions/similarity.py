@@ -6,9 +6,15 @@
   At 100 TB this is the verification baseline and the final re-rank.
 * :func:`lsh_bucket_topk` — the scale path: deterministic random
   hyperplanes (seeded by xxhash64 of (plane, dim), no RNG state), sign
-  bits -> bucket key, candidates restricted to the query's bucket
-  (optionally multi-probe by flipping bits), then exact re-rank inside
-  buckets.  One shuffle on bucket key instead of a full cross join.
+  bits -> bucket key, candidates restricted to the query's bucket,
+  then exact re-rank inside buckets.  One shuffle on bucket key
+  instead of a full cross join.  ``n_probes > 1`` enables multi-probe
+  (Lv et al., VLDB'07 adapted to sign-bit LSH): the QUERY side also
+  probes the buckets reached by flipping its lowest-margin sign bits
+  — the planes whose dot product is closest to 0, i.e. the most
+  likely misassignments — trading a small constant factor of (tiny,
+  broadcast) query rows for recall.  The data side never re-hashes
+  and never fans out, so the extra probes are free at corpus scale.
 """
 
 from __future__ import annotations
@@ -132,20 +138,99 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 12,
     return F.concat_ws("", bits)
 
 
+def _plane_dots_col(vec: Column, n_planes: int,
+                    portable: bool = False) -> Column:
+    """Per-plane signed dot products as an array<double> — the raw
+    margins behind :func:`hyperplane_bucket_col`'s sign bits (plane
+    offset 0; shares the weight derivation exactly, so
+    ``dots[i] >= 0`` iff bucket bit i is '1')."""
+
+    def weight(p: Column, d: Column) -> Column:
+        if portable:
+            h = F.md5(F.concat(p.cast("string"), F.lit(","),
+                               d.cast("string")))
+            return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+                    / F.lit(float(1 << 48)) - 0.5)
+        return (F.pmod(F.xxhash64(p, d), F.lit(1000)).cast("double")
+                / 1000.0 - 0.5)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                _as_double(vec),
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+                            lambda d: weight(p, d)),
+                lambda x, w: x * w),
+            F.lit(0.0), lambda acc, v: acc + v))
+
+
+def probe_buckets_col(vec: Column, n_planes: int, n_probes: int,
+                      portable: bool = False) -> Column:
+    """Multi-probe bucket list for a query vector: element 0 is the
+    vector's own bucket (identical to :func:`hyperplane_bucket_col`);
+    elements 1..n_probes-1 flip ONE sign bit each, in ascending order
+    of the plane's |margin| (the hyperplanes the vector sits closest
+    to — the likeliest misassignments).  All buckets are distinct by
+    construction (each flips a different bit), so the probe join never
+    duplicates candidate pairs.  Pure Catalyst; the dots array and the
+    base bit-string are lambda-bound (``bind_once``) so neither is
+    re-evaluated per probe."""
+    from .dedup import bind_once
+
+    n_probes = max(1, min(n_probes, n_planes + 1))
+    dots = _plane_dots_col(vec, n_planes, portable)
+
+    def build(ds: Column) -> Column:
+        bits = F.concat_ws("", F.transform(
+            ds, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))))
+        # plane indices by ascending |margin| (struct sort: m, then i)
+        order = F.transform(
+            F.array_sort(F.zip_with(
+                ds, F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda d, i: F.struct(F.abs(d).alias("m"),
+                                      i.alias("i")))),
+            lambda s: s["i"])
+
+        def flips(bts: Column) -> Column:
+            return F.concat(
+                F.array(bts),
+                F.transform(
+                    F.slice(order, 1, n_probes - 1),
+                    lambda i: F.concat(
+                        bts.substr(F.lit(1), i),
+                        F.when(bts.substr(i + 1, F.lit(1)) == "1",
+                               F.lit("0")).otherwise(F.lit("1")),
+                        bts.substr(i + 2, F.lit(n_planes) - i - 1))))
+
+        return bind_once(bits, flips)
+
+    return bind_once(dots, build)
+
+
 def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 12, id_col: str = "vec_id",
                     vec_col: str = "embedding", q_id_col: str = "q_id",
                     q_vec_col: str = "q_vec",
-                    portable: bool = False) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket;
-    exact cosine re-rank within the bucket.  Recall < 1 by design — the
-    brute-force `cosine_topk` is the exhaustive baseline (and with
-    ``portable`` hyperplanes the DuckDB oracle replicates THIS
-    pipeline exactly, buckets included)."""
+                    portable: bool = False, n_probes: int = 1) -> DataFrame:
+    """Approximate top-k: candidates share one of the query's
+    ``n_probes`` hyperplane buckets (1 = the query's own bucket only;
+    >1 adds lowest-margin bit-flip probes, see
+    :func:`probe_buckets_col` — only the tiny broadcast query side
+    fans out, the corpus is hashed once); exact cosine re-rank within
+    the probed buckets.  Recall < 1 by design, rising monotonically
+    with ``n_probes`` — the brute-force `cosine_topk` is the
+    exhaustive baseline (and with ``portable`` hyperplanes the DuckDB
+    oracle replicates the single-probe pipeline exactly, buckets
+    included)."""
     e = emb.withColumn("bucket", hyperplane_bucket_col(
         F.col(vec_col), n_planes, portable=portable))
-    q = queries.withColumn("bucket", hyperplane_bucket_col(
-        F.col(q_vec_col), n_planes, portable=portable))
+    if n_probes <= 1:
+        q = queries.withColumn("bucket", hyperplane_bucket_col(
+            F.col(q_vec_col), n_planes, portable=portable))
+    else:
+        q = queries.withColumn("bucket", F.explode(probe_buckets_col(
+            F.col(q_vec_col), n_planes, n_probes, portable)))
     scored = (
         e.join(F.broadcast(q), "bucket")
         .withColumn("cosine",

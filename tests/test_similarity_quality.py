@@ -148,6 +148,62 @@ def test_lsh_ann_planted_recall_floor(spark, emb):
         assert recall >= floor, (portable, recall)
 
 
+def test_lsh_multi_probe_recall_monotone(spark, emb):
+    """Multi-probe: recall is monotone non-decreasing in n_probes and
+    strictly improves over single-probe on the planted tier at SOME
+    probe count (the whole pipeline is deterministic, so these are
+    exact regression values, not flaky statistics).  n_probes=1 is
+    byte-identical to the plain single-bucket path."""
+    nxt = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                     F.col("embedding").alias("nemb"))
+    planted = (
+        emb.join(nxt, "vec_id")
+        .select((F.col("vec_id") + 20_000_000).alias("vec_id"),
+                F.zip_with("embedding", "nemb",
+                           lambda a, b: (a + 0.33 * b).cast("float"))
+                .alias("embedding")))
+    aug = emb.unionByName(planted)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    def recall(n_probes):
+        got = similarity.lsh_bucket_topk(
+            aug, queries, k=3, n_planes=8, n_probes=n_probes).collect()
+        return len({r.q_id for r in got
+                    if r.vec_id == r.q_id + 20_000_000}) / 20
+
+    r1, r2, r4, r8 = recall(1), recall(2), recall(4), recall(8)
+    assert r1 <= r2 <= r4 <= r8, (r1, r2, r4, r8)
+    assert r8 > r1, "multi-probe never helped on the planted tier"
+    # n_probes=1 returns exactly the single-bucket result
+    base = sorted(map(tuple, similarity.lsh_bucket_topk(
+        aug, queries, k=3, n_planes=8).collect()))
+    probe1 = sorted(map(tuple, similarity.lsh_bucket_topk(
+        aug, queries, k=3, n_planes=8, n_probes=1).collect()))
+    assert base == probe1
+
+
+def test_probe_buckets_structure(spark):
+    """Probe list invariants: element 0 equals the plain bucket, every
+    probe differs from it in exactly one bit position, all probes are
+    distinct, and the list is capped at n_planes + 1."""
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), -2.0 + i, 0.5 * i, 3.0]) for i in range(10)],
+        "id long, v array<float>")
+    out = df.select(
+        similarity.hyperplane_bucket_col(F.col("v"), 8).alias("plain"),
+        similarity.probe_buckets_col(F.col("v"), 8, 4).alias("probes"),
+        similarity.probe_buckets_col(F.col("v"), 8, 99).alias("capped"),
+    ).collect()
+    for r in out:
+        assert r.probes[0] == r.plain
+        assert len(r.probes) == 4 and len(set(r.probes)) == 4
+        assert len(r.capped) == 9  # n_planes + 1
+        for p in r.probes[1:]:
+            diffs = sum(a != b for a, b in zip(p, r.plain))
+            assert len(p) == len(r.plain) == 8 and diffs == 1
+
+
 def test_identical_vector_cluster_collapses_before_banding(spark, emb):
     """A cluster of byte-identical vectors (the embedding analogue of
     boilerplate pages) collapses to one representative before the
