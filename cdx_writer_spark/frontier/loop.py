@@ -469,19 +469,42 @@ def rebuild_filters(spark: SparkSession, state_dir: str,
     Never probe an old-layout blob with new position arithmetic: bits
     land elsewhere, probes return false NEGATIVES, and already-seen
     URLs re-enqueue silently — rebuilding from the exact table is the
-    only safe migration."""
+    only safe migration.
+
+    The rebuild folds ROUND BY ROUND, mirroring the incremental folds
+    it replaces: each fold's per-pid ``collect_list`` is bounded by
+    that round's delta (new_keys x k / n_partitions positions), never
+    by the whole crawl — folding the cumulative table in one pass
+    would materialize every position of a large crawl in single
+    aggregation rows and OOM a task at exactly the state size that
+    needs recovery.  Each step materializes to a scratch dir so the
+    next fold reads a bounded parquet base instead of stacking
+    lineage."""
+    import shutil
+
     rnd = latest_round(state_dir)
     if rnd < 0:
         raise ValueError(f"no committed rounds under {state_dir}")
-    keys = seen_table(spark, state_dir, upto_round=rnd).select("surt_key")
-    filters = seenmod.update_filters(
-        keys,
-        seenmod.empty_filters(spark, cfg.n_partitions,
-                              cfg.filter_capacity, cfg.filter_fpr),
-        cfg.n_partitions, cfg.filter_capacity, cfg.filter_fpr,
-        strategy=cfg.fold_strategy)
+    filters = seenmod.empty_filters(spark, cfg.n_partitions,
+                                    cfg.filter_capacity, cfg.filter_fpr)
+    scratch = os.path.join(state_dir, "_rebuild_tmp")
+    shutil.rmtree(scratch, ignore_errors=True)
+    step = 0
+    for r in range(0, rnd + 1):
+        seen_dir = os.path.join(_round_dir(state_dir, r), "seen")
+        if not os.path.isdir(seen_dir):
+            continue
+        keys = spark.read.parquet(seen_dir).select("surt_key")
+        folded = seenmod.update_filters(
+            keys, filters, cfg.n_partitions, cfg.filter_capacity,
+            cfg.filter_fpr, strategy=cfg.fold_strategy)
+        tmp = os.path.join(scratch, f"step_{step:05d}")
+        folded.write.mode("overwrite").parquet(tmp)
+        filters = spark.read.parquet(tmp)
+        step += 1
     filters.write.mode("overwrite").parquet(
         os.path.join(_round_dir(state_dir, rnd), "filters"))
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 def crawl_order(spark: SparkSession, state_dir: str) -> DataFrame:
