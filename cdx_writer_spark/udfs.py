@@ -29,6 +29,8 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     IntegerType,
@@ -55,6 +57,83 @@ _HTTP_SPLIT_TYPE = StructType([
     StructField("version", StringType()),
     StructField("ct", StringType()),
 ])
+
+
+# --- native http_split (zero-Python twin) -----------------------------------
+#
+# Python-str regex semantics reproduced in java.util.regex:
+#  * (?d) = UNIX_LINES makes ^ $ and . treat ONLY \n as a line
+#    terminator — exactly Python's str semantics (Java otherwise
+#    refuses to let . cross \r and anchors $ before lone \r).
+#  * Python \s on str, restricted to latin-1 code points, is the
+#    explicit class below (Java's \s is ASCII-only and would drop
+#    \x1c-\x1f, \x85, \xa0).
+_WS_L1 = r" \t\n\x0B\f\r\x1C\x1D\x1E\x1F\x85\xA0"
+_SEP_RE = r"(\r?\n\r?\n)"
+_STATUS_RE_N = r"^HTTP(/\d\.\d)? (\d+)"
+_CT_RE_N = (r"(?idm)^content-type:[" + _WS_L1 + r"]*(.+?)[" + _WS_L1
+            + r"]*$")
+_SEMI_RE_N = r"(?d)^(.+?);"
+
+
+def native_http_split_struct(block: Column) -> Column:
+    """The same (http_headers, body_off, http_status, http_version,
+    http_ct) contract as :func:`http_split`, as ONE pure-Catalyst
+    struct — the record bytes never cross the Arrow boundary at all.
+
+    The block decodes JVM-side as ISO-8859-1 (1:1 bytes->chars, so
+    char offsets ARE byte offsets — same trick as the UDF's latin1
+    decode); the blank-line search (`regexp_instr`) stops at the first
+    match, and the status/content-type regexes run over the SMALL
+    header substring only.  Every intermediate (decoded string, match
+    position, header text) is lambda-bound (``bind_once``) so it
+    evaluates exactly once however many consumers the struct has;
+    callers must still put a materialization barrier between this
+    struct and its ~30 field consumers (``job.cdx_flagged`` uses
+    ``inline(array(struct))`` — a Generate node Catalyst cannot
+    collapse projections across), or projection collapse re-inlines
+    the whole parse per field (the measured 100x blowup that
+    originally motivated the UDF)."""
+    from .functions.dedup import bind_once
+
+    # mask non-HTTP blocks at the INPUT (null decode -> every field
+    # null) rather than wrapping the struct in when(): a null STRUCT
+    # element would make the caller's inline() drop the row entirely,
+    # silently losing non-response records from the flagged frame
+    block = F.when(F.substring(block, 1, 4) == F.lit(b"HTTP"), block)
+
+    def outer(s: Column) -> Column:
+        pos0 = F.regexp_instr(s, F.lit(_SEP_RE))
+        sep_len = F.length(F.regexp_extract(s, _SEP_RE, 1))
+
+        def with_pos(pos: Column) -> Column:
+            head = F.when(pos > 0,
+                          s.substr(F.lit(1), pos - 1)).otherwise(s)
+            off = (F.when(pos > 0, pos + sep_len)
+                   .otherwise(F.length(s) + 1)).cast("int")
+
+            def with_head(h: Column) -> Column:
+                version = F.nullif(
+                    F.regexp_extract(h, _STATUS_RE_N, 1), F.lit(""))
+                status = F.nullif(
+                    F.regexp_extract(h, _STATUS_RE_N, 2), F.lit(""))
+                ct_raw = F.nullif(
+                    F.regexp_extract(h, _CT_RE_N, 1), F.lit(""))
+                ct = F.coalesce(
+                    F.nullif(F.regexp_extract(ct_raw, _SEMI_RE_N, 1),
+                             F.lit("")),
+                    ct_raw)
+                return F.struct(h.alias("http_headers"),
+                                off.alias("body_off"),
+                                status.alias("http_status"),
+                                version.alias("http_version"),
+                                ct.alias("http_ct"))
+
+            return bind_once(head, with_head)
+
+        return bind_once(pos0, with_pos)
+
+    return bind_once(F.decode(block, "ISO-8859-1"), outer)
 
 
 @pandas_udf(_HTTP_SPLIT_TYPE)

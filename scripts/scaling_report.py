@@ -110,6 +110,20 @@ if not skip_cdx:
 # box artifact (both parallelism levels funnel into one device's
 # bandwidth), whereas the production target is distributed storage
 # whose aggregate bandwidth scales with executors.
+# SPARK_GRAFT_SKIP_CRAWL=1 mirrors SKIP_CDX: CDX-only reps when
+# hunting a quiet window for the CDX gate (official record = full runs)
+if os.environ.get("SPARK_GRAFT_SKIP_CRAWL", "0") == "1":
+    print(json.dumps({
+        "cpus": cpus, "cdx_rows": cdx_rows,
+        "cdx_sec": round(cdx_sec, 2) if cdx_sec else None,
+        "cdx_rows_per_sec": (round(cdx_rows / cdx_sec)
+                             if cdx_sec else None),
+        "crawl_scheduled": 0, "crawl_sec": None,
+        "crawl_urls_per_sec": None, "crawl_order_sha256": None,
+    }))
+    spark.stop()
+    shutil.rmtree(f"/dev/shm/spark-local-{cpus}", ignore_errors=True)
+    sys.exit(0)
 state_base = os.environ.get(
     "SPARK_GRAFT_STATE_BASE",
     "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
@@ -170,11 +184,17 @@ def main() -> None:
     hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
     lo = run_level(lo_cpus, sf_dir, amplify, n_pages)
     hi = run_level(hi_cpus, sf_dir, amplify, n_pages)
-    crawl_eff = (hi["crawl_urls_per_sec"] / lo["crawl_urls_per_sec"]) / 4.0
-    deterministic = lo["crawl_order_sha256"] == hi["crawl_order_sha256"]
+    if lo["crawl_urls_per_sec"] and hi["crawl_urls_per_sec"]:
+        crawl_eff = (hi["crawl_urls_per_sec"]
+                     / lo["crawl_urls_per_sec"]) / 4.0
+        deterministic = (lo["crawl_order_sha256"]
+                         == hi["crawl_order_sha256"])
+    else:
+        crawl_eff, deterministic = None, None
     summary = {
         f"local{lo_cpus}": lo, f"local{hi_cpus}": hi,
-        "crawl_scaling_efficiency": round(crawl_eff, 3),
+        "crawl_scaling_efficiency": (round(crawl_eff, 3)
+                                     if crawl_eff is not None else None),
         "crawl_order_identical": deterministic,
     }
     if lo["cdx_rows_per_sec"] and hi["cdx_rows_per_sec"]:
@@ -184,7 +204,8 @@ def main() -> None:
         cdx_eff = None
     print(json.dumps(summary, indent=2))
 
-    if os.environ.get("SPARK_GRAFT_REPORT_MD", "1") != "1" or cdx_eff is None:
+    if (os.environ.get("SPARK_GRAFT_REPORT_MD", "1") != "1"
+            or cdx_eff is None or crawl_eff is None):
         return  # experiment mode: keep the curated BENCH/BASELINE.md
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
