@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from cdx_writer_spark.job import (
     CDXConfig, cdx_flagged, cdx_lines, stats_aggregation,
 )
-from cdx_writer_spark.functions import (dedup, extract, multimodal,
+from cdx_writer_spark.functions import (audio, dedup, extract, multimodal,
                                         similarity, textstats)
 from cdx_writer_spark.webview import ORACLE_PAGES_CTE, pages_from_documents
 
@@ -468,6 +468,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (stdlib ``wave``): every doc gets a
+    deterministic doc_id-seeded 16-bit PCM WAV (audio.synth_wav_bytes),
+    the kernel parses the RIFF container and extracts exact-integer
+    signal features, and the DuckDB oracle re-derives every value from
+    the generation rule alone — a parser that mis-read any offset or
+    sample byte could not match."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def wav_udf(ids):
+        import pandas as pd
+        return pd.Series(
+            [audio.synth_wav_bytes(int(d)) for d in ids])
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", wav_udf("doc_id"))
+    return audio.audio_features(payloads)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake kernel
     (real decoder stubbed: no PIL in env).  The fake decode derives
@@ -651,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
+        "audio_features": q_audio_features,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1119,6 +1140,27 @@ def oracle_sql() -> dict[str, str]:
             "'application/octet-stream' AS payload_mime, "
             f"sha256({_PAYLOAD_SQL}) AS payload_digest "
             "FROM pages"),
+        # real WAV decode: the oracle re-derives container metadata and
+        # the exact-integer signal features (peak, sum of squares) from
+        # the synth generation rule (n = 64 + doc_id % 129 samples of
+        # (doc_id*31 + i*17) % 2048 - 1024) — pure int64 arithmetic,
+        # bit-identical in both engines
+        "audio_features": (
+            "WITH g AS (SELECT doc_id, 64 + doc_id % 129 AS n "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n, list_transform(range(0, n), "
+            "i -> (doc_id * 31 + i * 17) % 2048 - 1024) AS xs FROM g) "
+            "SELECT doc_id, "
+            "CAST(1 AS INTEGER) AS channels, "
+            "CAST(8000 AS INTEGER) AS sample_rate, "
+            "CAST(2 AS INTEGER) AS sample_width, "
+            "CAST(n AS BIGINT) AS n_frames, "
+            "CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms, "
+            "CAST(list_aggregate(list_transform(xs, x -> abs(x)), "
+            "'max') AS INTEGER) AS peak, "
+            "CAST(list_aggregate(list_transform(xs, x -> x * x), "
+            "'sum') AS BIGINT) AS sum_sq, "
+            "'ok_wav' AS decode_status FROM s"),
         "multimodal_decode": (
             _W + ", pay AS (SELECT doc_id, "
             f"sha256({_PAYLOAD_SQL}) AS dg FROM pages) "
