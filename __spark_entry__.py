@@ -338,6 +338,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    portable=True)
 
 
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering — the
+    lossless counterpart to MinHash-LSH (every pair >= 1/2, provable
+    completeness).  The DuckDB oracle is INDEPENDENT of the prefix
+    filter: it enumerates candidates as "pairs sharing >= 1 shingle"
+    (a complete superset for any threshold > 0) and verifies exact
+    Jaccard — so a prefix-length bug on the Spark side (a missed
+    candidate) could not hash-match."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                     threshold_num=1, threshold_den=2)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash collision groups, md5-seeded portable variant
     (bit-majority vote re-derived independently by the DuckDB oracle)."""
@@ -661,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "text_stats": q_text_stats,
@@ -1002,6 +1015,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand JOIN shg sa ON sa.doc_id = cand.id_a "
             "JOIN shg sb ON sb.doc_id = cand.id_b) "
             "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"),
+        # EXACT prefix-filtered Jaccard — the oracle is independent of
+        # the prefix filter: candidates = pairs sharing ANY shingle (a
+        # complete superset for threshold > 0), then exact verification
+        # with the integer qualifying test (2*|A∩B| >= |A∪B|)
+        "dedup_jaccard": (
+            "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents), "
+            "shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 "
+            "THEN list_transform(range(1, len(tk) - 1), i -> "
+            "array_to_string(list_slice(tk, i, i + 2), ' ')) "
+            "ELSE [array_to_string(tk, ' ')] END) AS sh FROM tk), "
+            "ex AS (SELECT doc_id, unnest(sh) AS s FROM shg), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, "
+            "b.doc_id AS id_b FROM ex a JOIN ex b ON a.s = b.s "
+            "AND a.doc_id < b.doc_id), "
+            "scored AS (SELECT id_a, id_b, "
+            "CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) "
+            "AS BIGINT) AS i, "
+            "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) "
+            "AS BIGINT) AS u "
+            "FROM cand JOIN shg sa ON sa.doc_id = cand.id_a "
+            "JOIN shg sb ON sb.doc_id = cand.id_b) "
+            "SELECT id_a, id_b, "
+            "round(CAST(i AS DOUBLE) / u, 4) AS jaccard "
+            "FROM scored WHERE i * 2 >= u"),
         "dedup_simhash": (
             "WITH " + _SIMHASH_CTE + " SELECT simhash, "
             "CAST(MIN(doc_id) AS BIGINT) AS keep_id, "

