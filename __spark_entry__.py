@@ -500,6 +500,30 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.audio_features(payloads)
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling (stdlib LZW decoder,
+    functions/gif.py): every doc gets a deterministic doc_id-seeded
+    multi-frame GIF over a grayscale palette, the kernel decodes every
+    LZW-compressed frame, and the DuckDB oracle re-derives frame
+    count, dimensions, exact-integer luma sums AND the md5 of the
+    comma-joined pixel values from the generation rule alone — a
+    decoder that mis-read any code width, CLEAR boundary or palette
+    entry could not match."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gif_udf(ids):
+        import pandas as pd
+
+        from cdx_writer_spark.functions import gif as giflib
+        return pd.Series(
+            [giflib.synth_gif_bytes(int(d)) for d in ids])
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", gif_udf("doc_id"))
+    return multimodal.gif_frame_features(payloads, stride=2)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake kernel
     (real decoder stubbed: no PIL in env).  The fake decode derives
@@ -685,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
+        "gif_frames": q_gif_frames,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1199,6 +1224,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_aggregate(list_transform(xs, x -> x * x), "
             "'sum') AS BIGINT) AS sum_sq, "
             "'ok_wav' AS decode_status FROM s"),
+        # real GIF decode: frame count / dims / exact-integer luma sums
+        # / pixel-CSV md5 all re-derived from the synth generation rule
+        # (frame f, pixel p -> (doc_id*7 + f*13 + p*3) % 256; grayscale
+        # palette makes luma == palette index) — pure int64 arithmetic
+        "gif_frames": (
+            "WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS nf, "
+            "8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents), "
+            "f AS (SELECT doc_id, nf, w, h, "
+            "unnest(list_filter(range(0, nf), i -> i % 2 = 0)) AS fi "
+            "FROM g), "
+            "px AS (SELECT doc_id, nf, fi, w, h, "
+            "list_transform(range(0, w * h), p -> "
+            "(doc_id * 7 + fi * 13 + p * 3) % 256) AS ls FROM f) "
+            "SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, "
+            "CAST(fi AS INTEGER) AS frame_index, "
+            "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, "
+            "CAST(list_aggregate(ls, 'sum') AS BIGINT) AS luma_sum, "
+            "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
+            "',')) AS pix_md5, "
+            "'ok_gif' AS frame_status FROM px"),
         "multimodal_decode": (
             _W + ", pay AS (SELECT doc_id, "
             f"sha256({_PAYLOAD_SQL}) AS dg FROM pages) "

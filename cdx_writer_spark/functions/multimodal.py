@@ -4,9 +4,11 @@ Image/audio/video payloads are `binary` columns; decode/feature ops run
 as Arrow-batched functions over ``mapInPandas``.
 
 PNG payloads decode/resize FOR REAL via the pure-stdlib codec in
-:mod:`.png` (zlib + struct — no image library needed); malformed PNGs
-yield a per-row ``decode_error:*`` status rather than aborting the
-batch.  Every other format (JPEG/GIF/video) needs PIL/ffmpeg, which are
+:mod:`.png` (zlib + struct), and GIF payloads — including animated
+multi-frame GIFs, the honest "video" this container can decode —
+via :mod:`.gif` (struct + hand LZW); malformed payloads yield a
+per-row ``decode_error:*`` status rather than aborting the batch.
+Every other format (JPEG/video codecs) needs PIL/ffmpeg, which are
 NOT in this container, so those rows are the clearly-marked
 NotImplementedError integration point — unless ``fake_decode=True``,
 which substitutes a deterministic hash-derived decode so the Spark-side
@@ -74,9 +76,11 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
 
     PNG payloads decode for real (pure-stdlib codec, :mod:`.png`):
     width/height/channels from IHDR, pixels unfiltered, features =
-    per-channel mean+std (see ``png.features_from_pixels``); malformed
-    PNGs get a per-row ``decode_error:<PngError reason>`` status.
-    Non-PNG formats require PIL/cv2 (absent here): without
+    per-channel mean+std (see ``png.features_from_pixels``); GIF
+    payloads decode for real too (:mod:`.gif` — first frame, palette
+    applied); malformed payloads get a per-row
+    ``decode_error:<reason>`` status.
+    Other formats require PIL/cv2 (absent here): without
     `fake_decode` those rows raise NotImplementedError at the kernel,
     the clearly-marked integration point.  With `fake_decode=True` a
     deterministic stand-in derives (width, height, features) from the
@@ -92,6 +96,7 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
         import hashlib
         import pandas as pd
 
+        from . import gif as giflib
         from . import png as pnglib
 
         for pdf in batches:
@@ -126,10 +131,30 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                             out["decode_status"].append(
                                 f"decode_error:{e}")
                         continue
+                    if data.startswith(giflib.GIF_SIGNATURES):
+                        try:
+                            _, _, frames = giflib.decode_gif(data)
+                            f0 = frames[0]
+                            out["width"].append(f0["width"])
+                            out["height"].append(f0["height"])
+                            out["n_channels"].append(3)
+                            out["features"].append(
+                                pnglib.features_from_pixels(
+                                    f0["rgb"], 3, feature_dim))
+                            out["decode_status"].append("ok_gif")
+                        except giflib.GifError as e:
+                            out["width"].append(None)
+                            out["height"].append(None)
+                            out["n_channels"].append(None)
+                            out["features"].append(None)
+                            out["decode_status"].append(
+                                f"decode_error:{e}")
+                        continue
                     raise NotImplementedError(
-                        "non-PNG image decode requires PIL/cv2, absent "
-                        "in this environment; pass fake_decode=True for "
-                        "the deterministic test double")
+                        "non-PNG/GIF image decode requires PIL/cv2, "
+                        "absent in this environment; pass "
+                        "fake_decode=True for the deterministic test "
+                        "double")
                 d = hashlib.sha256(bytes(payload)).digest()
                 out["width"].append(64 + d[0])
                 out["height"].append(64 + d[1])
@@ -249,7 +274,11 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
     """Video frame sampling over mapInPandas — the 1-row -> N-rows batch
     shape (each input payload fans out to every ``stride``-th frame).
 
-    Real frame extraction needs ffmpeg/cv2 (absent here): the kernel is
+    Animated GIFs sample for real (:mod:`.gif` — hand LZW, every frame
+    decoded, digest = md5 of the frame's RGB bytes, luma = the exact
+    integer mean of the ITU-601-ish (54r+183g+19b)/256 weighting);
+    malformed GIFs yield one ``decode_error:*`` row.  Every other
+    video container needs ffmpeg/cv2 (absent here): the kernel is
     the marked NotImplementedError integration point.  With
     ``fake_decode=True`` the frame count and per-frame values derive
     deterministically from the payload digest — n_frames = 8 +
@@ -263,6 +292,8 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
         import hashlib
         import pandas as pd
 
+        from . import gif as giflib
+
         for pdf in batches:
             out = {"doc_id": [], "n_frames": [], "frame_index": [],
                    "frame_digest": [], "frame_luma_x256": []}
@@ -275,13 +306,40 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
                     out["frame_luma_x256"].append(None)
                     continue
                 if not fake_decode:
+                    data = bytes(payload)
+                    if data.startswith(giflib.GIF_SIGNATURES):
+                        try:
+                            _, _, frames = giflib.decode_gif(data)
+                        except giflib.GifError as e:
+                            out["doc_id"].append(doc_id)
+                            out["n_frames"].append(None)
+                            out["frame_index"].append(None)
+                            out["frame_digest"].append(
+                                f"decode_error:{e}")
+                            out["frame_luma_x256"].append(None)
+                            continue
+                        for i in range(0, len(frames), stride):
+                            rgb = frames[i]["rgb"]
+                            npx = len(rgb) // 3
+                            luma = (54 * sum(rgb[0::3])
+                                    + 183 * sum(rgb[1::3])
+                                    + 19 * sum(rgb[2::3])) \
+                                // (256 * npx)
+                            out["doc_id"].append(doc_id)
+                            out["n_frames"].append(len(frames))
+                            out["frame_index"].append(i)
+                            out["frame_digest"].append(
+                                hashlib.md5(rgb).hexdigest())
+                            out["frame_luma_x256"].append(luma)
+                        continue
                     try:
                         import cv2  # noqa: F401
                     except ImportError:
                         raise NotImplementedError(
-                            "frame sampling requires ffmpeg/cv2, absent in "
-                            "this environment; pass fake_decode=True for "
-                            "the deterministic test double")
+                            "non-GIF frame sampling requires ffmpeg/cv2, "
+                            "absent in this environment; pass "
+                            "fake_decode=True for the deterministic "
+                            "test double")
                 d = hashlib.sha256(bytes(payload))
                 hx = d.hexdigest()
                 n_frames = 8 + d.digest()[2] % 25
@@ -296,3 +354,87 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
 
     return df.select(id_col, bin_col).mapInPandas(
         kernel, schema=FRAME_SAMPLE_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_index", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("luma_sum", LongType()),
+    StructField("pix_md5", StringType()),
+    StructField("frame_status", StringType()),
+])
+
+
+def gif_frame_features(df: DataFrame, bin_col: str = "payload",
+                       id_col: str = "doc_id",
+                       stride: int = 2) -> DataFrame:
+    """REAL animated-GIF frame sampling with exact-integer features —
+    the oracle-checkable face of the :mod:`.gif` codec.
+
+    Every ``stride``-th frame of each GIF payload yields one row:
+    dimensions, ``luma_sum`` = the exact int64 sum of per-pixel lumas
+    (``(54r + 183g + 19b) // 256`` — equal to the palette index on a
+    grayscale ramp, so a SQL oracle re-derives it from a fixture's
+    generation rule with pure integer arithmetic), and ``pix_md5`` =
+    md5 of the comma-joined luma values (both engines hash the same
+    UTF-8 string — a decoder that mis-read any LZW code, palette entry
+    or interlace row could not match).  Malformed GIFs produce a
+    single ``decode_error:*`` row; non-GIF payloads a ``not_gif`` row
+    — never a batch abort."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import pandas as pd
+
+        from . import gif as giflib
+
+        def err_row(doc_id, status):
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(None)
+            out["frame_index"].append(None)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["luma_sum"].append(None)
+            out["pix_md5"].append(None)
+            out["frame_status"].append(status)
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_index": [],
+                   "width": [], "height": [], "luma_sum": [],
+                   "pix_md5": [], "frame_status": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    err_row(doc_id, "null_payload")
+                    continue
+                data = bytes(payload)
+                if not data.startswith(giflib.GIF_SIGNATURES):
+                    err_row(doc_id, "not_gif")
+                    continue
+                try:
+                    _, _, frames = giflib.decode_gif(data)
+                except giflib.GifError as e:
+                    err_row(doc_id, f"decode_error:{e}")
+                    continue
+                for i in range(0, len(frames), stride):
+                    fr = frames[i]
+                    rgb = fr["rgb"]
+                    lumas = [(54 * rgb[p] + 183 * rgb[p + 1]
+                              + 19 * rgb[p + 2]) // 256
+                             for p in range(0, len(rgb), 3)]
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(len(frames))
+                    out["frame_index"].append(i)
+                    out["width"].append(fr["width"])
+                    out["height"].append(fr["height"])
+                    out["luma_sum"].append(sum(lumas))
+                    out["pix_md5"].append(hashlib.md5(
+                        ",".join(str(v) for v in lumas)
+                        .encode()).hexdigest())
+                    out["frame_status"].append("ok_gif")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=GIF_FRAME_SCHEMA)
