@@ -524,6 +524,29 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.gif_frame_features(payloads, stride=2)
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (stdlib Huffman+IDCT decoder,
+    functions/jpeg.py): every doc gets a deterministic constant-block
+    grayscale JPEG with unit quantizers — lossless by construction —
+    and the DuckDB oracle re-derives dimensions, the exact-integer
+    luma sum AND the md5 of the comma-joined pixel values from the
+    generation rule alone, so any mis-step in marker parsing, Huffman
+    decoding, DC prediction or the IDCT breaks the hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def jpeg_udf(ids):
+        import pandas as pd
+
+        from cdx_writer_spark.functions import jpeg as jpeglib
+        return pd.Series(
+            [jpeglib.synth_jpeg_bytes(int(d)) for d in ids])
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", jpeg_udf("doc_id"))
+    return multimodal.jpeg_gray_features(payloads)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake kernel
     (real decoder stubbed: no PIL in env).  The fake decode derives
@@ -710,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
         "gif_frames": q_gif_frames,
+        "jpeg_decode": q_jpeg_decode,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1244,6 +1268,26 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
             "',')) AS pix_md5, "
             "'ok_gif' AS frame_status FROM px"),
+        # real baseline-JPEG decode: the fixture is a constant-block
+        # grayscale JPEG with unit quantizers (lossless), so width /
+        # height / exact luma sum / pixel-CSV md5 all re-derive from
+        # the rule: block (bx,by) of a (2+id%3)x(1+id%2)-block image is
+        # (id*11 + (by*bw+bx)*29) % 256, pixel p's block is
+        # ((p // w) // 8) * bw + (p % w) // 8
+        "jpeg_decode": (
+            "WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS bw, "
+            "1 + doc_id % 2 AS bh FROM documents), "
+            "px AS (SELECT doc_id, 8 * bw AS w, 8 * bh AS h, "
+            "list_transform(range(0, 64 * bw * bh), p -> "
+            "(doc_id * 11 + (((p // (8 * bw)) // 8) * bw "
+            "+ ((p % (8 * bw)) // 8)) * 29) % 256) AS ls FROM g) "
+            "SELECT doc_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(1 AS INTEGER) AS n_channels, "
+            "CAST(list_aggregate(ls, 'sum') AS BIGINT) AS luma_sum, "
+            "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
+            "',')) AS pix_md5, "
+            "'ok_jpeg' AS decode_status FROM px"),
         "multimodal_decode": (
             _W + ", pay AS (SELECT doc_id, "
             f"sha256({_PAYLOAD_SQL}) AS dg FROM pages) "

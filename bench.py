@@ -74,6 +74,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "dedup_exact": lambda: dedup.exact_dedup(docs),
         "dedup_minhash": lambda: dedup.minhash_lsh_dedup(
             docs, threshold=0.5),
+        "dedup_jaccard": lambda: dedup.ngram_jaccard_pairs(
+            docs, threshold_num=1, threshold_den=2),
         "dedup_simhash": lambda: dedup.simhash_dedup(docs),
         "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
         "extract_text": lambda: extract.extract_text(

@@ -4,13 +4,15 @@ Image/audio/video payloads are `binary` columns; decode/feature ops run
 as Arrow-batched functions over ``mapInPandas``.
 
 PNG payloads decode/resize FOR REAL via the pure-stdlib codec in
-:mod:`.png` (zlib + struct), and GIF payloads — including animated
+:mod:`.png` (zlib + struct); GIF payloads — including animated
 multi-frame GIFs, the honest "video" this container can decode —
-via :mod:`.gif` (struct + hand LZW); malformed payloads yield a
-per-row ``decode_error:*`` status rather than aborting the batch.
-Every other format (JPEG/video codecs) needs PIL/ffmpeg, which are
-NOT in this container, so those rows are the clearly-marked
-NotImplementedError integration point — unless ``fake_decode=True``,
+via :mod:`.gif` (struct + hand LZW); baseline JPEGs via :mod:`.jpeg`
+(canonical Huffman + dequant + IDCT + YCbCr).  Malformed payloads
+yield a per-row ``decode_error:*`` status rather than aborting the
+batch.  Every other format (video codecs, progressive JPEG, WebP)
+needs PIL/ffmpeg, which are NOT in this container, so those rows are
+the clearly-marked NotImplementedError integration point — unless
+``fake_decode=True``,
 which substitutes a deterministic hash-derived decode so the Spark-side
 plumbing (schema, batching, partitioning, UDF signature) is testable
 and independently recomputable by the DuckDB oracle.
@@ -78,8 +80,9 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
     width/height/channels from IHDR, pixels unfiltered, features =
     per-channel mean+std (see ``png.features_from_pixels``); GIF
     payloads decode for real too (:mod:`.gif` — first frame, palette
-    applied); malformed payloads get a per-row
-    ``decode_error:<reason>`` status.
+    applied), and so do baseline JPEGs (:mod:`.jpeg` — Huffman +
+    dequant + IDCT + YCbCr, grayscale/4:4:4/4:2:2/4:2:0); malformed
+    payloads get a per-row ``decode_error:<reason>`` status.
     Other formats require PIL/cv2 (absent here): without
     `fake_decode` those rows raise NotImplementedError at the kernel,
     the clearly-marked integration point.  With `fake_decode=True` a
@@ -97,6 +100,7 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
         import pandas as pd
 
         from . import gif as giflib
+        from . import jpeg as jpeglib
         from . import png as pnglib
 
         for pdf in batches:
@@ -150,9 +154,27 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                             out["decode_status"].append(
                                 f"decode_error:{e}")
                         continue
+                    if data.startswith(jpeglib.JPEG_SOI):
+                        try:
+                            w, h, ch, pix = jpeglib.decode_jpeg(data)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["n_channels"].append(ch)
+                            out["features"].append(
+                                pnglib.features_from_pixels(
+                                    pix, ch, feature_dim))
+                            out["decode_status"].append("ok_jpeg")
+                        except jpeglib.JpegError as e:
+                            out["width"].append(None)
+                            out["height"].append(None)
+                            out["n_channels"].append(None)
+                            out["features"].append(None)
+                            out["decode_status"].append(
+                                f"decode_error:{e}")
+                        continue
                     raise NotImplementedError(
-                        "non-PNG/GIF image decode requires PIL/cv2, "
-                        "absent in this environment; pass "
+                        "non-PNG/GIF/JPEG image decode requires "
+                        "PIL/cv2, absent in this environment; pass "
                         "fake_decode=True for the deterministic test "
                         "double")
                 d = hashlib.sha256(bytes(payload)).digest()
@@ -438,3 +460,82 @@ def gif_frame_features(df: DataFrame, bin_col: str = "payload",
 
     return df.select(id_col, bin_col).mapInPandas(
         kernel, schema=GIF_FRAME_SCHEMA)
+
+
+JPEG_GRAY_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("luma_sum", LongType()),
+    StructField("pix_md5", StringType()),
+    StructField("decode_status", StringType()),
+])
+
+
+def jpeg_gray_features(df: DataFrame, bin_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG decode with exact-integer features — the
+    oracle-checkable face of the :mod:`.jpeg` decoder.
+
+    One row per payload: dimensions, ``luma_sum`` = exact int64 sum of
+    the decoded samples (grayscale: the samples themselves; color: the
+    ``(54r + 183g + 19b) // 256`` per-pixel luma), and ``pix_md5`` =
+    md5 of the comma-joined sample values.  The driver fixture is a
+    constant-block grayscale JPEG with unit quantizers — LOSSLESS by
+    construction (module docstring) — so a SQL oracle re-derives both
+    values from the generation rule with pure integer arithmetic; a
+    decoder that mis-stepped anywhere in marker parsing, Huffman
+    decoding, predictor tracking or the IDCT could not match."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import pandas as pd
+
+        from . import jpeg as jpeglib
+
+        def err_row(doc_id, status):
+            out["doc_id"].append(doc_id)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["n_channels"].append(None)
+            out["luma_sum"].append(None)
+            out["pix_md5"].append(None)
+            out["decode_status"].append(status)
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_channels": [], "luma_sum": [], "pix_md5": [],
+                   "decode_status": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    err_row(doc_id, "null_payload")
+                    continue
+                data = bytes(payload)
+                if not data.startswith(jpeglib.JPEG_SOI):
+                    err_row(doc_id, "not_jpeg")
+                    continue
+                try:
+                    w, h, ch, pix = jpeglib.decode_jpeg(data)
+                except jpeglib.JpegError as e:
+                    err_row(doc_id, f"decode_error:{e}")
+                    continue
+                if ch == 1:
+                    lumas = list(pix)
+                else:
+                    lumas = [(54 * pix[p] + 183 * pix[p + 1]
+                              + 19 * pix[p + 2]) // 256
+                             for p in range(0, len(pix), 3)]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(ch)
+                out["luma_sum"].append(sum(lumas))
+                out["pix_md5"].append(hashlib.md5(
+                    ",".join(str(v) for v in lumas)
+                    .encode()).hexdigest())
+                out["decode_status"].append("ok_jpeg")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=JPEG_GRAY_SCHEMA)
