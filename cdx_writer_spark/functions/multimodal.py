@@ -207,10 +207,12 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                   height: int = 64, fake_resize: bool = False) -> DataFrame:
     """Arrow-batched image resize over mapInPandas (1 row -> 1 row).
 
-    PNG payloads resize for real: decode (pure-stdlib codec), nearest-
-    neighbor resample, deterministic re-encode (fixed zlib level) —
-    resized_bytes = encoded PNG size, resized_digest = md5 of the
-    encoded PNG.  Non-PNG formats need PIL/cv2 (absent from this
+    PNG/GIF/JPEG payloads resize for real: decode (pure-stdlib codecs
+    in :mod:`.png` / :mod:`.gif` / :mod:`.jpeg`; GIF uses the first
+    frame), nearest-neighbor resample, deterministic PNG re-encode
+    (fixed zlib level) — resized_bytes = encoded PNG size,
+    resized_digest = md5 of the encoded PNG, resize_status =
+    ``ok_<fmt>``.  Other formats need PIL/cv2 (absent from this
     container), the clearly-marked NotImplementedError integration
     point; ``fake_resize=True`` substitutes a deterministic stand-in —
     resized_digest = md5(sha256(payload) || '@WxH') and resized_bytes =
@@ -226,6 +228,8 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
         import hashlib
         import pandas as pd
 
+        from . import gif as giflib
+        from . import jpeg as jpeglib
         from . import png as pnglib
 
         for pdf in batches:
@@ -244,30 +248,44 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                 if not fake_resize:
                     data = bytes(payload)
                     if data.startswith(pnglib.PNG_SIGNATURE):
-                        try:
+                        fmt = "png"
+                    elif data.startswith(giflib.GIF_SIGNATURES):
+                        fmt = "gif"
+                    elif data.startswith(jpeglib.JPEG_SOI):
+                        fmt = "jpeg"
+                    else:
+                        raise NotImplementedError(
+                            "non-PNG/GIF/JPEG image resize requires "
+                            "PIL/cv2, absent in this environment; pass "
+                            "fake_resize=True for the deterministic "
+                            "test double")
+                    try:
+                        if fmt == "png":
                             w0, h0, ch, pix = pnglib.decode_png(data)
-                            resized = pnglib.resize_nearest(
-                                pix, w0, h0, ch, width, height)
-                            enc = pnglib.encode_png(
-                                width, height, ch, resized)
-                            out["out_width"].append(width)
-                            out["out_height"].append(height)
-                            out["resized_bytes"].append(len(enc))
-                            out["resized_digest"].append(
-                                hashlib.md5(enc).hexdigest())
-                            out["resize_status"].append("ok_png")
-                        except pnglib.PngError as e:
-                            out["out_width"].append(None)
-                            out["out_height"].append(None)
-                            out["resized_bytes"].append(None)
-                            out["resized_digest"].append(None)
-                            out["resize_status"].append(
-                                f"decode_error:{e}")
-                        continue
-                    raise NotImplementedError(
-                        "non-PNG image resize requires PIL/cv2, absent "
-                        "in this environment; pass fake_resize=True for "
-                        "the deterministic test double")
+                        elif fmt == "gif":
+                            w0, h0, frames = giflib.decode_gif(data)
+                            ch, pix = 3, frames[0]["rgb"]
+                        else:
+                            w0, h0, ch, pix = jpeglib.decode_jpeg(data)
+                        resized = pnglib.resize_nearest(
+                            pix, w0, h0, ch, width, height)
+                        enc = pnglib.encode_png(
+                            width, height, ch, resized)
+                        out["out_width"].append(width)
+                        out["out_height"].append(height)
+                        out["resized_bytes"].append(len(enc))
+                        out["resized_digest"].append(
+                            hashlib.md5(enc).hexdigest())
+                        out["resize_status"].append(f"ok_{fmt}")
+                    except (pnglib.PngError, giflib.GifError,
+                            jpeglib.JpegError) as e:
+                        out["out_width"].append(None)
+                        out["out_height"].append(None)
+                        out["resized_bytes"].append(None)
+                        out["resized_digest"].append(None)
+                        out["resize_status"].append(
+                            f"decode_error:{e}")
+                    continue
                 dg = hashlib.sha256(bytes(payload)).hexdigest()
                 out["out_width"].append(width)
                 out["out_height"].append(height)

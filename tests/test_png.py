@@ -173,8 +173,10 @@ def test_spark_resize_images_real_png(spark):
     assert decode_png(expect)[:3] == (8, 8, 3)
 
 
-def test_spark_non_png_still_marked_stub(spark):
-    df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0fakejpeg")],
+def test_spark_unknown_format_still_marked_stub(spark):
+    # BMP has no stdlib codec here: the env-blocked seam must raise,
+    # not silently fake.
+    df = spark.createDataFrame([(1, b"BM\x3a\x00\x00\x00fakebmp")],
                                "doc_id long, payload binary")
     for fn in (lambda: multimodal.decode_images(df).collect(),
                lambda: multimodal.resize_images(df).collect()):
@@ -182,6 +184,41 @@ def test_spark_non_png_still_marked_stub(spark):
             fn()
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError)
+
+
+def test_spark_malformed_jpeg_is_row_level_error_not_stage_abort(spark):
+    # A truncated-but-magic JPEG is untrusted-web-input territory: it
+    # must produce a decode_error row, never abort the Arrow stage.
+    df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0fakejpeg")],
+                               "doc_id long, payload binary")
+    (d,) = multimodal.decode_images(df).collect()
+    assert d.decode_status.startswith("decode_error:")
+    (r,) = multimodal.resize_images(df).collect()
+    assert r.resize_status.startswith("decode_error:")
+
+
+def test_spark_resize_images_real_gif_and_jpeg(spark):
+    from cdx_writer_spark.functions.gif import decode_gif, synth_gif_bytes
+    from cdx_writer_spark.functions.jpeg import decode_jpeg, synth_jpeg_bytes
+
+    rows = [(1, synth_gif_bytes(7)), (2, synth_jpeg_bytes(7))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in
+           multimodal.resize_images(df, width=8, height=8).collect()}
+    assert (out[1].out_width, out[1].resize_status) == (8, "ok_gif")
+    assert (out[2].out_width, out[2].resize_status) == (8, "ok_jpeg")
+    # recompute the GIF expectation outside the kernel: first frame,
+    # nearest resize, deterministic PNG re-encode
+    w0, h0, frames = decode_gif(synth_gif_bytes(7))
+    expect = encode_png(8, 8, 3, resize_nearest(
+        frames[0]["rgb"], w0, h0, 3, 8, 8))
+    assert out[1].resized_bytes == len(expect)
+    assert out[1].resized_digest == hashlib.md5(expect).hexdigest()
+    # and the JPEG one
+    w0, h0, ch, pix = decode_jpeg(synth_jpeg_bytes(7))
+    expect = encode_png(8, 8, ch, resize_nearest(pix, w0, h0, ch, 8, 8))
+    assert out[2].resized_bytes == len(expect)
+    assert out[2].resized_digest == hashlib.md5(expect).hexdigest()
 
 
 def test_features_padding_and_truncation():
