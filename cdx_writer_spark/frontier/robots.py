@@ -148,6 +148,12 @@ def parse_robots(text: str, agent: str = "*"):
 # *decoded* %01 colliding with it is pathological enough to document
 # rather than defend (it would read back as a literal '%2F')
 _SLASH_SENTINEL = "\x01"
+# same trick for literal '+': url_decode treats '+' as an encoded
+# space, so it is swapped out before the decode and restored after —
+# on BOTH the success and the malformed-fallback branch, keeping the
+# fallback genuinely the raw bytes (a decoded %02 colliding with the
+# sentinel is the same documented pathology as %01 above)
+_PLUS_SENTINEL = "\x02"
 _PCT_2F = re.compile("%2f", re.IGNORECASE)
 
 
@@ -167,13 +173,16 @@ def normalize_path_col(path):
     """The same canonicalization as :func:`normalize_rule_path`, as
     pure Catalyst expressions over a candidate path column (zero
     Python): protect literal ``+`` (a plus in a path is NOT a space)
-    and ``%2f``, ``try_url_decode``, restore.  A malformed path (bad
-    triplet / invalid UTF-8) decodes to NULL and falls back to its
-    raw (case-normalized-``%2F``) bytes."""
-    p = F.regexp_replace(path, r"\+", "%2B")
+    and ``%2f`` with sentinels, ``try_url_decode``, restore both.  A
+    malformed path (bad triplet) decodes to NULL and falls back to its
+    raw (case-normalized-``%2F``) bytes — the sentinels are restored
+    on that branch too, so the fallback really is the raw path (a
+    rule ``/a+b%`` matches candidate ``/a+b%``)."""
+    p = F.replace(path, F.lit("+"), F.lit(_PLUS_SENTINEL))
     p = F.regexp_replace(p, "(?i)%2f", _SLASH_SENTINEL)
     p = F.coalesce(F.try_url_decode(p), p)
-    return F.replace(p, F.lit(_SLASH_SENTINEL), F.lit("%2F"))
+    p = F.replace(p, F.lit(_SLASH_SENTINEL), F.lit("%2F"))
+    return F.replace(p, F.lit(_PLUS_SENTINEL), F.lit("+"))
 
 
 def rule_to_like(rule: str) -> str:
@@ -253,8 +262,13 @@ def compile_robots(corpus: DataFrame, agent: str = "*",
                 if delay is None or not (delay > 0 and math.isfinite(delay)):
                     budget = default_budget
                 else:
-                    budget = max(1, min(round_seconds * 1000,
-                                        int(round_seconds // delay)))
+                    # cap BEFORE int(): a subnormal delay (1e-310) makes
+                    # round_seconds / delay overflow to float inf, and
+                    # int(inf) raises — min() against the finite cap
+                    # first keeps the conversion safe for any positive
+                    # finite delay
+                    budget = int(max(1.0, min(float(round_seconds * 1000),
+                                              round_seconds / delay)))
                 rows["budget_per_round"].append(budget)
             yield pd.DataFrame(rows)
 

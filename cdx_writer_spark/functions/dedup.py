@@ -155,7 +155,7 @@ def _pruned_reps(reps: DataFrame, cand: DataFrame,
         cand.select(F.col("gkey_a").alias("gkey"))
         .unionByName(cand.select(F.col("gkey_b").alias("gkey")))
         .distinct())
-    if limit > 0 and 2 * cand.count() <= limit:
+    if limit > 0 and cand.count() <= limit:
         cand_keys = F.broadcast(cand_keys)
     return reps.join(cand_keys, "gkey")
 

@@ -37,6 +37,11 @@ import struct
 
 JPEG_SOI = b"\xFF\xD8"
 
+# a hostile SOF can declare 65535x65535 (a 13 GB RGB buffer decoded one
+# coefficient at a time); cap what the pure-Python path will attempt —
+# real pipelines swap in libjpeg at the same kernel seam
+MAX_PIXELS = 1 << 26
+
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -179,7 +184,21 @@ def _clamp(v: float) -> int:
 def decode_jpeg(data: bytes):
     """Decode a baseline JPEG: ``(width, height, n_components,
     pixels)`` — pixels row-major, interleaved (1 byte/component,
-    grayscale or RGB)."""
+    grayscale or RGB).  Malformed input raises :class:`JpegError`
+    ONLY — hostile web payloads must surface as per-row errors in the
+    Spark kernels, never a batch abort, so any parser slip
+    (struct.error / IndexError / ValueError on a truncated or
+    garbage segment) is converted here at the single entry point."""
+    try:
+        return _decode_jpeg_checked(data)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        raise JpegError(
+            f"malformed JPEG ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_checked(data: bytes):
     if not data.startswith(JPEG_SOI):
         raise JpegError("bad JPEG signature")
     qt: dict[int, list[int]] = {}
@@ -232,6 +251,12 @@ def decode_jpeg(data: bytes):
                 seg[5]
             if precision != 8:
                 raise JpegError(f"unsupported precision {precision}")
+            if w == 0 or h == 0:
+                raise JpegError("zero image dimension")
+            if w * h > MAX_PIXELS:
+                raise JpegError(
+                    f"image too large for the pure-Python decoder "
+                    f"({w}x{h} > {MAX_PIXELS} px)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -346,13 +371,18 @@ def _assemble(w, h, scan, planes, hmax, vmax):
     if len(scan) != 3:
         raise JpegError(f"unsupported component count {len(scan)}")
     out = bytearray(w * h * 3)
+    # index via integer row bases — slicing planes[i][offset:] per row
+    # copies the remainder of each plane every row (O(h x plane) bytes)
+    p0, p1, p2 = planes
+    h0, h1, h2 = scan[0]["h"], scan[1]["h"], scan[2]["h"]
     for y in range(h):
-        rows = [planes[i][(y * c["v"] // vmax) * c["cw"]:]
-                for i, c in enumerate(scan)]
+        b0 = (y * scan[0]["v"] // vmax) * scan[0]["cw"]
+        b1 = (y * scan[1]["v"] // vmax) * scan[1]["cw"]
+        b2 = (y * scan[2]["v"] // vmax) * scan[2]["cw"]
         for x in range(w):
-            yy = rows[0][x * scan[0]["h"] // hmax]
-            cb = rows[1][x * scan[1]["h"] // hmax] - 128
-            cr = rows[2][x * scan[2]["h"] // hmax] - 128
+            yy = p0[b0 + x * h0 // hmax]
+            cb = p1[b1 + x * h1 // hmax] - 128
+            cr = p2[b2 + x * h2 // hmax] - 128
             o = 3 * (y * w + x)
             out[o] = _clamp(yy + 1.402 * cr)
             out[o + 1] = _clamp(yy - 0.344136 * cb - 0.714136 * cr)

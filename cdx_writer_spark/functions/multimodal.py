@@ -263,8 +263,13 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                         if fmt == "png":
                             w0, h0, ch, pix = pnglib.decode_png(data)
                         elif fmt == "gif":
-                            w0, h0, frames = giflib.decode_gif(data)
-                            ch, pix = 3, frames[0]["rgb"]
+                            # frame dims, NOT logical-screen dims: the
+                            # first frame of a valid GIF may cover only
+                            # a sub-rectangle of the screen
+                            _, _, frames = giflib.decode_gif(data)
+                            f0 = frames[0]
+                            w0, h0 = f0["width"], f0["height"]
+                            ch, pix = 3, f0["rgb"]
                         else:
                             w0, h0, ch, pix = jpeglib.decode_jpeg(data)
                         resized = pnglib.resize_nearest(

@@ -113,56 +113,50 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 12,
     left-to-right over identical doubles, the sign bits — hence the
     buckets — are bit-identical, which is what lets the DuckDB oracle
     re-derive the bucketed ANN pipeline end-to-end."""
-    def weight(p: Column, d: Column) -> Column:
-        if portable:
-            h = F.md5(F.concat(p.cast("string"), F.lit(","),
-                               d.cast("string")))
-            return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
-                    / F.lit(float(1 << 48)) - 0.5)
-        return (F.pmod(F.xxhash64(p, d), F.lit(1000)).cast("double")
-                / 1000.0 - 0.5)
-
-    def plane_dot(p: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                _as_double(vec),
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
-                            lambda d: weight(p, d)),
-                lambda x, w: x * w),
-            F.lit(0.0), lambda acc, v: acc + v)
-
     bits = F.transform(
         F.sequence(F.lit(plane_offset),
                    F.lit(plane_offset + n_planes - 1)),
-        lambda p: F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        lambda p: F.when(_plane_dot(vec, p, portable) >= 0,
+                         F.lit("1")).otherwise(F.lit("0")))
     return F.concat_ws("", bits)
+
+
+def _plane_weight(p: Column, d: Column, portable: bool) -> Column:
+    """The (plane, dim) pseudo-random weight in [-0.5, 0.5).  The ONE
+    definition shared by the data-side bucket and the query-side probe
+    margins — probe bucket 0 must equal the data bucket bit-for-bit,
+    so this derivation must never fork."""
+    if portable:
+        h = F.md5(F.concat(p.cast("string"), F.lit(","),
+                           d.cast("string")))
+        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+                / F.lit(float(1 << 48)) - 0.5)
+    return (F.pmod(F.xxhash64(p, d), F.lit(1000)).cast("double")
+            / 1000.0 - 0.5)
+
+
+def _plane_dot(vec: Column, p: Column, portable: bool) -> Column:
+    """Signed dot product of ``vec`` with plane ``p`` — same
+    left-to-right fold on both the bucket and the probe path (the fold
+    order is part of the cross-engine bit-identity contract)."""
+    return F.aggregate(
+        F.zip_with(
+            _as_double(vec),
+            F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+                        lambda d: _plane_weight(p, d, portable)),
+            lambda x, w: x * w),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _plane_dots_col(vec: Column, n_planes: int,
                     portable: bool = False) -> Column:
     """Per-plane signed dot products as an array<double> — the raw
     margins behind :func:`hyperplane_bucket_col`'s sign bits (plane
-    offset 0; shares the weight derivation exactly, so
+    offset 0; built on the same :func:`_plane_dot`, so
     ``dots[i] >= 0`` iff bucket bit i is '1')."""
-
-    def weight(p: Column, d: Column) -> Column:
-        if portable:
-            h = F.md5(F.concat(p.cast("string"), F.lit(","),
-                               d.cast("string")))
-            return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
-                    / F.lit(float(1 << 48)) - 0.5)
-        return (F.pmod(F.xxhash64(p, d), F.lit(1000)).cast("double")
-                / 1000.0 - 0.5)
-
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                _as_double(vec),
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
-                            lambda d: weight(p, d)),
-                lambda x, w: x * w),
-            F.lit(0.0), lambda acc, v: acc + v))
+        lambda p: _plane_dot(vec, p, portable))
 
 
 def probe_buckets_col(vec: Column, n_planes: int, n_probes: int,

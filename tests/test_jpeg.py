@@ -118,6 +118,22 @@ def test_malformed_jpegs_raise(mutate, reason):
         jpeg.decode_jpeg(bytes(mutate(bytearray(data))))
 
 
+@pytest.mark.parametrize("payload,reason", [
+    (b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x01", "truncated SOF body"),
+    (b"\xff\xd8\xff\xc4\x00\x04\x00\x00", "truncated DHT counts"),
+    (b"\xff\xd8\xff\xdb\x00\x03\x10", "truncated DQT"),
+    (b"\xff\xd8\xff\xda\x00\x04\x03\x00", "SOS before SOF, short"),
+    (b"\xff\xd8\xff\xc0\x00\x0b\x08\xff\xff\xff\xff\x01\x01\x11\x00",
+     "hostile 65535x65535 dimensions"),
+])
+def test_garbage_segments_raise_jpegerror_not_parser_errors(payload, reason):
+    """Untrusted magic-matched bytes must surface as JpegError (a
+    per-row decode_error in the Spark kernels), never struct.error /
+    IndexError escaping to abort the whole Arrow batch."""
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg(payload)
+
+
 # --- Spark kernels over real JPEGs -------------------------------------------
 
 @pytest.fixture()

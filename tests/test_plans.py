@@ -187,7 +187,7 @@ def test_verify_prune_broadcast_is_size_gated(spark):
         below = _pruned_reps(reps, cand, verify_broadcast_limit=1000)
         plan_b = below._jdf.queryExecution().sparkPlan().toString()
         assert "BroadcastHashJoin" in plan_b, plan_b
-        # above the gate (10 pairs > limit/2): plain join, no hint
+        # above the gate (10 pairs > limit of 4): plain join, no hint
         above = _pruned_reps(reps, cand, verify_broadcast_limit=4)
         plan_a = above._jdf.queryExecution().sparkPlan().toString()
         assert "BroadcastHashJoin" not in plan_a, plan_a

@@ -221,6 +221,24 @@ def test_spark_resize_images_real_gif_and_jpeg(spark):
     assert out[2].resized_digest == hashlib.md5(expect).hexdigest()
 
 
+def test_spark_resize_gif_subrect_first_frame(spark):
+    # a valid GIF whose FIRST frame covers only a sub-rectangle of the
+    # logical screen: the resize must pair the frame's own dims with
+    # its pixel buffer, not the screen dims
+    from cdx_writer_spark.functions.gif import encode_gif
+
+    small = bytes((i * 7) % 256 for i in range(4 * 3))
+    big = bytes((i * 5) % 256 for i in range(8 * 6))
+    data = encode_gif([(4, 3, small), (8, 6, big)])
+    df = spark.createDataFrame([(1, data)], "doc_id long, payload binary")
+    (r,) = multimodal.resize_images(df, width=8, height=8).collect()
+    assert r.resize_status == "ok_gif"
+    rgb = bytes(v for i in small for v in (i, i, i))  # grayscale ramp
+    expect = encode_png(8, 8, 3, resize_nearest(rgb, 4, 3, 3, 8, 8))
+    assert r.resized_bytes == len(expect)
+    assert r.resized_digest == hashlib.md5(expect).hexdigest()
+
+
 def test_features_padding_and_truncation():
     pix = bytes([0, 255] * 8)  # 2-channel, mean .0/1.0, std 0
     f4 = features_from_pixels(pix, 2, 4)

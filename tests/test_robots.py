@@ -188,6 +188,20 @@ def test_percent_encoding_normalization(spark):
     assert kept2 == {"/p%20q/x1", "/p q/x2"}
 
 
+def test_malformed_candidate_fallback_is_truly_raw(spark):
+    """A candidate path whose decode fails (trailing lone '%') falls
+    back to its RAW bytes — the '+'-protection sentinel must be
+    restored on that branch too, or a rule spelled exactly like the
+    candidate stops matching it."""
+    txt = ("User-agent: *\n"
+           "Disallow: /a+b%\n"       # matches its own literal path
+           "Disallow: /q %\n")       # raw space + lone % both sides
+    kept = _decide(spark, txt, ["/a+b%", "/a+b%20", "/q %", "/ok"])
+    # /a+b%20 decodes cleanly to '/a+b ' which the prefix rule
+    # '/a+b%' (normalized: literal '%') must NOT match
+    assert kept == {"/a+b%20", "/ok"}
+
+
 def test_crawl_delay_budget(spark):
     corpus = spark.createDataFrame(
         [("slow", "User-agent: *\nCrawl-delay: 12\nDisallow: /no\n"),
@@ -210,6 +224,7 @@ def test_crawl_delay_hostile_values_never_crash(spark):
          ("nan", "User-agent: *\nCrawl-delay: nan\n"),
          ("inf", "User-agent: *\nCrawl-delay: inf\n"),
          ("tiny", "User-agent: *\nCrawl-delay: 0.000001\n"),
+         ("subnormal", "User-agent: *\nCrawl-delay: 1e-310\n"),
          ("huge", "User-agent: *\nCrawl-delay: 1e18\n")],
         "host string, robots_txt string")
     rules = {r["host"]: r for r in compile_robots(corpus).collect()}
@@ -221,6 +236,9 @@ def test_crawl_delay_hostile_values_never_crash(spark):
     assert rules["huge"]["budget_per_round"] == 1  # finite but enormous
     # valid sub-ms delay -> capped at 1ms resolution, int32-safe
     assert rules["tiny"]["budget_per_round"] == 60_000
+    # positive finite SUBNORMAL: 60 / 1e-310 overflows float to inf —
+    # the cap must apply before the int() conversion
+    assert rules["subnormal"]["budget_per_round"] == 60_000
 
 
 def test_matcher_plan_is_broadcast_and_python_free(spark):
