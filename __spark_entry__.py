@@ -547,6 +547,29 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_gray_features(payloads)
 
 
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-BMP decode (functions/bmp.py): every doc gets
+    a deterministic 24- or 32-bit BMP (size and pixels from doc_id
+    arithmetic; BMP is lossless) and the DuckDB oracle re-derives the
+    dimensions, the exact channel-0 sum AND the md5 of the
+    comma-joined decoded samples from the generation rule alone — any
+    mis-step in row order, stride padding or the BGR(A) swap breaks
+    the hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def bmp_udf(ids):
+        import pandas as pd
+
+        from cdx_writer_spark.functions import bmp as bmplib
+        return pd.Series(
+            [bmplib.synth_bmp_bytes(int(d)) for d in ids])
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", bmp_udf("doc_id"))
+    return multimodal.bmp_features(payloads)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake kernel
     (real decoder stubbed: no PIL in env).  The fake decode derives
@@ -734,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "gif_frames": q_gif_frames,
         "jpeg_decode": q_jpeg_decode,
+        "bmp_decode": q_bmp_decode,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1288,6 +1312,26 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
             "',')) AS pix_md5, "
             "'ok_jpeg' AS decode_status FROM px"),
+        # BMP re-derived from the synth rule: w=3+id%4, h=2+id%3,
+        # nch=3 (even id) else 4, pix[i]=(id*17+i*29)%256 — lossless
+        # roundtrip, so decoded samples == generated samples
+        "bmp_decode": (
+            "WITH g AS (SELECT doc_id, 3 + doc_id % 4 AS w, "
+            "2 + doc_id % 3 AS h, "
+            "CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS nch "
+            "FROM documents), "
+            "px AS (SELECT doc_id, w, h, nch, "
+            "list_transform(range(0, w * h * nch), i -> "
+            "(doc_id * 17 + i * 29) % 256) AS ls FROM g) "
+            "SELECT doc_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(nch AS INTEGER) AS n_channels, "
+            "CAST(list_aggregate(list_transform(range(0, w * h), "
+            "j -> (doc_id * 17 + j * nch * 29) % 256), 'sum') "
+            "AS BIGINT) AS ch0_sum, "
+            "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
+            "',')) AS pix_md5, "
+            "'ok_bmp' AS decode_status FROM px"),
         "multimodal_decode": (
             _W + ", pay AS (SELECT doc_id, "
             f"sha256({_PAYLOAD_SQL}) AS dg FROM pages) "

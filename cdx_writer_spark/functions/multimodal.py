@@ -7,8 +7,9 @@ PNG payloads decode/resize FOR REAL via the pure-stdlib codec in
 :mod:`.png` (zlib + struct); GIF payloads — including animated
 multi-frame GIFs, the honest "video" this container can decode —
 via :mod:`.gif` (struct + hand LZW); baseline JPEGs via :mod:`.jpeg`
-(canonical Huffman + dequant + IDCT + YCbCr).  Malformed payloads
-yield a per-row ``decode_error:*`` status rather than aborting the
+(canonical Huffman + dequant + IDCT + YCbCr); uncompressed 24/32-bit
+BMPs via :mod:`.bmp`.  Malformed payloads yield a per-row
+``decode_error:*`` status rather than aborting the
 batch.  Every other format (video codecs, progressive JPEG, WebP)
 needs PIL/ffmpeg, which are NOT in this container, so those rows are
 the clearly-marked NotImplementedError integration point — unless
@@ -80,8 +81,9 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
     width/height/channels from IHDR, pixels unfiltered, features =
     per-channel mean+std (see ``png.features_from_pixels``); GIF
     payloads decode for real too (:mod:`.gif` — first frame, palette
-    applied), and so do baseline JPEGs (:mod:`.jpeg` — Huffman +
-    dequant + IDCT + YCbCr, grayscale/4:4:4/4:2:2/4:2:0); malformed
+    applied), as do baseline JPEGs (:mod:`.jpeg` — Huffman +
+    dequant + IDCT + YCbCr, grayscale/4:4:4/4:2:2/4:2:0) and
+    uncompressed 24/32-bit BMPs (:mod:`.bmp`); malformed
     payloads get a per-row ``decode_error:<reason>`` status.
     Other formats require PIL/cv2 (absent here): without
     `fake_decode` those rows raise NotImplementedError at the kernel,
@@ -99,6 +101,7 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
         import hashlib
         import pandas as pd
 
+        from . import bmp as bmplib
         from . import gif as giflib
         from . import jpeg as jpeglib
         from . import png as pnglib
@@ -172,8 +175,26 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                             out["decode_status"].append(
                                 f"decode_error:{e}")
                         continue
+                    if data.startswith(bmplib.BMP_MAGIC):
+                        try:
+                            w, h, ch, pix = bmplib.decode_bmp(data)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["n_channels"].append(ch)
+                            out["features"].append(
+                                pnglib.features_from_pixels(
+                                    pix, ch, feature_dim))
+                            out["decode_status"].append("ok_bmp")
+                        except bmplib.BmpError as e:
+                            out["width"].append(None)
+                            out["height"].append(None)
+                            out["n_channels"].append(None)
+                            out["features"].append(None)
+                            out["decode_status"].append(
+                                f"decode_error:{e}")
+                        continue
                     raise NotImplementedError(
-                        "non-PNG/GIF/JPEG image decode requires "
+                        "non-PNG/GIF/JPEG/BMP image decode requires "
                         "PIL/cv2, absent in this environment; pass "
                         "fake_decode=True for the deterministic test "
                         "double")
@@ -207,9 +228,10 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                   height: int = 64, fake_resize: bool = False) -> DataFrame:
     """Arrow-batched image resize over mapInPandas (1 row -> 1 row).
 
-    PNG/GIF/JPEG payloads resize for real: decode (pure-stdlib codecs
-    in :mod:`.png` / :mod:`.gif` / :mod:`.jpeg`; GIF uses the first
-    frame), nearest-neighbor resample, deterministic PNG re-encode
+    PNG/GIF/JPEG/BMP payloads resize for real: decode (pure-stdlib
+    codecs in :mod:`.png` / :mod:`.gif` / :mod:`.jpeg` / :mod:`.bmp`;
+    GIF uses the first frame), nearest-neighbor resample,
+    deterministic PNG re-encode
     (fixed zlib level) — resized_bytes = encoded PNG size,
     resized_digest = md5 of the encoded PNG, resize_status =
     ``ok_<fmt>``.  Other formats need PIL/cv2 (absent from this
@@ -228,6 +250,7 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
         import hashlib
         import pandas as pd
 
+        from . import bmp as bmplib
         from . import gif as giflib
         from . import jpeg as jpeglib
         from . import png as pnglib
@@ -253,9 +276,11 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                         fmt = "gif"
                     elif data.startswith(jpeglib.JPEG_SOI):
                         fmt = "jpeg"
+                    elif data.startswith(bmplib.BMP_MAGIC):
+                        fmt = "bmp"
                     else:
                         raise NotImplementedError(
-                            "non-PNG/GIF/JPEG image resize requires "
+                            "non-PNG/GIF/JPEG/BMP image resize requires "
                             "PIL/cv2, absent in this environment; pass "
                             "fake_resize=True for the deterministic "
                             "test double")
@@ -270,8 +295,10 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                             f0 = frames[0]
                             w0, h0 = f0["width"], f0["height"]
                             ch, pix = 3, f0["rgb"]
-                        else:
+                        elif fmt == "jpeg":
                             w0, h0, ch, pix = jpeglib.decode_jpeg(data)
+                        else:
+                            w0, h0, ch, pix = bmplib.decode_bmp(data)
                         resized = pnglib.resize_nearest(
                             pix, w0, h0, ch, width, height)
                         enc = pnglib.encode_png(
@@ -283,7 +310,7 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                             hashlib.md5(enc).hexdigest())
                         out["resize_status"].append(f"ok_{fmt}")
                     except (pnglib.PngError, giflib.GifError,
-                            jpeglib.JpegError) as e:
+                            jpeglib.JpegError, bmplib.BmpError) as e:
                         out["out_width"].append(None)
                         out["out_height"].append(None)
                         out["resized_bytes"].append(None)
@@ -562,3 +589,73 @@ def jpeg_gray_features(df: DataFrame, bin_col: str = "payload",
 
     return df.select(id_col, bin_col).mapInPandas(
         kernel, schema=JPEG_GRAY_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("ch0_sum", LongType()),
+    StructField("pix_md5", StringType()),
+    StructField("decode_status", StringType()),
+])
+
+
+def bmp_features(df: DataFrame, bin_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """REAL uncompressed-BMP decode with exact-integer features — the
+    oracle-checkable face of the :mod:`.bmp` decoder.
+
+    One row per payload: dimensions/channels, ``ch0_sum`` = exact
+    int64 sum of the channel-0 (red) samples, and ``pix_md5`` = md5 of
+    the comma-joined decoded sample values.  BMP is lossless, so a SQL
+    oracle re-derives both from the fixture generation rule with pure
+    integer arithmetic; a decoder that mis-stepped in row order
+    (bottom-up), stride padding or the BGR swap could not match."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import pandas as pd
+
+        from . import bmp as bmplib
+
+        def err_row(doc_id, status):
+            out["doc_id"].append(doc_id)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["n_channels"].append(None)
+            out["ch0_sum"].append(None)
+            out["pix_md5"].append(None)
+            out["decode_status"].append(status)
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_channels": [], "ch0_sum": [], "pix_md5": [],
+                   "decode_status": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    err_row(doc_id, "null_payload")
+                    continue
+                data = bytes(payload)
+                if not data.startswith(bmplib.BMP_MAGIC):
+                    err_row(doc_id, "not_bmp")
+                    continue
+                try:
+                    w, h, ch, pix = bmplib.decode_bmp(data)
+                except bmplib.BmpError as e:
+                    err_row(doc_id, f"decode_error:{e}")
+                    continue
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(ch)
+                out["ch0_sum"].append(sum(pix[0::ch]))
+                out["pix_md5"].append(hashlib.md5(
+                    ",".join(str(v) for v in pix)
+                    .encode()).hexdigest())
+                out["decode_status"].append("ok_bmp")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=BMP_FEATURES_SCHEMA)

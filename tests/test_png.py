@@ -174,9 +174,9 @@ def test_spark_resize_images_real_png(spark):
 
 
 def test_spark_unknown_format_still_marked_stub(spark):
-    # BMP has no stdlib codec here: the env-blocked seam must raise,
+    # TIFF has no stdlib codec here: the env-blocked seam must raise,
     # not silently fake.
-    df = spark.createDataFrame([(1, b"BM\x3a\x00\x00\x00fakebmp")],
+    df = spark.createDataFrame([(1, b"II*\x00\x08\x00\x00\x00faketiff")],
                                "doc_id long, payload binary")
     for fn in (lambda: multimodal.decode_images(df).collect(),
                lambda: multimodal.resize_images(df).collect()):
