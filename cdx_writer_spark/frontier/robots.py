@@ -166,7 +166,12 @@ def normalize_rule_path(segment: str) -> str:
     step for step."""
     protected = _PCT_2F.sub(_SLASH_SENTINEL, segment)
     decoded = urllib.parse.unquote(protected, errors="replace")
-    return decoded.replace(_SLASH_SENTINEL, "%2F")
+    # mirror the candidate side's sentinel restores EXACTLY, including
+    # the documented pathological collisions: a literal %01 reads back
+    # as '%2F' and a literal %02 as '+' on BOTH sides, so rule and
+    # candidate normal forms can never diverge on any input
+    return (decoded.replace(_SLASH_SENTINEL, "%2F")
+            .replace(_PLUS_SENTINEL, "+"))
 
 
 def normalize_path_col(path):

@@ -188,6 +188,37 @@ def test_percent_encoding_normalization(spark):
     assert kept2 == {"/p%20q/x1", "/p q/x2"}
 
 
+def test_rule_and_candidate_normalization_agree_bytewise(spark):
+    """The rule side normalizes in Python (unquote) and the candidate
+    side in Catalyst (try_url_decode) — the matcher is only correct if
+    the two normal forms are IDENTICAL on every input, including
+    invalid-UTF-8 triplets (both sides must pick the same U+FFFD
+    replacement), malformed escapes (both fall back to raw), and the
+    documented %01/%02 sentinel pathologies."""
+    from cdx_writer_spark.frontier.robots import (
+        normalize_path_col, normalize_rule_path)
+
+    paths = [
+        "/a%20b", "/a b", "/a+b", "/a%2Bb",
+        "/caf%E9",            # valid triplet, invalid UTF-8
+        "/x%E9%A0y",          # truncated multi-byte run mid-string
+        "/%FF%FE",            # two invalid bytes
+        "/emoji%F0%9F%98%80",  # valid 4-byte UTF-8
+        "/a%2Fb", "/%2f%2F",  # encoded slashes stay literal
+        "/%2A%24",            # encoded wildcard/anchor chars
+        "/a+b%", "/100%", "/%zz", "/%",  # malformed escapes
+        "/%01%02",            # sentinel collisions (documented)
+        "/q %", "/", "",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "p string")
+    got = {r.p: r.n for r in
+           df.select("p", normalize_path_col(F.col("p")).alias("n"))
+           .collect()}
+    for p in paths:
+        assert got[p] == normalize_rule_path(p), (
+            p, got[p], normalize_rule_path(p))
+
+
 def test_malformed_candidate_fallback_is_truly_raw(spark):
     """A candidate path whose decode fails (trailing lone '%') falls
     back to its RAW bytes — the '+'-protection sentinel must be
