@@ -391,7 +391,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     with Jaccard >= num/den, no probabilistic recall.  The prefix-
     filtering principle makes that affordable without an all-pairs
     join: order each doc's k-shingle set by a global canonical order
-    (md5 of the shingle — uniform, engine-portable), and any pair with
+    (xxhash64 of the shingle — uniform, JVM-native, and the exchange
+    carries 8-byte longs instead of hash strings; hash collisions only
+    merge tokens, which can only ADD candidates, and the exact verify
+    prunes them — completeness needs just a consistent order, not an
+    injective one), and any pair with
     ``|A∩B| >= ceil(tau·max(|A|,|B|))`` must collide inside the first
     ``p = n - ceil(tau·n) + 1`` elements of both prefixes — so a
     self-join on exploded prefix tokens enumerates a complete
@@ -422,7 +426,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         return F.slice(gs, 1, (n - ceil_tau_n + 1).cast("int"))
 
     sorted_grams = F.array_sort(
-        F.transform(shingles_col(F.col("text"), k), F.md5))
+        F.transform(shingles_col(F.col("text"), k),
+                    lambda s: F.xxhash64(s)))
     prefix = reps.select(
         "gkey",
         F.explode(bind_once(sorted_grams, prefix_of)).alias("tok"))
