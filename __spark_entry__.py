@@ -653,6 +653,27 @@ def q_frontier_seen_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seenmod.split_new(cand, filters, seen_tbl).select("surt_key")
 
 
+def q_frontier_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same URL-seen exactness contract through the CUCKOO filter
+    family (north rule: "bloom/cuckoo URL-seen").  Probe is the native
+    Catalyst two-gather lane-compare over broadcast bucket words
+    (frontier/cuckoo.py, seen.py kind='cuckoo'); the oracle is the
+    same exact anti-join — false positives re-verify, false negatives
+    cannot happen (property-tested incl. the stash path), so the split
+    is exact for any correct filter."""
+    from cdx_writer_spark.frontier import seen as seenmod
+
+    cand = _frontier_candidates(spark, sf_dir)
+    seen_half = cand.filter(F.col("surt_key").rlike("/p/[0-9]*[02468]$"))
+    filters = seenmod.update_filters(
+        seen_half, seenmod.empty_filters(spark, kind="cuckoo"),
+        kind="cuckoo")
+    seen_tbl = seenmod.with_hash_cols(
+        seen_half.select("surt_key")).select("surt_key", "pid")
+    return seenmod.split_new(cand, filters, seen_tbl,
+                             kind="cuckoo").select("surt_key")
+
+
 def q_frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two checkpointed crawl rounds over the synthetic webgraph;
     returns the deterministic crawl order.  The schedule is a total
@@ -764,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_robots": q_frontier_robots,
         "frontier_topk": q_frontier_topk,
         "frontier_seen_split": q_frontier_seen_split,
+        "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
         "frontier_crawl": q_frontier_crawl,
         "agg_pricing": q_agg_pricing,
         "join_customer_orders": q_join_customer_orders,
@@ -1452,6 +1474,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, surt_key, depth, host_pos FROM ranked "
             "WHERE host_pos <= CASE WHEN h % 7 = 0 THEN 2 ELSE 8 END"),
         "frontier_seen_split": (
+            "SELECT 'com,example,site' || (doc_id % 37) || ')/p/' || "
+            "doc_id AS surt_key FROM documents WHERE doc_id % 2 = 1"),
+        # same exactness contract through the cuckoo filter family:
+        # the filter only prunes the anti-join's probe side, so the
+        # oracle is the identical exact split
+        "frontier_seen_cuckoo": (
             "SELECT 'com,example,site' || (doc_id % 37) || ')/p/' || "
             "doc_id AS surt_key FROM documents WHERE doc_id % 2 = 1"),
         # Two crawl rounds unrolled in pure SQL: webgraph constants

@@ -62,6 +62,13 @@ class CrawlConfig:
     n_partitions: int = seenmod.DEFAULT_PARTITIONS
     filter_capacity: int = seenmod.DEFAULT_CAPACITY
     filter_fpr: float = seenmod.DEFAULT_FPR
+    # URL-seen filter family: 'bloom' (default) or 'cuckoo' (supports
+    # deletion; see frontier/cuckoo.py).  Both are exactness-neutral —
+    # false positives are verified against the exact seen table and
+    # neither produces false negatives, so crawl order is
+    # byte-identical across families (tested); the choice is a
+    # space/probe-cost/deletability trade.
+    filter_kind: str = "bloom"
     max_depth: int = 12
     salt_threshold: int | None = None  # hot-host pre-cap (priority.py)
     # Force-broadcast the fetch batch.  Leave False: a forced broadcast
@@ -190,9 +197,11 @@ def init_state(spark: SparkSession, seeds: DataFrame, state_dir: str,
     seen_tbl = keys.select("surt_key", "pid")
     filters = seenmod.update_filters(
         seeds, seenmod.empty_filters(spark, cfg.n_partitions,
-                                     cfg.filter_capacity, cfg.filter_fpr),
+                                     cfg.filter_capacity,
+                                     cfg.filter_fpr,
+                                     kind=cfg.filter_kind),
         cfg.n_partitions, cfg.filter_capacity, cfg.filter_fpr,
-        strategy=cfg.fold_strategy)
+        strategy=cfg.fold_strategy, kind=cfg.filter_kind)
     scheduled = seeds.limit(0).withColumn(
         "host_pos", F.lit(0)).withColumn("round", F.lit(-1))
     # the seed count rides the frontier write as an Observation — a
@@ -285,12 +294,14 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
     # k is fully determined by the config's filter sizing — passing it
     # saves the probe's per-round driver peek job (the expression still
     # guards per-row against differently-sized resumed filters)
-    expected_k = seenmod.BloomFilter.sized_for(
+    expected_k = (seenmod.BloomFilter.sized_for(
         cfg.filter_capacity, cfg.filter_fpr).k
+        if cfg.filter_kind == "bloom" else None)
     flagged = seenmod.flag_maybe_seen(
         discovered, filters, cfg.n_partitions,
         strategy=cfg.probe_strategy,
-        cleanup=bloom_cleanup, static_k=expected_k).persist()
+        cleanup=bloom_cleanup, static_k=expected_k,
+        kind=cfg.filter_kind).persist()
     definitely_new = flagged.filter(~F.col("maybe_seen"))
     verified_new = (
         flagged.filter(F.col("maybe_seen"))
@@ -325,7 +336,8 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
     # fixed cost at every parallelism level)
     filters_next = seenmod.update_filters(
         new, filters, cfg.n_partitions, cfg.filter_capacity,
-        cfg.filter_fpr, strategy=cfg.fold_strategy).persist()
+        cfg.filter_fpr, strategy=cfg.fold_strategy,
+        kind=cfg.filter_kind).persist()
 
     # per-partition lineage — derived from the PERSISTED flagged frame
     # (flagged ≡ discovered + maybe_seen), never from the discover DAG:
@@ -486,7 +498,8 @@ def rebuild_filters(spark: SparkSession, state_dir: str,
     if rnd < 0:
         raise ValueError(f"no committed rounds under {state_dir}")
     filters = seenmod.empty_filters(spark, cfg.n_partitions,
-                                    cfg.filter_capacity, cfg.filter_fpr)
+                                    cfg.filter_capacity, cfg.filter_fpr,
+                                    kind=cfg.filter_kind)
     scratch = os.path.join(state_dir, "_rebuild_tmp")
     shutil.rmtree(scratch, ignore_errors=True)
     step = 0
@@ -497,7 +510,8 @@ def rebuild_filters(spark: SparkSession, state_dir: str,
         keys = spark.read.parquet(seen_dir).select("surt_key")
         folded = seenmod.update_filters(
             keys, filters, cfg.n_partitions, cfg.filter_capacity,
-            cfg.filter_fpr, strategy=cfg.fold_strategy)
+            cfg.filter_fpr, strategy=cfg.fold_strategy,
+            kind=cfg.filter_kind)
         tmp = os.path.join(scratch, f"step_{step:05d}")
         folded.write.mode("overwrite").parquet(tmp)
         filters = spark.read.parquet(tmp)

@@ -39,6 +39,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, LongType,
                                StructField, StructType)
 
 from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
 
 DEFAULT_PARTITIONS = 16
 DEFAULT_CAPACITY = 250_000   # per-partition sizing hint for new blobs
@@ -52,6 +53,60 @@ _FLAG_SCHEMA = ("surt_key string, url string, host string, "
 # probe (element_at + shiftright — zero Python in the probe stage)
 _FILTER_SCHEMA = ("partition_id int, filter_blob binary, n_items long, "
                   "bits_longs array<bigint>, n_bits long, k int")
+
+
+def _filter_from_bytes(blob: bytes):
+    """Deserialize a filter blob by its format magic — Bloom (BLF2) or
+    cuckoo (CKF1).  Both classes expose the same ``contains_many`` /
+    ``add_many`` / ``to_longs`` surface, so the pandas and cogroup
+    probe strategies are filter-kind-agnostic: a checkpoint directory
+    self-describes which filter family wrote it."""
+    if blob[:4] == b"CKF1":
+        return CuckooFilter.from_bytes(blob)
+    return BloomFilter.from_bytes(blob)
+
+
+def _sized_filter(kind: str, capacity: int, fpr: float):
+    if kind == "cuckoo":
+        return CuckooFilter.sized_for(capacity)
+    return BloomFilter.sized_for(capacity, fpr)
+
+
+def _native_cuckoo_probe_col(h1, h2, bits_longs, n_bits):
+    """The cuckoo probe as a pure Catalyst expression — MUST mirror
+    CuckooFilter.contains_many exactly (all arithmetic is int64
+    two's-complement ``&``/``^``/``>>`` on both sides, so probes are
+    bit-identical; property-tested).  Geometry is read per row from
+    ``n_bits`` (= n_buckets * 64): bucket words occupy the first
+    ``n_buckets`` elements of ``bits_longs``, stash keys the tail.
+    Two ``element_at`` gathers + 8 masked lane compares + one
+    ``array_contains`` over the (usually empty) stash slice — a flat
+    codegen chain, no per-row array allocations."""
+    from .cuckoo import (ALT_MULT, FP_BITS, FP_MASK, FP_SHIFT,
+                         MAX_STASH)
+
+    nb = F.shiftright(n_bits, 6)              # words per table
+    mask = nb - F.lit(1)
+    fp0 = F.shiftright(h2, FP_SHIFT).bitwiseAND(F.lit(FP_MASK))
+    fp = F.when(fp0 == F.lit(0), F.lit(1).cast("long")).otherwise(fp0)
+    i1 = h1.bitwiseAND(mask)
+    i2 = i1.bitwiseXOR((fp * F.lit(ALT_MULT)).bitwiseAND(mask))
+
+    def lanes_hit(word):
+        hit = None
+        for sh in (0, 16, 32, 48):
+            lane = (F.shiftright(word, sh) if sh else word) \
+                .bitwiseAND(F.lit(FP_MASK)) == fp
+            hit = lane if hit is None else (hit | lane)
+        return hit
+
+    w1 = F.element_at(bits_longs, (i1 + F.lit(1)).cast("int"))
+    w2 = F.element_at(bits_longs, (i2 + F.lit(1)).cast("int"))
+    stash_key = F.shiftleft(F.least(i1, i2), FP_BITS).bitwiseOR(fp)
+    stash = F.slice(bits_longs, (nb + F.lit(1)).cast("int"),
+                    F.lit(MAX_STASH))
+    return lanes_hit(w1) | lanes_hit(w2) \
+        | F.array_contains(stash, stash_key)
 
 
 def _native_probe_col(h1, h2, bits_longs, n_bits, k,
@@ -105,7 +160,8 @@ def with_hash_cols(df: DataFrame, n_partitions: int = DEFAULT_PARTITIONS,
 
 def empty_filters(spark, n_partitions: int = DEFAULT_PARTITIONS,
                   capacity: int = DEFAULT_CAPACITY,
-                  fpr: float = DEFAULT_FPR) -> DataFrame:
+                  fpr: float = DEFAULT_FPR,
+                  kind: str = "bloom") -> DataFrame:
     """Fresh all-zero filters, built NATIVELY (spark.range +
     array_repeat + a 20-byte literal prefix: the 4-byte BLF2 magic
     plus the 16-byte <QII header), never as a driver local
@@ -114,7 +170,30 @@ def empty_filters(spark, n_partitions: int = DEFAULT_PARTITIONS,
     of crawl-init fixed cost at 64 × 37k words, and O(total filter
     bytes) on the driver at production sizing.  An empty blob is the
     magic+header prefix followed by all-zero bit bytes, so the whole
-    frame is a deterministic expression of ``range(n_partitions)``."""
+    frame is a deterministic expression of ``range(n_partitions)``.
+
+    ``kind='cuckoo'`` emits cuckoo-geometry rows instead: n_bits holds
+    n_buckets*64 (one int64 word per 4-slot bucket) and k is 0 — the
+    kind marker native probes dispatch on lives in the blob magic."""
+    if kind == "cuckoo":
+        from .cuckoo import _HEADER as _CK_HEADER
+        from .cuckoo import _MAGIC as _CK_MAGIC
+
+        cf = CuckooFilter.sized_for(capacity)
+        prefix = _CK_MAGIC + _CK_HEADER.pack(cf.m, 0, 0)
+        n_zero_bytes = len(cf.to_bytes()) - len(prefix)
+        return spark.range(n_partitions).select(
+            F.col("id").cast("int").alias("partition_id"),
+            F.concat(
+                F.lit(prefix),
+                F.encode(F.repeat(F.lit("\x00"), n_zero_bytes),
+                         "UTF-8")).alias("filter_blob"),
+            F.lit(0).cast("long").alias("n_items"),
+            F.array_repeat(F.lit(0).cast("long"), cf.n_buckets)
+            .alias("bits_longs"),
+            F.lit(cf.n_buckets * 64).cast("long").alias("n_bits"),
+            F.lit(0).cast("int").alias("k"))
+
     from .bloom import _HEADER, _MAGIC
 
     bf = BloomFilter.sized_for(capacity, fpr)
@@ -139,7 +218,8 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
                     broadcast_probe: bool | None = None,
                     cleanup: list | None = None,
                     strategy: str = "native",
-                    static_k: int | None = None) -> DataFrame:
+                    static_k: int | None = None,
+                    kind: str = "bloom") -> DataFrame:
     """Candidates + ``maybe_seen`` flag from the per-partition Bloom
     probe.  Input needs _CAND_COLS; hashes are computed here.
 
@@ -172,6 +252,19 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
     if broadcast_probe is not None:
         strategy = "pandas" if broadcast_probe else "cogroup"
     cand = with_hash_cols(candidates.select(*_CAND_COLS), n_partitions)
+
+    if strategy == "native" and kind == "cuckoo":
+        flt = F.broadcast(filters.select(
+            F.col("partition_id").alias("pid"), "bits_longs",
+            "n_bits"))
+        joined = cand.join(flt, "pid", "left")
+        probe = F.when(F.col("bits_longs").isNull(),
+                       F.lit(False)).otherwise(
+            _native_cuckoo_probe_col(
+                F.col("h1"), F.col("h2"), F.col("bits_longs"),
+                F.col("n_bits")))
+        return joined.withColumn("maybe_seen", probe) \
+            .select(*_CAND_COLS, "maybe_seen")
 
     if strategy == "native":
         flt = F.broadcast(filters.select(
@@ -229,7 +322,7 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
                 blob = b_blobs.value.get(int(p))
                 if blob is None:
                     continue
-                bf = BloomFilter.from_bytes(blob)
+                bf = _filter_from_bytes(blob)
                 mask = pids == p
                 out[mask] = bf.contains_many(h1v[mask], h2v[mask])
             return pd.Series(out)
@@ -245,7 +338,7 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
         if len(fpdf) == 0:
             flags = [False] * len(cpdf)
         else:
-            bf = BloomFilter.from_bytes(bytes(fpdf["filter_blob"].iloc[0]))
+            bf = _filter_from_bytes(bytes(fpdf["filter_blob"].iloc[0]))
             flags = bf.contains_many(
                 cpdf["h1"].to_numpy(), cpdf["h2"].to_numpy())
         out = cpdf[_CAND_COLS].copy()
@@ -262,17 +355,67 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
 def split_new(candidates: DataFrame, filters: DataFrame, seen: DataFrame,
               n_partitions: int = DEFAULT_PARTITIONS,
               broadcast_probe: bool | None = None,
-              strategy: str = "native") -> DataFrame:
-    """Exactly-new candidates: Bloom-definite-new ∪ (Bloom-maybe-seen
-    ⟕̸ exact seen table).  ``seen`` has column ``surt_key``."""
+              strategy: str = "native",
+              kind: str = "bloom") -> DataFrame:
+    """Exactly-new candidates: filter-definite-new ∪ (filter-maybe-seen
+    ⟕̸ exact seen table).  ``seen`` has column ``surt_key``.  The
+    output is EXACT for either filter ``kind`` (bloom or cuckoo):
+    false positives are anti-joined back in, and neither filter ever
+    produces a false negative — so the split (and hence crawl order)
+    is byte-identical across filter families, which is tested."""
     flagged = flag_maybe_seen(candidates, filters, n_partitions,
-                              broadcast_probe, strategy=strategy)
+                              broadcast_probe, strategy=strategy,
+                              kind=kind)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     verified_new = (
         flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         .join(seen.select("surt_key"), "surt_key", "left_anti")
     )
     return definitely_new.unionByName(verified_new)
+
+
+def remove_from_filters(keys: DataFrame, filters: DataFrame,
+                        n_partitions: int = DEFAULT_PARTITIONS
+                        ) -> DataFrame:
+    """Retract keys from CUCKOO filters (cogroup per partition): the
+    deletion path that makes a URL crawlable again — recrawl policies,
+    rolled-back rounds.  Callers must also delete the keys from the
+    exact seen table (the filter is a prefilter, the table is truth).
+    Bloom blobs cannot delete; a Bloom row here raises (by magic
+    dispatch) instead of corrupting shared bits.  Safe under the
+    crawl's insert-once discipline — see cuckoo.py's deletion caveat."""
+    keyed = with_hash_cols(keys.select("surt_key"), n_partitions)
+
+    def unfold(kpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fpdf) == 0:
+            return pd.DataFrame(columns=[
+                "partition_id", "filter_blob", "n_items", "bits_longs",
+                "n_bits", "k"])
+        pid = int(fpdf["partition_id"].iloc[0])
+        cf = _filter_from_bytes(bytes(fpdf["filter_blob"].iloc[0]))
+        if not isinstance(cf, CuckooFilter):
+            raise ValueError(
+                "remove_from_filters needs cuckoo filters; this "
+                "checkpoint row holds a Bloom blob (Bloom bits are "
+                "shared between keys and cannot be deleted) — crawl "
+                "with CrawlConfig(filter_kind='cuckoo') to get "
+                "retractable URL-seen state")
+        if len(kpdf) > 0:
+            cf.delete_many(kpdf["h1"].to_numpy(), kpdf["h2"].to_numpy())
+        return pd.DataFrame({
+            "partition_id": [pid],
+            "filter_blob": [cf.to_bytes()],
+            "n_items": [cf.n_items],
+            "bits_longs": [cf.to_longs()],
+            "n_bits": [cf.n_buckets * 64],
+            "k": [0],
+        })
+
+    return (
+        keyed.groupBy("pid")
+        .cogroup(filters.groupBy("partition_id"))
+        .applyInPandas(unfold, schema=_FILTER_SCHEMA)
+    )
 
 
 def _update_filters_native(new_keys: DataFrame, filters: DataFrame,
@@ -398,7 +541,8 @@ def update_filters(new_keys: DataFrame, filters: DataFrame,
                    n_partitions: int = DEFAULT_PARTITIONS,
                    capacity: int = DEFAULT_CAPACITY,
                    fpr: float = DEFAULT_FPR,
-                   strategy: str = "native") -> DataFrame:
+                   strategy: str = "native",
+                   kind: str = "bloom") -> DataFrame:
     """Fold new SURT keys into the partition blobs; returns the full
     next-generation filters table (one row per partition — partitions
     with no new keys pass their blob through unchanged).
@@ -406,8 +550,15 @@ def update_filters(new_keys: DataFrame, filters: DataFrame,
     ``strategy='native'`` (default) folds JVM-side with only the final
     per-partition blob serialization in Python;  ``'pandas'`` is the
     cogroup fold (numpy per partition), kept as the cross-check the
-    parity property test runs both of."""
-    if strategy == "native":
+    parity property test runs both of.
+
+    ``kind='cuckoo'`` always uses the cogroup fold: cuckoo insertion
+    is an inherently sequential eviction walk, so there is no
+    position-explode equivalent — but the fold still only ships the
+    per-round DELTA through Arrow (one task per partition), and
+    add_many canonicalizes each batch so blobs stay byte-deterministic
+    across parallelism (tested)."""
+    if strategy == "native" and kind != "cuckoo":
         return _update_filters_native(new_keys, filters, n_partitions,
                                       capacity, fpr)
     keyed = with_hash_cols(new_keys.select("surt_key"), n_partitions)
@@ -415,19 +566,23 @@ def update_filters(new_keys: DataFrame, filters: DataFrame,
     def fold(kpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
         if len(fpdf) > 0:
             pid = int(fpdf["partition_id"].iloc[0])
-            bf = BloomFilter.from_bytes(bytes(fpdf["filter_blob"].iloc[0]))
+            bf = _filter_from_bytes(bytes(fpdf["filter_blob"].iloc[0]))
         else:
             pid = int(kpdf["pid"].iloc[0])
-            bf = BloomFilter.sized_for(capacity, fpr)
+            bf = _sized_filter(kind, capacity, fpr)
         if len(kpdf) > 0:
             bf.add_many(kpdf["h1"].to_numpy(), kpdf["h2"].to_numpy())
+        if isinstance(bf, CuckooFilter):
+            n_bits, k = bf.n_buckets * 64, 0
+        else:
+            n_bits, k = bf.n_bits, bf.k
         return pd.DataFrame({
             "partition_id": [pid],
             "filter_blob": [bf.to_bytes()],
             "n_items": [bf.n_items],
             "bits_longs": [bf.to_longs()],
-            "n_bits": [bf.n_bits],
-            "k": [bf.k],
+            "n_bits": [n_bits],
+            "k": [k],
         })
 
     return (

@@ -55,6 +55,12 @@ def main() -> None:
                         "expression (default), pandas broadcast blobs, "
                         "or per-partition cogroup (filter state too "
                         "large to broadcast)")
+    p.add_argument("--filter-kind", default="bloom",
+                   choices=["bloom", "cuckoo"],
+                   help="URL-seen filter family: blocked Bloom "
+                        "(default) or partial-key cuckoo (supports "
+                        "deletion for recrawl policies); crawl order "
+                        "is byte-identical across families")
     p.add_argument("--rebuild-filters", action="store_true",
                    help="before crawling, rebuild the latest round's "
                         "Bloom filters from the exact seen table "
@@ -85,13 +91,13 @@ def main() -> None:
         n_pages = args.pages
     seeds = webgraph.seeds(spark, args.seeds, n_pages)
 
+    cfg = loop.CrawlConfig(probe_strategy=args.probe,
+                           filter_kind=args.filter_kind)
     if args.rebuild_filters:
-        loop.rebuild_filters(spark, args.state_dir,
-                             loop.CrawlConfig(probe_strategy=args.probe))
+        loop.rebuild_filters(spark, args.state_dir, cfg)
 
     summaries = loop.run_crawl(
-        spark, web, args.state_dir, args.rounds, seeds=seeds,
-        cfg=loop.CrawlConfig(probe_strategy=args.probe))
+        spark, web, args.state_dir, args.rounds, seeds=seeds, cfg=cfg)
     for s in summaries:
         print(json.dumps(s))
 
