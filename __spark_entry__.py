@@ -449,6 +449,18 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                nprobe=2)
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k (m=8 subspaces, ksub=16, deterministic
+    ``vec_id % 31`` codebook) — the SQL oracle re-derives the whole
+    pipeline: per-subspace argmin-L2 code assignment (round-9 grid,
+    ties to lower rank), the per-query m x ksub inner-product lookup
+    table, the ordered code-indexed ADC sum, and the ranking."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.pq_topk(emb, queries, k=5, m=8, ksub=16, stride=31)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs over a view with PLANTED near-duplicates:
     every 10th vector gets a clone (id + 10M) scaled by exactly 2.0 —
@@ -773,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_lsh_probe": q_similarity_lsh_probe,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_pq": q_similarity_pq,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
@@ -1421,6 +1434,50 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank "
             "FROM cand) "
             "SELECT q_id, vec_id, cosine, rank FROM ranked "
+            "WHERE rank <= 5"),
+        # PQ-ADC re-derived end-to-end: rank-ordered modulo codebook,
+        # per-subspace argmin-L2 codes on the round-9 grid (ties to
+        # lower rank), per-query m x ksub IP lookup table, ordered
+        # code-indexed ADC sum (list fold over j — matches Spark's
+        # left-fold aggregate), rank by (approx_ip DESC, vec_id ASC)
+        "similarity_pq": (
+            "WITH js AS (SELECT unnest(range(0,8)) AS j), "
+            "cent AS (SELECT "
+            "CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) "
+            "AS c, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            "AS cvec FROM embeddings WHERE vec_id % 31 = 0 "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16), "
+            "dists AS (SELECT e.vec_id, js.j, cent.c, "
+            "round(list_aggregate(list_transform(list_zip("
+            "e.embedding[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)], "
+            "cent.cvec[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)]), "
+            "x -> (CAST(x[1] AS DOUBLE) - x[2]) "
+            "* (CAST(x[1] AS DOUBLE) - x[2])), 'sum'), 9) AS dist "
+            "FROM embeddings e CROSS JOIN js CROSS JOIN cent), "
+            "codes AS (SELECT vec_id, j, c FROM dists "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j "
+            "ORDER BY dist, c) = 1), "
+            "lut AS (SELECT q.vec_id AS q_id, js.j, cent.c, "
+            "round(list_aggregate(list_transform(list_zip("
+            "q.embedding[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)], "
+            "cent.cvec[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)]), "
+            "x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum'), 9) AS ip "
+            "FROM embeddings q CROSS JOIN js CROSS JOIN cent "
+            "WHERE q.vec_id < 3), "
+            "approx AS (SELECT l.q_id, cd.vec_id, "
+            "round(list_aggregate(list(l.ip ORDER BY cd.j), 'sum'), 4) "
+            "AS approx_ip "
+            "FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c "
+            "GROUP BY l.q_id, cd.vec_id), "
+            "ranked AS (SELECT q_id, vec_id, approx_ip, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q_id "
+            "ORDER BY approx_ip DESC, vec_id ASC) AS INTEGER) AS rank "
+            "FROM approx) "
+            "SELECT q_id, vec_id, approx_ip, rank FROM ranked "
             "WHERE rank <= 5"),
         "embedding_near_dup": (
             "WITH aug AS ("

@@ -453,3 +453,137 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     intra = _intra_group_pairs(membership, F.lit(1.0), "cosine") \
         .filter(F.lit(threshold) <= 1.0)
     return inter.unionByName(intra).select("id_a", "id_b", "cosine")
+
+
+# --- product quantization (PQ) ------------------------------------------------
+
+def l2sq_col(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-fold order (matches the SQL oracle's
+    ordered list fold)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook_row(emb: DataFrame, ksub: int = 16, stride: int = 31,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Deterministic PQ codebook as ONE broadcastable row: ``_pq`` is
+    an array of the ``ksub`` full centroid vectors (double), in
+    ascending source-id order.  Centroid ``c``'s subvector for
+    subspace ``j`` is ``slice(_pq[c], j*d+1, d)`` — the same array
+    serves every subspace, so no per-subspace transpose materializes.
+
+    Like :func:`ivf_topk`'s modulo codebook this is the oracle-
+    replicable stand-in (vectors with ``id % stride == 0``, first
+    ``ksub`` by id); pass any trained ``(cid, cvec)`` frame through
+    the same aggregation for production (e.g. per-subspace k-means via
+    :func:`kmeans_codebook` on sliced views).
+    """
+    from pyspark.sql.window import Window
+
+    sel = emb.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).cast("long").alias("_cid"),
+        _as_double(F.col(vec_col)).alias("_cv"))
+    # single-task window: the stride-filtered codebook side is tiny by
+    # construction (same shape as kmeans_codebook's seeding)
+    ranked = sel.withColumn(
+        "_r", F.row_number().over(Window.orderBy("_cid"))) \
+        .filter(F.col("_r") <= ksub)
+    return ranked.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("_r", "_cv"))),
+        lambda s: s["_cv"]).alias("_pq"))
+
+
+def pq_codes_col(vec: Column, m: int, d: int) -> Column:
+    """PQ code array (length ``m``, values 0-based centroid ranks) for
+    ``vec`` against the in-scope ``_pq`` codebook column: per subspace
+    the argmin squared-L2 centroid, ties to the lower rank (struct
+    ``array_min`` orders (dist, idx) lexicographically).  Distances
+    round to 9 decimals so cross-engine float-summation noise cannot
+    flip an argmin the oracle re-derives."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(F.transform(
+            F.col("_pq"),
+            lambda cv, ci: F.struct(
+                F.round(l2sq_col(F.slice(vec, j * d + 1, d),
+                                 F.slice(cv, j * d + 1, d)), 9)
+                .alias("dist"),
+                ci.alias("idx"))))["idx"])
+
+
+def pq_encode(emb: DataFrame, m: int = 8, ksub: int = 16,
+              stride: int = 31, dim: int | None = None,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              codebook: DataFrame | None = None) -> DataFrame:
+    """Encode every vector to an ``m``-byte PQ code: (id, codes).
+
+    This is the 100 TB memory story for similarity search: a 64-dim
+    float vector is 256 bytes; its code is ``m`` small ints (8 here,
+    16x smaller — 256x with dim=1536/m=48 production shapes).  The
+    downstream ADC scan reads ONLY the code column (column pruning),
+    never the vectors.  Encoding is a map-only stage over a broadcast
+    one-row codebook — no shuffle, no Python, no driver collect of
+    centroid literals (same plan discipline as :func:`ivf_topk`).
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).limit(1).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    cb = codebook if codebook is not None else pq_codebook_row(
+        emb, ksub, stride, id_col, vec_col)
+    return emb.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col),
+        pq_codes_col(F.col(vec_col), m, dim // m).alias("codes"))
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
+            ksub: int = 16, stride: int = 31, dim: int | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+            codebook: DataFrame | None = None) -> DataFrame:
+    """PQ-ADC approximate top-k by inner product: (q_id, vec_id,
+    approx_ip, rank).
+
+    Asymmetric distance computation: each query precomputes a lookup
+    table ``lut[j][c] = <q_subvec_j, centroid_{c} subvec_j>`` (an
+    m x ksub grid, rounded to 9 decimals); a data vector's approximate
+    inner product is the sum of its ``m`` table entries — the scan
+    touches only the code column and a broadcast LUT, so the per-row
+    cost is m array lookups + adds regardless of dim.  Scale shape:
+    encode and score are both map-only over broadcasts; the only
+    exchange is :func:`topk_per_query`'s narrow two-stage rank.  Ties
+    break to the lower vec_id; the SQL oracle re-derives codebook,
+    codes, LUTs and ranking exactly (left-fold ordered sums + round-9
+    grid on both sides).
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).limit(1).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    cb = codebook if codebook is not None else pq_codebook_row(
+        emb, ksub, stride, id_col, vec_col)
+    codes = pq_encode(emb, m, ksub, stride, dim, id_col, vec_col,
+                      codebook=cb)
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.col("_pq"),
+            lambda cv: F.round(dot_col(F.slice(F.col(q_vec_col),
+                                               j * d + 1, d),
+                                       F.slice(cv, j * d + 1, d)), 9)))
+    q_lut = queries.crossJoin(F.broadcast(cb)).select(
+        F.col(q_id_col), lut.alias("_lut"))
+    scored = codes.crossJoin(F.broadcast(q_lut)).select(
+        q_id_col, id_col,
+        F.round(F.aggregate(
+            F.zip_with(F.col("codes"), F.col("_lut"),
+                       lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0), lambda acc, v: acc + v), 4).alias("approx_ip"))
+    return topk_per_query(scored, k, q_id_col, id_col,
+                          score_col="approx_ip")

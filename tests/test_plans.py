@@ -234,3 +234,27 @@ def test_http_split_returns_no_payload_bytes(spark):
     pages = spark.createDataFrame(bulk_rows(50), PAGES_SCHEMA)
     plan = _plan(cdx_flagged(pages).select("payload"))
     assert "substring" in plan.lower(), plan[:2000]
+
+
+def test_pq_scan_is_map_only_over_broadcasts(spark):
+    """The PQ-ADC scan must be map-only: codebook and per-query LUTs
+    arrive as broadcast rows (two BroadcastNestedLoopJoins), encoding
+    and scoring stay native (no Python eval nodes), and the only
+    exchange is the two-stage top-k's narrow (q_id, vec_id, approx_ip)
+    rank — vectors never shuffle."""
+    import re
+
+    from cdx_writer_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    plan = _plan(similarity.pq_topk(emb, q, k=3))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # the rank exchange carries the narrow projection only
+    assert re.search(
+        r"Exchange hashpartitioning\(q_id#\d+L?, _pid#\d+", plan)
+    assert "embedding#" not in plan.split("Exchange", 1)[1].split(
+        "\n", 1)[0]

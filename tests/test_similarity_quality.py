@@ -336,3 +336,67 @@ def test_ivf_with_trained_codebook_finds_clone(spark, emb):
         assert [(v, c) for _, v, c in top2] == [(q, 1.0),
                                                (q + 10_000_000, 1.0)]
     cb.unpersist()
+
+
+# --- product quantization ----------------------------------------------------
+
+def test_pq_codes_identical_for_identical_vectors(spark, emb):
+    """The crisp PQ invariant the oracle relies on: byte-identical
+    vectors always encode to identical code arrays (argmin over the
+    same round-9 distance grid), so exact duplicates are free under
+    ADC — equal scores at every query."""
+    aug = emb.unionByName(emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"))
+    codes = {r.vec_id: list(r.codes)
+             for r in similarity.pq_encode(aug).collect()}
+    for q in range(3):
+        assert codes[q] == codes[q + 10_000_000]
+        assert len(codes[q]) == 8
+        assert all(0 <= c < 16 for c in codes[q])
+
+
+def test_pq_self_hit_and_recall_floor(spark, emb):
+    """Regression floor on the deterministic pipeline: every query's
+    own row survives to the ADC top-5, and recall@5 against the exact
+    inner-product baseline stays above the measured floor (0.267 on
+    this testdata with m=8, ksub=16 — random 64-dim vectors are the
+    hard case for quantization; the planted-structure test below is
+    the guarantee tier)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    scored = emb.crossJoin(F.broadcast(queries)).withColumn(
+        "ip", F.round(similarity.dot_col(F.col("embedding"),
+                                         F.col("q_vec")), 4))
+    exact = {(r.q_id, r.vec_id)
+             for r in similarity.topk_per_query(
+                 scored, 5, score_col="ip").collect()}
+    got = {(r.q_id, r.vec_id)
+           for r in similarity.pq_topk(emb, queries, k=5).collect()}
+    assert {(q, q) for q in range(3)} <= got
+    assert len(exact & got) / len(exact) >= 0.2
+
+
+def test_pq_separates_planted_clusters(spark):
+    """On data with real cluster structure (3 well-separated planted
+    directions) ADC must rank only same-cluster vectors into the
+    top-5: quantization noise is tiny next to the cluster margin."""
+    vecs = _planted_cluster_vecs(spark)
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = similarity.pq_topk(vecs, queries, k=5, m=4, ksub=8,
+                             stride=7).collect()
+    cluster = {r.vec_id: r.cluster for r in vecs.collect()}
+    for r in got:
+        assert cluster[r.vec_id] == r.q_id % 3, (
+            f"q{r.q_id} pulled vec {r.vec_id} from cluster "
+            f"{cluster[r.vec_id]}")
+
+
+def test_pq_deterministic_across_partitioning(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    a = sorted(map(tuple, similarity.pq_topk(
+        emb.repartition(1), queries, k=5).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(
+        emb.repartition(13), queries, k=5).collect()))
+    assert a == b
