@@ -367,6 +367,15 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     portable=True)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style duplicate-span removal: every 10-word span that
+    repeats anywhere in the corpus survives only at its globally-first
+    (doc_id, index) occurrence; documents are reassembled from their
+    survivors in order.  The oracle re-derives the split, the
+    first-occurrence ROW_NUMBER and the ordered reassembly in SQL."""
+    return dedup.drop_duplicate_spans(_docs(spark, sf_dir), span_words=10)
+
+
 # --- training-data pipeline: text analysis ------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_spans": q_dedup_spans,
         "text_stats": q_text_stats,
         "text_winnowing": q_text_winnowing,
         "similarity_topk": q_similarity_topk,
@@ -1148,6 +1158,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, "
             "round(CAST(i AS DOUBLE) / u, 4) AS jaccard "
             "FROM scored WHERE i * 2 >= u"),
+        # C4-style duplicate-span removal re-derived: 10-word split,
+        # global first-occurrence via ROW_NUMBER over (chunk text),
+        # ordered string_agg reassembly (NULL-skipping CASE keeps only
+        # rn=1 survivors); matches the Spark side's md5-keyed
+        # min(struct(doc_id, idx)) owner rule exactly
+        "dedup_spans": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "ch AS (SELECT doc_id, CAST(t.g AS INTEGER) AS idx, "
+            "array_to_string(words[CAST(t.g*10+1 AS BIGINT):"
+            "CAST(t.g*10+10 AS BIGINT)], ' ') AS chunk "
+            "FROM w, unnest(range(0, (len(words)+9)//10)) AS t(g)), "
+            "ranked AS (SELECT doc_id, idx, chunk, "
+            "ROW_NUMBER() OVER (PARTITION BY chunk "
+            "ORDER BY doc_id, idx) AS rn FROM ch) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, "
+            "' ' ORDER BY idx), '') AS clean_text, "
+            "CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept "
+            "FROM ranked GROUP BY doc_id"),
         "dedup_simhash": (
             "WITH " + _SIMHASH_CTE + " SELECT simhash, "
             "CAST(MIN(doc_id) AS BIGINT) AS keep_id, "

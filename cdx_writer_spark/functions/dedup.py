@@ -641,3 +641,71 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     inter = _expand_rep_pairs(rep_pairs, membership, "hamming")
     intra = _intra_group_pairs(membership, F.lit(0).cast("int"), "hamming")
     return inter.unionByName(intra).select("id_a", "id_b", "hamming")
+
+
+# --- duplicate-span removal (C4-style line/paragraph dedup) ------------------
+
+def spans_col(text: Column, span_words: int) -> Column:
+    """Non-overlapping ``span_words``-word spans of ``text`` (the
+    whitespace-token analogue of C4's sentence spans / Dolma's
+    paragraphs on a corpus whose text carries no newlines).  The split
+    is lambda-bound (:func:`bind_once`) so the iterating slice lambda
+    cannot re-tokenize the document per span."""
+    words = F.split(text, " ")
+
+    def over(w: Column) -> Column:
+        n = F.floor((F.size(w) + (span_words - 1)) / span_words) \
+            .cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * span_words + 1, span_words), " "))
+
+    return bind_once(words, over)
+
+
+def drop_duplicate_spans(docs: DataFrame, span_words: int = 10,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Remove every duplicated span from all but its globally-first
+    occurrence (C4/Dolma-style training-data span dedup): a span
+    occurrence survives iff its (id, index) is the minimum over all
+    occurrences of the same span text; each document's survivors are
+    reassembled in order.  Returns (id, clean_text, n_spans, n_kept).
+
+    Scale shape (the 100 TB path):
+
+    * The global first-occurrence decision exchanges ONLY
+      ``(md5(span), id, index)`` — 16-byte digests, never span text —
+      with a map-side partial ``min(struct(id, idx))``.
+    * Reassembly joins the narrow survivor index lists back onto the
+      source table and recomputes spans from ``text`` there, so the
+      wide text column crosses exactly one exchange (the reassembly
+      join's) — zero if the source table is bucketed by ``id``, and
+      AQE may broadcast the survivor side when small.
+    * Within-document repeats fall out of the same rule (their later
+      indices lose the min), so no separate intra-doc pass.
+    """
+    spans = spans_col(F.col(text_col), span_words)
+    narrow = docs.select(
+        F.col(id_col), F.posexplode(spans).alias("_idx", "_span")
+    ).select(id_col, "_idx", F.md5("_span").alias("_h"))
+    owner = narrow.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("_idx").alias("x"))).alias("_own"))
+    surv = (narrow.join(owner, "_h")
+            .filter((F.col(id_col) == F.col("_own.i"))
+                    & (F.col("_idx") == F.col("_own.x")))
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("_idx")).alias("_kidx"),
+                 F.count("*").alias("_nk")))
+    rebuilt = docs.join(surv, id_col, "left")
+    kept_spans = bind_once(
+        spans, lambda sp: F.transform(
+            F.coalesce(F.col("_kidx"), F.array().cast("array<int>")),
+            lambda i: F.element_at(sp, i + 1)))
+    return rebuilt.select(
+        F.col(id_col),
+        F.array_join(kept_spans, " ").alias("clean_text"),
+        F.size(spans).cast("long").alias("n_spans"),
+        F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_kept"))

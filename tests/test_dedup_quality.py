@@ -264,3 +264,47 @@ def test_ngram_jaccard_near_threshold_and_tiny_docs(spark):
     assert (5, 6) in exact and (7, 8) in exact   # identical-doc paths
     assert (1, 2) in exact and (3, 4) not in exact  # bracketing worked
     assert got == exact
+
+
+# --- duplicate-span removal (C4-style) ----------------------------------------
+
+def test_drop_duplicate_spans_keeps_global_first_occurrence(spark):
+    """Engineered spans: a 3-word span shared by two docs survives only
+    in the lower doc_id; a span repeated WITHIN one doc survives only
+    at its first index; unique spans always survive; a doc whose every
+    span is owned elsewhere comes back as the empty string."""
+    rows = [
+        (1, "a b c x y z a b c"),     # spans: 'a b c','x y z','a b c'
+        (2, "a b c q r s"),           # 'a b c' owned by doc 1 idx 0
+        (3, "x y z"),                 # owned by doc 1 idx 1
+        (4, "u v w"),                 # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup.drop_duplicate_spans(df, span_words=3).collect()}
+    assert got[1].clean_text == "a b c x y z"      # intra-doc repeat cut
+    assert (got[1].n_spans, got[1].n_kept) == (3, 2)
+    assert got[2].clean_text == "q r s"
+    assert got[3].clean_text == ""                 # fully owned elsewhere
+    assert (got[3].n_spans, got[3].n_kept) == (1, 0)
+    assert got[4].clean_text == "u v w"
+
+
+def test_drop_duplicate_spans_partial_tail_and_determinism(spark):
+    """The tail span (shorter than span_words) dedups like any other;
+    results are identical at any input partitioning."""
+    rows = [(i, "p q r s t tail" + str(i % 2)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.drop_duplicate_spans(
+        df.repartition(1), span_words=5).collect()))
+    b = sorted(map(tuple, dedup.drop_duplicate_spans(
+        df.repartition(7), span_words=5).collect()))
+    assert a == b
+    got = {r.doc_id: r for r in dedup.drop_duplicate_spans(
+        df, span_words=5).collect()}
+    # 'p q r s t' owned by doc 0; tails 'tail0'/'tail1' owned by 0/1
+    assert got[0].clean_text == "p q r s t tail0"
+    assert got[1].clean_text == "tail1"
+    for i in (2, 3, 4, 5):
+        assert got[i].clean_text == ""
+        assert got[i].n_kept == 0

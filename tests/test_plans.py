@@ -258,3 +258,22 @@ def test_pq_scan_is_map_only_over_broadcasts(spark):
         r"Exchange hashpartitioning\(q_id#\d+L?, _pid#\d+", plan)
     assert "embedding#" not in plan.split("Exchange", 1)[1].split(
         "\n", 1)[0]
+
+
+def test_span_dedup_owner_exchange_is_narrow(spark):
+    """The duplicate-span first-occurrence decision must exchange only
+    (16-byte digest, id, index) with a map-side partial min — never
+    the span text; text appears only on the reassembly-join side."""
+    from cdx_writer_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.drop_duplicate_spans(docs, span_words=10))
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(_h#" in ln]
+    assert hash_exchanges, plan
+    for ln in hash_exchanges:
+        assert "_span" not in ln and "text#" not in ln
+    # partial aggregation before the owner exchange
+    first_agg = plan.split("Exchange hashpartitioning(_h#")[0]
+    assert "partial_min" in first_agg or "HashAggregate" in first_agg
