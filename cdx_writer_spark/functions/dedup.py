@@ -229,18 +229,27 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
 
 
 def _banded_candidate_pairs(banded: DataFrame, keys: list[str],
-                            max_bucket_size: int | None) -> DataFrame:
+                            max_bucket_size: int | None,
+                            extra_cols: tuple[str, ...] = (),
+                            pair_filter=None) -> DataFrame:
     """Distinct candidate (gkey_a < gkey_b) pairs sharing >= 1 bucket.
-    Only the narrow (keys..., gkey) projection moves through the
-    self-join and the dedup exchange (blowup control #2)."""
-    narrow = _cap_buckets(banded.select(*keys, "gkey"), keys,
-                          max_bucket_size)
+    Only the narrow (keys..., gkey, extra_cols...) projection moves
+    through the self-join and the dedup exchange (blowup control #2).
+    ``pair_filter`` (a predicate over the aliased a/b join) prunes
+    per-occurrence BEFORE the dedup exchange — a pair survives if ANY
+    shared bucket occurrence passes, so only provably-safe filters
+    (e.g. positional upper bounds) belong here."""
+    narrow = _cap_buckets(banded.select(*keys, "gkey", *extra_cols),
+                          keys, max_bucket_size)
     a, b = narrow.alias("a"), narrow.alias("b")
     cond = (F.col("a.gkey") < F.col("b.gkey"))
     for k in keys:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    joined = a.join(b, cond)
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter())
     return (
-        a.join(b, cond)
+        joined
         .select(F.col("a.gkey").alias("gkey_a"),
                 F.col("b.gkey").alias("gkey_b"))
         .dropDuplicates(["gkey_a", "gkey_b"])
@@ -414,25 +423,59 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     membership, reps = _exact_groups(
         df, F.md5(F.col(text_col)), id_col, F.col(text_col), "text")
 
-    # canonically-ordered hashed shingles; slice the qualifying prefix.
-    # The sorted-gram array is referenced three times (two sizes + the
+    # canonically-ordered hashed shingles; slice the qualifying prefix
+    # and keep (set size, 1-based sorted position) per prefix token —
+    # the inputs of the PPJoin positional filter below.  The
+    # sorted-gram array is referenced three times (two sizes + the
     # slice), so it is lambda-bound — an inlined expression would
     # re-shingle and re-sort per reference (see bind_once).
-    def prefix_of(gs: Column) -> Column:
+    def prefix_rows_of(gs: Column) -> Column:
         n = F.size(gs).cast("long")
         ceil_tau_n = F.floor((F.lit(threshold_num) * n
                               + F.lit(threshold_den - 1))
                              / F.lit(threshold_den)).cast("long")
-        return F.slice(gs, 1, (n - ceil_tau_n + 1).cast("int"))
+        return F.transform(
+            F.slice(gs, 1, (n - ceil_tau_n + 1).cast("int")),
+            lambda tokv, i: F.struct(
+                tokv.alias("tok"), n.alias("n"),
+                (i + 1).cast("long").alias("pos")))
 
     sorted_grams = F.array_sort(
         F.transform(shingles_col(F.col("text"), k),
                     lambda s: F.xxhash64(s)))
-    prefix = reps.select(
-        "gkey",
-        F.explode(bind_once(sorted_grams, prefix_of)).alias("tok"))
+    # ONE explode emits (tok, n, pos) as fields of a Generate-produced
+    # attribute: projecting n and pfx as two separate columns off the
+    # bound struct would let CollapseProject inline — and so evaluate —
+    # the whole shingle+sort+hash pipeline once PER REFERENCE (measured
+    # 2x on the prefix stage, and the self-join pays it on both sides)
+    prefix = (reps.select(
+        "gkey", F.explode(bind_once(sorted_grams, prefix_rows_of))
+        .alias("_r"))
+        .select(F.col("_r.tok").alias("tok"), "gkey",
+                F.col("_r.n").alias("n"), F.col("_r.pos").alias("pos")))
+
+    def ppjoin_positional_filter() -> Column:
+        """Prune a shared-token occurrence when its overlap UPPER BOUND
+        cannot reach the qualifying overlap (Xiao et al., WWW'08
+        PPJoin): a token at sorted position p leaves at most
+        ``n - p + 1`` joint elements, while Jaccard >= num/den needs
+        ``|A∩B| >= ceil(num·(na+nb)/(num+den))``.  Pure long
+        arithmetic; the filter runs inside the bucket join, BEFORE the
+        pair-dedup exchange, and only drops occurrences that provably
+        cannot qualify — completeness (the brute-force set-equality
+        gate in tests/test_dedup_quality.py) is untouched."""
+        na, nb = F.col("a.n"), F.col("b.n")
+        alpha = F.floor(
+            (F.lit(threshold_num) * (na + nb)
+             + F.lit(threshold_num + threshold_den - 1))
+            / F.lit(threshold_num + threshold_den))
+        ubound = F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1
+        return ubound >= alpha
+
     cand = _persist_candidates(
-        _banded_candidate_pairs(prefix, ["tok"], None))
+        _banded_candidate_pairs(prefix, ["tok"], None,
+                                extra_cols=("n", "pos"),
+                                pair_filter=ppjoin_positional_filter))
     # exact verification over the RAW shingle strings (hashes only
     # order/bucket; the score never depends on them)
     sh_verify = _pruned_reps(reps, cand, verify_broadcast_limit) \
