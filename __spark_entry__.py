@@ -392,6 +392,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-document named rule
+    outcomes (word count, mean word length, punctuation ratio,
+    alpha-word ratio, stopword hits) and the conjunction — the oracle
+    recomputes every measure and every threshold decision in SQL."""
+    return textstats.gopher_quality_stats(_docs(spark, sf_dir))
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) document fingerprints — MOSS-style;
     the oracle re-derives k-gram hashing, the sliding min-window and
@@ -790,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_spans": q_dedup_spans,
         "text_stats": q_text_stats,
+        "quality_gopher": q_quality_gopher,
         "text_winnowing": q_text_winnowing,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -1277,6 +1286,39 @@ def oracle_sql() -> dict[str, str]:
             "WHEN de_v > 0 THEN 'de' ELSE 'und' END AS lang_id, "
             "md5(trim(regexp_replace(regexp_replace(lower(text), "
             "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
+            "FROM m"),
+        # Gopher rules re-decided in SQL: same measures, same round-6
+        # grid, same thresholds — booleans compare exactly
+        "quality_gopher": (
+            "WITH toks AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS tk, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS tkl "
+            "FROM documents), "
+            "m AS (SELECT doc_id, "
+            "CAST(len(tk) AS BIGINT) AS n_words, "
+            "round(CAST(len(replace(text, ' ', '')) AS DOUBLE) "
+            "/ greatest(len(tk), 1), 6) AS mean_word_len, "
+            "round(CAST(length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1), 6) AS punct_ratio, "
+            "round(CAST(len(list_filter(tk, t -> "
+            "regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) "
+            "/ greatest(len(tk), 1), 6) AS alpha_word_ratio, "
+            "CAST(len(list_filter(tkl, t -> t IN ('the', 'and', 'of', "
+            "'to', 'in', 'is', 'a'))) AS BIGINT) AS stop_hits "
+            "FROM toks) "
+            "SELECT doc_id, n_words, mean_word_len, punct_ratio, "
+            "alpha_word_ratio, stop_hits, "
+            "(n_words >= 50 AND n_words <= 100000) AS ok_n_words, "
+            "(mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
+            "AS ok_mean_word_len, "
+            "(punct_ratio <= 0.1) AS ok_punct, "
+            "(alpha_word_ratio >= 0.8) AS ok_alpha, "
+            "(stop_hits >= 2) AS ok_stop, "
+            "(n_words >= 50 AND n_words <= 100000 "
+            "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AND punct_ratio <= 0.1 AND alpha_word_ratio >= 0.8 "
+            "AND stop_hits >= 2) AS passes "
             "FROM m"),
         # Winnowing fingerprints re-derived: char 8-grams of the
         # normalized text -> md5-prefix hashes -> min of each

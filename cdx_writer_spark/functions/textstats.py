@@ -102,3 +102,82 @@ def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (md5 exists in
     both engines; the rolling/simhash variants live in dedup.py)."""
     return F.md5(normalized_text_col(text))
+
+
+def gopher_quality_stats(docs, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_punct_ratio: float = 0.1,
+                         min_alpha_word_ratio: float = 0.8,
+                         min_stop_hits: int = 2):
+    """Gopher-style rule-based quality filter (Rae et al. 2021,
+    'Scaling Language Models', table A1 — the SQL-expressible subset):
+    per-document named rule outcomes plus the conjunction, so a
+    pipeline can either filter on ``passes`` or audit per-rule drop
+    rates.  Rules: word count within [min_words, max_words]; mean word
+    length within [min_mean_word_len, max_mean_word_len]; punctuation
+    ratio <= max_punct_ratio; fraction of words containing an
+    alphabetic character >= min_alpha_word_ratio; >= min_stop_hits
+    stopword occurrences.
+
+    One tokenization pass: every token-derived count leaves the row
+    via a single ``inline(array(struct))`` Generate barrier
+    (CollapseProject cannot inline across Generate, so the split runs
+    once, not once per rule — see dedup.bind_once for the failure
+    mode).  All-native Catalyst; ratios round to 6 so the DuckDB
+    oracle compares exactly."""
+    from pyspark.sql import functions as F
+
+    from .dedup import bind_once
+
+    stopwords = LANG_MARKERS["en"]
+    text = F.col(text_col)
+
+    def counts_of(toks: Column) -> Column:
+        return F.array(F.struct(
+            F.size(toks).cast("long").alias("n_words"),
+            F.size(F.filter(
+                toks, lambda t: F.lower(t).isin(*stopwords)))
+            .cast("long").alias("stop_hits"),
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+            .cast("long").alias("alpha_words")))
+
+    base = docs.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("_chars"),
+        F.length(F.regexp_replace(text, " ", "")).cast("long")
+        .alias("_chars_no_sp"),
+        F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+        .cast("long").alias("_chars_no_punct"),
+        F.inline(bind_once(tokens_col(text), counts_of)))
+    mean_wl = F.round(F.col("_chars_no_sp").cast("double")
+                      / F.greatest(F.col("n_words"), F.lit(1)), 6)
+    punct = F.round((F.col("_chars") - F.col("_chars_no_punct"))
+                    .cast("double")
+                    / F.greatest(F.col("_chars"), F.lit(1)), 6)
+    alpha = F.round(F.col("alpha_words").cast("double")
+                    / F.greatest(F.col("n_words"), F.lit(1)), 6)
+    scored = base.select(
+        id_col, "n_words", mean_wl.alias("mean_word_len"),
+        punct.alias("punct_ratio"), alpha.alias("alpha_word_ratio"),
+        "stop_hits")
+    rules = {
+        "ok_n_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len")
+                             >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_punct": F.col("punct_ratio") <= max_punct_ratio,
+        "ok_alpha": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_stop": F.col("stop_hits") >= min_stop_hits,
+    }
+    out = scored.select(
+        id_col, "n_words", "mean_word_len", "punct_ratio",
+        "alpha_word_ratio", "stop_hits",
+        *[v.alias(k) for k, v in rules.items()])
+    passes = None
+    for k in rules:
+        passes = F.col(k) if passes is None else (passes & F.col(k))
+    return out.withColumn("passes", passes)

@@ -308,3 +308,44 @@ def test_drop_duplicate_spans_partial_tail_and_determinism(spark):
     for i in (2, 3, 4, 5):
         assert got[i].clean_text == ""
         assert got[i].n_kept == 0
+
+
+# --- Gopher quality rules -----------------------------------------------------
+
+def test_gopher_rules_fire_individually(spark):
+    """Each rule can fail independently on an engineered doc while the
+    others hold; a long natural sentence passes all five."""
+    from cdx_writer_spark.functions import textstats
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest to find food "
+            "because it is hungry and the day is long with sun in "
+            "the sky and wind in the trees all around the old hill "
+            "while birds sing soft songs of morning light everywhere")
+    rows = [
+        (1, good),                                     # passes all
+        (2, "the of and to in is a"),                  # too few words
+        (3, good.replace(" ", " !! ")),                # punct ratio
+        (4, " ".join(["aa"] * 60) + " the of"),        # mean wl < 3
+        (5, " ".join(["12345"] * 60)),                 # no alpha, no stop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.gopher_quality_stats(df).collect()}
+    assert got[1].passes
+    assert not got[2].ok_n_words and not got[2].passes
+    assert not got[3].ok_punct and got[3].ok_stop
+    assert not got[4].ok_mean_word_len and got[4].ok_n_words
+    assert not got[5].ok_alpha and not got[5].ok_stop
+
+
+def test_gopher_single_tokenization_pass(spark):
+    """The rule projection must tokenize once: one split and one
+    Generate in the executed plan (the inline-array barrier)."""
+    from cdx_writer_spark.functions import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = textstats.gopher_quality_stats(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1
+    assert "ArrowEvalPython" not in plan
