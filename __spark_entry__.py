@@ -768,6 +768,41 @@ def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity timeout): per user,
+    a new session starts when the gap to the previous event exceeds
+    the timeout; sessions aggregate count/start/end/duration/value.
+    One exchange on user_id serves both the lag and the running-sum
+    window plus the final aggregate (same partitioning reused);
+    timestamps compare cross-engine as exact epoch microseconds.
+    The streaming analogue (applyInPandasWithState) is the politeness
+    gate in streaming.py."""
+    from pyspark.sql.window import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    # ts is TIMESTAMP_NTZ: diff from the NTZ epoch instead of
+    # unix_micros, so the value is session-timezone-independent
+    # (matching DuckDB's tz-free epoch_us on naive timestamps)
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_new = F.when(prev.isNull() | (F.col("us") - prev > gap_us),
+                    F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("us").alias("start_us"),
+                 F.max("us").alias("end_us"),
+                 (F.max("us") - F.min("us")).alias("duration_us"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -822,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing": q_agg_pricing,
         "join_customer_orders": q_join_customer_orders,
         "events_windows": q_events_windows,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -1678,4 +1714,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
             "AND CURRENT ROW), 4) AS running_value "
             "FROM events"),
+        # sessionization re-derived: same lag/cumsum session ids on
+        # exact epoch microseconds, same 30-min gap
+        "events_sessions": (
+            "WITH e AS (SELECT user_id, event_id, value, "
+            "epoch_us(ts) AS us FROM events), "
+            "flagged AS (SELECT user_id, event_id, value, us, "
+            "CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END "
+            "AS is_new FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+            "sess AS (SELECT user_id, value, us, "
+            "SUM(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS session_id FROM flagged) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(min(us) AS BIGINT) AS start_us, "
+            "CAST(max(us) AS BIGINT) AS end_us, "
+            "CAST(max(us) - min(us) AS BIGINT) AS duration_us, "
+            "round(CAST(sum(value) AS DOUBLE), 4) AS sum_value "
+            "FROM sess GROUP BY user_id, session_id"),
     }
