@@ -400,6 +400,15 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_quality_stats(_docs(spark, sf_dir))
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition rules: top-bigram /
+    top-trigram fractions and duplicate-span fractions with per-rule
+    booleans.  Spark groups n-grams by xxhash64, the oracle by the
+    n-gram string — identical counts absent 64-bit collisions; all
+    fractions round to 6 on both sides."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) document fingerprints — MOSS-style;
     the oracle re-derives k-gram hashing, the sliding min-window and
@@ -834,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "text_stats": q_text_stats,
         "quality_gopher": q_quality_gopher,
+        "quality_repetition": q_quality_repetition,
         "text_winnowing": q_text_winnowing,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -1356,6 +1366,44 @@ def oracle_sql() -> dict[str, str]:
             "AND punct_ratio <= 0.1 AND alpha_word_ratio >= 0.8 "
             "AND stop_hits >= 2) AS passes "
             "FROM m"),
+        # within-doc repetition re-derived: same kinds (bigram/trigram/span),
+        # same round-6 fractions, oracle groups by n-gram STRING (Spark by
+        # xxhash64 — identical counts absent collisions)
+        "quality_repetition": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            "keys AS ( "
+            "  SELECT doc_id, 2 AS kind, words[g] || ' ' || words[g+1] AS k, "
+            "         CAST(0 AS BIGINT) AS chars "
+            "  FROM w, unnest(range(1, len(words))) AS t(g) "
+            "  UNION ALL "
+            "  SELECT doc_id, 3 AS kind, "
+            "         words[g] || ' ' || words[g+1] || ' ' || words[g+2] AS k, "
+            "         CAST(0 AS BIGINT) AS chars "
+            "  FROM w, unnest(range(1, len(words)-1)) AS t(g) "
+            "  UNION ALL "
+            "  SELECT doc_id, 0 AS kind, "
+            "         array_to_string(words[CAST(t.g*10+1 AS BIGINT):CAST(t.g*10+10 AS BIGINT)], ' ') AS k, "
+            "         CAST(len(array_to_string(words[CAST(t.g*10+1 AS BIGINT):CAST(t.g*10+10 AS BIGINT)], ' ')) AS BIGINT) AS chars "
+            "  FROM w, unnest(range(0, (len(words)+9)//10)) AS t(g)), "
+            "counts AS (SELECT doc_id, kind, k, count(*) AS c, max(chars) AS l "
+            "           FROM keys GROUP BY doc_id, kind, k), "
+            "per AS (SELECT doc_id, kind, sum(c) AS n, max(c) AS top, count(*) AS d, "
+            "        sum(CASE WHEN c > 1 THEN c*l ELSE 0 END) AS dupchars, "
+            "        sum(c*l) AS allchars "
+            "        FROM counts GROUP BY doc_id, kind), "
+            "piv AS (SELECT doc_id, "
+            "  coalesce(max(CASE WHEN kind = 2 THEN round(CAST(top AS DOUBLE)/greatest(n,1),6) END), 0.0) AS top_bigram_frac, "
+            "  coalesce(max(CASE WHEN kind = 3 THEN round(CAST(top AS DOUBLE)/greatest(n,1),6) END), 0.0) AS top_trigram_frac, "
+            "  coalesce(max(CASE WHEN kind = 0 THEN round(CAST(n - d AS DOUBLE)/greatest(n,1),6) END), 0.0) AS dup_span_frac, "
+            "  coalesce(max(CASE WHEN kind = 0 THEN round(CAST(dupchars AS DOUBLE)/greatest(allchars,1),6) END), 0.0) AS dup_span_chars_frac "
+            "  FROM per GROUP BY doc_id) "
+            "SELECT doc_id, top_bigram_frac, top_trigram_frac, dup_span_frac, dup_span_chars_frac, "
+            "  (top_bigram_frac <= 0.08) AS ok_bigram, "
+            "  (top_trigram_frac <= 0.04) AS ok_trigram, "
+            "  (dup_span_frac <= 0.2) AS ok_dup_spans, "
+            "  (top_bigram_frac <= 0.08 AND top_trigram_frac <= 0.04 "
+            "   AND dup_span_frac <= 0.2) AS passes "
+            "FROM piv "),
         # Winnowing fingerprints re-derived: char 8-grams of the
         # normalized text -> md5-prefix hashes -> min of each
         # 4-hash window -> sorted distinct set

@@ -77,11 +77,15 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "dedup_jaccard": lambda: dedup.ngram_jaccard_pairs(
             docs, threshold_num=1, threshold_den=2),
         "dedup_simhash": lambda: dedup.simhash_dedup(docs),
+        "dedup_spans": lambda: dedup.drop_duplicate_spans(
+            docs, span_words=10),
         "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
         "extract_text": lambda: extract.extract_text(
             pages_from_documents(spark, sf_dir, amplify=AMPLIFY))
         .select("url", "text"),
         "similarity_topk": lambda: similarity.cosine_topk(
+            emb, emb_q, k=10),
+        "similarity_pq": lambda: similarity.pq_topk(
             emb, emb_q, k=10),
         "embedding_near_dup": lambda: similarity.embedding_near_dup_pairs(
             emb.unionByName(

@@ -181,3 +181,91 @@ def gopher_quality_stats(docs, id_col: str = "doc_id",
     for k in rules:
         passes = F.col(k) if passes is None else (passes & F.col(k))
     return out.withColumn("passes", passes)
+
+
+def repetition_stats(docs, span_words: int = 10,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_top_bigram_frac: float = 0.08,
+                     max_top_trigram_frac: float = 0.04,
+                     max_dup_span_frac: float = 0.2):
+    """Gopher-style WITHIN-document repetition rules (Rae et al. 2021
+    table A1, repetition block): fraction of n-grams taken by the most
+    frequent bigram/trigram, fraction of duplicate spans, and the
+    fraction of characters inside duplicated spans; per-rule booleans
+    plus the conjunction.
+
+    Scale shape: one explode emits narrow (kind, hash, chars) keys —
+    ~2 longs per corpus token — aggregated by (id, kind, hash) with
+    map-side partial counts, then a tiny per-(id, kind) rollup and a
+    conditional-aggregation pivot.  Never an O(L^2) per-document HOF:
+    the frequency counting is the same two-level aggregation at any
+    document length.  Documents too short for an n-gram get 0.0
+    fractions (rule passes), mirrored by the oracle."""
+    from pyspark.sql import functions as F
+
+    from .dedup import bind_once, spans_col
+
+    text = F.col(text_col)
+    kst = "array<struct<kind:int,h:bigint,chars:bigint>>"
+
+    def ngrams_of(w: Column) -> Column:
+        def grams(n: int) -> Column:
+            return F.when(F.size(w) >= n, F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("kind"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(w, i, n)))
+                    .alias("h"),
+                    F.lit(0).cast("long").alias("chars")))
+            ).otherwise(F.array().cast(kst))
+        return F.concat(grams(2), grams(3))
+
+    def spans_structs(sp: Column) -> Column:
+        return F.transform(sp, lambda s: F.struct(
+            F.lit(0).alias("kind"), F.xxhash64(s).alias("h"),
+            F.length(s).cast("long").alias("chars")))
+
+    combined = F.concat(bind_once(tokens_col(text), ngrams_of),
+                        bind_once(spans_col(text, span_words),
+                                  spans_structs))
+    ex = docs.select(F.col(id_col), F.explode(combined).alias("_k")) \
+        .select(id_col, F.col("_k.kind").alias("kind"),
+                F.col("_k.h").alias("h"), F.col("_k.chars").alias("chars"))
+    counts = ex.groupBy(id_col, "kind", "h").agg(
+        F.count("*").alias("c"), F.max("chars").alias("l"))
+    per = counts.groupBy(id_col, "kind").agg(
+        F.sum("c").alias("n"), F.max("c").alias("top"),
+        F.count("*").alias("d"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("l"))
+              .otherwise(F.lit(0))).alias("dupchars"),
+        F.sum(F.col("c") * F.col("l")).alias("allchars"))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(num.cast("double") / F.greatest(den, F.lit(1)), 6)
+
+    def of_kind(kind: int, col: Column) -> Column:
+        return F.coalesce(F.max(F.when(F.col("kind") == kind, col)),
+                          F.lit(0.0))
+
+    out = per.groupBy(id_col).agg(
+        of_kind(2, frac(F.col("top"), F.col("n")))
+        .alias("top_bigram_frac"),
+        of_kind(3, frac(F.col("top"), F.col("n")))
+        .alias("top_trigram_frac"),
+        of_kind(0, frac(F.col("n") - F.col("d"), F.col("n")))
+        .alias("dup_span_frac"),
+        of_kind(0, frac(F.col("dupchars"), F.col("allchars")))
+        .alias("dup_span_chars_frac"))
+    return out.select(
+        id_col, "top_bigram_frac", "top_trigram_frac", "dup_span_frac",
+        "dup_span_chars_frac",
+        (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        .alias("ok_bigram"),
+        (F.col("top_trigram_frac") <= max_top_trigram_frac)
+        .alias("ok_trigram"),
+        (F.col("dup_span_frac") <= max_dup_span_frac)
+        .alias("ok_dup_spans"),
+        ((F.col("top_bigram_frac") <= max_top_bigram_frac)
+         & (F.col("top_trigram_frac") <= max_top_trigram_frac)
+         & (F.col("dup_span_frac") <= max_dup_span_frac))
+        .alias("passes"))

@@ -349,3 +349,39 @@ def test_gopher_single_tokenization_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("split(") == 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_repetition_rules_catch_planted_repeats(spark):
+    """Engineered repetition: a doc that repeats one bigram heavily
+    fails ok_bigram; a doc built from one repeated 10-word span fails
+    ok_dup_spans with dup_span_chars_frac 1.0; a varied doc passes."""
+    from cdx_writer_spark.functions import textstats
+
+    varied = " ".join(f"w{i} x{i}" for i in range(30))
+    bigram_heavy = ("spam ham " * 20) + varied
+    span = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    span_heavy = " ".join([span] * 5)
+    rows = [(1, varied), (2, bigram_heavy), (3, span_heavy)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.repetition_stats(df).collect()}
+    assert got[1].passes
+    assert not got[2].ok_bigram and not got[2].passes
+    assert not got[3].ok_dup_spans
+    assert got[3].dup_span_chars_frac == 1.0
+    assert got[3].dup_span_frac == 0.8   # 5 spans, 1 distinct
+
+
+def test_repetition_short_docs_get_zero_fractions(spark):
+    """Docs too short for an n-gram get 0.0 fractions and pass the
+    n-gram rules (the oracle mirrors the empty-range behavior)."""
+    from cdx_writer_spark.functions import textstats
+
+    rows = [(1, "solo"), (2, "two words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.repetition_stats(df).collect()}
+    assert got[1].top_bigram_frac == 0.0
+    assert got[1].top_trigram_frac == 0.0 and got[1].passes
+    assert got[2].top_bigram_frac == 1.0   # exactly one bigram
+    assert got[2].top_trigram_frac == 0.0
