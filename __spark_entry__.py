@@ -231,6 +231,26 @@ def q_web_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-corpus build composed end-to-end over the
+    crawl table: pages -> admission dispatch -> HTML extraction ->
+    Gopher rule filter (only passing documents continue) -> corpus-wide
+    duplicate-span removal -> (doc_id, url, clean_text, n_spans,
+    n_kept).  Everything stays one declarative plan: extraction and the
+    quality measures fuse into one projection, the span-dedup owner
+    decision exchanges 16-byte digests only, and the final url join is
+    a narrow id join.  The oracle re-derives every stage in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract.extract_text(pages).filter(F.col("text").isNotNull())
+    gq = textstats.gopher_quality_stats(ext)
+    passing = ext.select("doc_id", "url", "text").join(
+        gq.filter(F.col("passes")).select("doc_id"), "doc_id")
+    clean = dedup.drop_duplicate_spans(
+        passing.select("doc_id", "text"), span_words=10)
+    return clean.join(passing.select("doc_id", "url"), "doc_id").select(
+        "doc_id", "url", "clean_text", "n_spans", "n_kept")
+
+
 def q_frontier_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots pipeline end-to-end: per-host robots.txt TEXTS
     (synthesized deterministically: a cdxbot-specific group with
@@ -831,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_charset": q_cdx_charset,
         "cdx_extract_text": q_cdx_extract_text,
         "web_text_pipeline": q_web_text_pipeline,
+        "web_corpus_pipeline": q_web_corpus_pipeline,
         "cdx_checksum_fast": q_cdx_checksum_fast,
         "cdx_checksum_computed": q_cdx_checksum_computed,
         "cdx_mime_status": q_cdx_mime_status,
@@ -1333,6 +1354,51 @@ def oracle_sql() -> dict[str, str]:
             "md5(trim(regexp_replace(regexp_replace(lower(text), "
             "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
             "FROM m"),
+        # the COMPLETE corpus build re-derived stage by stage:
+        # extraction -> Gopher admission -> corpus-wide span dedup
+        "web_corpus_pipeline": (
+            _W + _EXTRACT_ELIG_CTE
+            + ", xt AS (SELECT doc_id, url, " + _strip_sql("body")
+            + " AS text FROM elig), "
+            "toks AS (SELECT doc_id, url, text, "
+            "string_split_regex(trim(text), '\\s+') AS tk, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS tkl "
+            "FROM xt), "
+            "gq AS (SELECT doc_id, url, text, "
+            "CAST(len(tk) AS BIGINT) AS n_words, "
+            "round(CAST(len(replace(text, ' ', '')) AS DOUBLE) "
+            "/ greatest(len(tk), 1), 6) AS mean_word_len, "
+            "round(CAST(length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
+            "/ greatest(length(text), 1), 6) AS punct_ratio, "
+            "round(CAST(len(list_filter(tk, t -> "
+            "regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) "
+            "/ greatest(len(tk), 1), 6) AS alpha_word_ratio, "
+            "CAST(len(list_filter(tkl, t -> t IN ('the', 'and', 'of', "
+            "'to', 'in', 'is', 'a'))) AS BIGINT) AS stop_hits "
+            "FROM toks), "
+            "adm AS (SELECT doc_id, url, text FROM gq "
+            "WHERE n_words >= 50 AND n_words <= 100000 "
+            "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AND punct_ratio <= 0.1 AND alpha_word_ratio >= 0.8 "
+            "AND stop_hits >= 2), "
+            "w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM adm), "
+            "ch AS (SELECT doc_id, CAST(t.g AS INTEGER) AS idx, "
+            "array_to_string(words[CAST(t.g*10+1 AS BIGINT):"
+            "CAST(t.g*10+10 AS BIGINT)], ' ') AS chunk "
+            "FROM w, unnest(range(0, (len(words)+9)//10)) AS t(g)), "
+            "ranked AS (SELECT doc_id, idx, chunk, "
+            "ROW_NUMBER() OVER (PARTITION BY chunk "
+            "ORDER BY doc_id, idx) AS rn FROM ch), "
+            "agg AS (SELECT doc_id, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, "
+            "' ' ORDER BY idx), '') AS clean_text, "
+            "CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept FROM ranked GROUP BY doc_id) "
+            "SELECT a.doc_id, p.url, a.clean_text, a.n_spans, a.n_kept "
+            "FROM agg a JOIN adm p USING (doc_id)"),
         # Gopher rules re-decided in SQL: same measures, same round-6
         # grid, same thresholds — booleans compare exactly
         "quality_gopher": (
