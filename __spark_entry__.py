@@ -245,9 +245,12 @@ def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gq = textstats.gopher_quality_stats(ext)
     passing = ext.select("doc_id", "url", "text").join(
         gq.filter(F.col("passes")).select("doc_id"), "doc_id")
-    clean = dedup.drop_duplicate_spans(
-        passing.select("doc_id", "text"), span_words=10)
-    return clean.join(passing.select("doc_id", "url"), "doc_id").select(
+    # url rides the dedup's reassembly join (passthrough) instead of a
+    # third consumption of the extraction subtree; a production build
+    # would checkpoint `passing` between stages (see
+    # drop_duplicate_spans docstring)
+    return dedup.drop_duplicate_spans(
+        passing, span_words=10, passthrough_cols=("url",)).select(
         "doc_id", "url", "clean_text", "n_spans", "n_kept")
 
 

@@ -256,11 +256,21 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
     if strategy == "native" and kind == "cuckoo":
         flt = F.broadcast(filters.select(
             F.col("partition_id").alias("pid"), "bits_longs",
-            "n_bits"))
+            "n_bits", "k"))
         joined = cand.join(flt, "pid", "left")
+        # k is the kind marker (cuckoo rows store 0, Bloom rows >= 1):
+        # probing Bloom words with cuckoo fingerprint math yields
+        # SILENT false negatives (re-crawled duplicates), so a
+        # mismatched resume must fail loudly per row — no extra
+        # driver job, the branch only fires on bad rows
         probe = F.when(F.col("bits_longs").isNull(),
-                       F.lit(False)).otherwise(
-            _native_cuckoo_probe_col(
+                       F.lit(False)) \
+            .when(F.col("k") != 0, F.raise_error(F.lit(
+                "cuckoo probe over a Bloom filter row (k>0): this "
+                "checkpoint was written with filter_kind='bloom' — "
+                "resume with the same kind, or rebuild_filters for "
+                "the new kind"))) \
+            .otherwise(_native_cuckoo_probe_col(
                 F.col("h1"), F.col("h2"), F.col("bits_longs"),
                 F.col("n_bits")))
         return joined.withColumn("maybe_seen", probe) \
@@ -296,8 +306,17 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
                              unrolled).otherwise(hof)
         else:
             per_row = hof
+        # mirror of the cuckoo lane's kind guard: k=0 marks a cuckoo
+        # blob, and Bloom position math over cuckoo buckets is a
+        # silent false-negative machine
         probe = F.when(F.col("bits_longs").isNull(),
-                       F.lit(False)).otherwise(per_row)
+                       F.lit(False)) \
+            .when(F.col("k") <= 0, F.raise_error(F.lit(
+                "bloom probe over a cuckoo filter row (k=0): this "
+                "checkpoint was written with filter_kind='cuckoo' — "
+                "resume with the same kind, or rebuild_filters for "
+                "the new kind"))) \
+            .otherwise(per_row)
         return joined.withColumn("maybe_seen", probe) \
             .select(*_CAND_COLS, "maybe_seen")
 

@@ -709,7 +709,9 @@ def spans_col(text: Column, span_words: int) -> Column:
 
 def drop_duplicate_spans(docs: DataFrame, span_words: int = 10,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         passthrough_cols: tuple[str, ...] = ()
+                         ) -> DataFrame:
     """Remove every duplicated span from all but its globally-first
     occurrence (C4/Dolma-style training-data span dedup): a span
     occurrence survives iff its (id, index) is the minimum over all
@@ -728,6 +730,12 @@ def drop_duplicate_spans(docs: DataFrame, span_words: int = 10,
       AQE may broadcast the survivor side when small.
     * Within-document repeats fall out of the same rule (their later
       indices lose the min), so no separate intra-doc pass.
+    * ``passthrough_cols`` ride the reassembly join into the output —
+      cheaper than a second id join back onto the source.  Note the
+      input is still consumed twice (the narrow explode and the
+      rebuild); when it is itself an expensive pipeline, materialize
+      it first (persist/checkpoint — what a production corpus build
+      does between stages anyway).
     """
     spans = spans_col(F.col(text_col), span_words)
     narrow = docs.select(
@@ -747,8 +755,16 @@ def drop_duplicate_spans(docs: DataFrame, span_words: int = 10,
         spans, lambda sp: F.transform(
             F.coalesce(F.col("_kidx"), F.array().cast("array<int>")),
             lambda i: F.element_at(sp, i + 1)))
+    # n_spans is pure arithmetic on the word count: size(spans) here
+    # would inline a SECOND full span-string construction per row
+    # (CollapseProject re-evaluates the bound pipeline per reference —
+    # the bind_once failure mode); a fresh split is just a cheap
+    # re-tokenize
+    n_spans = F.floor(
+        (F.size(F.split(F.col(text_col), " ")) + (span_words - 1))
+        / span_words).cast("long")
     return rebuilt.select(
-        F.col(id_col),
+        F.col(id_col), *passthrough_cols,
         F.array_join(kept_spans, " ").alias("clean_text"),
-        F.size(spans).cast("long").alias("n_spans"),
+        n_spans.alias("n_spans"),
         F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_kept"))

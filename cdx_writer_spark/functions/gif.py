@@ -33,6 +33,10 @@ GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
 
 _MAX_CODE_WIDTH = 12
 
+# decode budget for untrusted headers (matches png/jpeg/bmp): a
+# crafted frame header must never demand a multi-GB buffer
+MAX_PIXELS = 1 << 26
+
 
 class GifError(ValueError):
     """Malformed or unsupported GIF input."""
@@ -162,6 +166,11 @@ def decode_gif(data: bytes) -> tuple[int, int, list[dict]]:
             raise GifError("frame has no color table")
         if w == 0 or h == 0:
             raise GifError("zero-sized frame")
+        # hostile-header cap (matches png/jpeg/bmp MAX_PIXELS): the
+        # LZW expansion below is bounded by w*h, so bound w*h — a
+        # crafted u16xu16 frame may otherwise demand ~12 GB
+        if w * h > MAX_PIXELS:
+            raise GifError(f"frame too large ({w}x{h})")
         min_code = r.u8()
         indices = _lzw_decode(min_code, r.sub_blocks(), w * h)
         rows = [indices[i * w:(i + 1) * w] for i in range(h)]

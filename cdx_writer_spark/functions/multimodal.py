@@ -11,9 +11,9 @@ via :mod:`.gif` (struct + hand LZW); baseline JPEGs via :mod:`.jpeg`
 BMPs via :mod:`.bmp`.  Malformed payloads yield a per-row
 ``decode_error:*`` status rather than aborting the
 batch.  Every other format (video codecs, progressive JPEG, WebP)
-needs PIL/ffmpeg, which are NOT in this container, so those rows are
-the clearly-marked NotImplementedError integration point — unless
-``fake_decode=True``,
+needs PIL/ffmpeg, which are NOT in this container, so those rows get
+a per-row ``unsupported_format`` status (a mixed-format batch must
+never abort) — unless ``fake_decode=True``,
 which substitutes a deterministic hash-derived decode so the Spark-side
 plumbing (schema, batching, partitioning, UDF signature) is testable
 and independently recomputable by the DuckDB oracle.
@@ -86,8 +86,8 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
     uncompressed 24/32-bit BMPs (:mod:`.bmp`); malformed
     payloads get a per-row ``decode_error:<reason>`` status.
     Other formats require PIL/cv2 (absent here): without
-    `fake_decode` those rows raise NotImplementedError at the kernel,
-    the clearly-marked integration point.  With `fake_decode=True` a
+    `fake_decode` those rows get a per-row ``unsupported_format``
+    status at the kernel, the clearly-marked integration point.  With `fake_decode=True` a
     deterministic stand-in derives (width, height, features) from the
     payload's sha256 — stable across runs/partitionings, so the
     pipeline shape (schema, batch iteration, column pruning) is fully
@@ -193,11 +193,17 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                             out["decode_status"].append(
                                 f"decode_error:{e}")
                         continue
-                    raise NotImplementedError(
-                        "non-PNG/GIF/JPEG/BMP image decode requires "
-                        "PIL/cv2, absent in this environment; pass "
-                        "fake_decode=True for the deterministic test "
-                        "double")
+                    # unsupported container (webp/tiff/ico/... — the
+                    # real decoder needs PIL/cv2, absent here): a
+                    # per-row status, NEVER a raise — one off-format
+                    # payload in a mixed batch must not abort a
+                    # 100 TB scan (same contract as decode_error)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_channels"].append(None)
+                    out["features"].append(None)
+                    out["decode_status"].append("unsupported_format")
+                    continue
                 d = hashlib.sha256(bytes(payload)).digest()
                 out["width"].append(64 + d[0])
                 out["height"].append(64 + d[1])
@@ -235,8 +241,8 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
     (fixed zlib level) — resized_bytes = encoded PNG size,
     resized_digest = md5 of the encoded PNG, resize_status =
     ``ok_<fmt>``.  Other formats need PIL/cv2 (absent from this
-    container), the clearly-marked NotImplementedError integration
-    point; ``fake_resize=True`` substitutes a deterministic stand-in —
+    container) and surface as per-row ``unsupported_format`` status
+    rows, the clearly-marked integration point; ``fake_resize=True`` substitutes a deterministic stand-in —
     resized_digest = md5(sha256(payload) || '@WxH') and resized_bytes =
     W*H*3 (the raw RGB buffer a real resize would produce) — so the
     batching/schema/pruning plumbing is fully testable and the DuckDB
@@ -279,11 +285,15 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                     elif data.startswith(bmplib.BMP_MAGIC):
                         fmt = "bmp"
                     else:
-                        raise NotImplementedError(
-                            "non-PNG/GIF/JPEG/BMP image resize requires "
-                            "PIL/cv2, absent in this environment; pass "
-                            "fake_resize=True for the deterministic "
-                            "test double")
+                        # unsupported container: per-row status, never
+                        # a raise (see decode_images)
+                        out["out_width"].append(None)
+                        out["out_height"].append(None)
+                        out["resized_bytes"].append(None)
+                        out["resized_digest"].append(None)
+                        out["resize_status"].append(
+                            "unsupported_format")
+                        continue
                     try:
                         if fmt == "png":
                             w0, h0, ch, pix = pnglib.decode_png(data)
@@ -350,8 +360,8 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
     decoded, digest = md5 of the frame's RGB bytes, luma = the exact
     integer mean of the ITU-601-ish (54r+183g+19b)/256 weighting);
     malformed GIFs yield one ``decode_error:*`` row.  Every other
-    video container needs ffmpeg/cv2 (absent here): the kernel is
-    the marked NotImplementedError integration point.  With
+    video container needs ffmpeg/cv2 (absent here) and yields one
+    ``unsupported_format`` row, the marked integration point.  With
     ``fake_decode=True`` the frame count and per-frame values derive
     deterministically from the payload digest — n_frames = 8 +
     (sha256 byte 2 mod 25), frame_digest = md5(hex_digest ':' index),
@@ -404,14 +414,15 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
                                 hashlib.md5(rgb).hexdigest())
                             out["frame_luma_x256"].append(luma)
                         continue
-                    try:
-                        import cv2  # noqa: F401
-                    except ImportError:
-                        raise NotImplementedError(
-                            "non-GIF frame sampling requires ffmpeg/cv2, "
-                            "absent in this environment; pass "
-                            "fake_decode=True for the deterministic "
-                            "test double")
+                    # unsupported container (mp4/webm/... need
+                    # ffmpeg/cv2, absent here): one status row via the
+                    # same channel decode errors use — never a raise
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(None)
+                    out["frame_index"].append(None)
+                    out["frame_digest"].append("unsupported_format")
+                    out["frame_luma_x256"].append(None)
+                    continue
                 d = hashlib.sha256(bytes(payload))
                 hx = d.hexdigest()
                 n_frames = 8 + d.digest()[2] % 25

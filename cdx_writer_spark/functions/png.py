@@ -28,6 +28,10 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# decode budget for untrusted headers (matches jpeg.py / bmp.py): a
+# corrupt web payload must never demand a multi-GB buffer
+MAX_PIXELS = 1 << 26
+
 
 class PngError(ValueError):
     """Malformed or unsupported PNG input."""
@@ -128,6 +132,10 @@ def decode_png(data: bytes):
         ">IIBBBBB", ihdr)
     if not (0 < width < 1 << 24 and 0 < height < 1 << 24):
         raise PngError("bad dimensions")
+    # hostile-header cap (same 1<<26 budget as jpeg/bmp): a small
+    # crafted file must not be able to demand a multi-GB buffer
+    if width * height > MAX_PIXELS:
+        raise PngError(f"image too large ({width}x{height})")
     if depth != 8:
         raise PngError(f"unsupported bit depth {depth}")
     if ctype_n not in _CHANNELS:
@@ -138,11 +146,18 @@ def decode_png(data: bytes):
         raise PngError("interlaced PNG unsupported")
     if not idat:
         raise PngError("no IDAT data")
+    ch = _CHANNELS[ctype_n]
+    # bounded inflate: the filtered stream is exactly (1 + w*ch) bytes
+    # per row, so cap decompression there instead of letting a zlib
+    # bomb inflate unbounded before the size check
+    expected = (1 + width * ch) * height
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        if dec.decompress(b"", 1):
+            raise PngError("IDAT larger than the image geometry")
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from None
-    ch = _CHANNELS[ctype_n]
     pixels = _unfilter(raw, width, height, ch)
     if ctype_n == 3:
         if plte is None or len(plte) % 3:

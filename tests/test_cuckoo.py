@@ -257,3 +257,24 @@ def test_crawl_order_invariant_across_filter_kinds(spark, tmp_path):
             spark, state).collect()]
     assert orders["bloom"] == orders["cuckoo"]
     assert len(orders["bloom"]) > 0
+
+
+def test_native_probe_kind_mismatch_fails_loudly(spark, cuckoo_filters):
+    """A resumed crawl whose CrawlConfig.filter_kind disagrees with the
+    checkpoint's blob kind must ERROR, not silently mis-probe (Bloom
+    math over cuckoo words — or vice versa — yields false negatives
+    and re-crawled duplicates).  k is the kind marker: cuckoo rows
+    store 0, Bloom rows >= 1."""
+    filters, cand, seen_half = cuckoo_filters
+    # cuckoo checkpoint probed as bloom
+    with pytest.raises(Exception, match="filter_kind='cuckoo'"):
+        seenmod.flag_maybe_seen(cand, filters, 8, strategy="native",
+                                kind="bloom").collect()
+    # bloom checkpoint probed as cuckoo
+    bloom_filters = seenmod.update_filters(
+        seen_half, seenmod.empty_filters(spark, 8, capacity=1000),
+        8, capacity=1000)
+    with pytest.raises(Exception, match="filter_kind='bloom'"):
+        seenmod.flag_maybe_seen(cand, bloom_filters, 8,
+                                strategy="native",
+                                kind="cuckoo").collect()

@@ -227,3 +227,19 @@ def test_gif_frame_features_partitioning_invariant(spark, gif_payloads):
     stat = {r[0]: r[-1] for r in one}
     assert stat[90].startswith("decode_error:")
     assert stat[91] == "null_payload"
+
+
+def test_hostile_frame_dimensions_rejected():
+    """A tiny crafted GIF declaring a 65535x65535 frame must raise
+    GifError at the header check — before the LZW loop can build a
+    multi-GB index buffer (same 1<<26 budget as png/jpeg/bmp)."""
+    import struct
+
+    from cdx_writer_spark.functions.gif import GifError, decode_gif
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)
+    hdr += bytes([255, 0, 0, 0, 255, 0])      # 2-entry global table
+    img = b"," + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    img += bytes([2]) + bytes([1, 0x44]) + b"\x00"
+    with pytest.raises(GifError, match="too large"):
+        decode_gif(hdr + img + b";")

@@ -70,15 +70,22 @@ def test_frame_sample_invariant_under_partitioning(spark, payloads):
     assert run(payloads.repartition(1)) == run(payloads.repartition(7))
 
 
-def test_real_kernels_are_marked_stubs(spark, payloads):
-    """Without the fake flag each kernel must fail loudly at the
-    integration point (the decode libs are not in this container) —
-    never silently fall back to the fake path."""
-    for fn in (
-        lambda: multimodal.resize_images(payloads).collect(),
-        lambda: multimodal.sample_frames(payloads).collect(),
-    ):
-        with pytest.raises(Exception) as ei:
-            fn()
-        assert "NotImplementedError" in str(ei.value) or isinstance(
-            ei.value, NotImplementedError)
+def test_unsupported_formats_get_status_rows_not_raises(spark, payloads):
+    """Without the fake flag an off-format payload (these fixtures are
+    not PNG/GIF/JPEG/BMP) must yield a per-row unsupported_format
+    status — never abort the batch (one WebP in a mixed 100 TB scan
+    must not kill the job) and never silently fall back to the fake
+    path."""
+    rz = {r.doc_id: r for r in
+          multimodal.resize_images(payloads).collect()}
+    assert rz[3].resize_status == "unsupported_format"
+    assert rz[3].resized_digest is None
+    assert rz[99].resize_status == "null_payload"
+    fr = {r.doc_id: r for r in
+          multimodal.sample_frames(payloads).collect()}
+    assert fr[3].frame_digest == "unsupported_format"
+    assert fr[3].n_frames is None
+    dc = {r.doc_id: r for r in
+          multimodal.decode_images(payloads).collect()}
+    assert dc[3].decode_status == "unsupported_format"
+    assert dc[3].features is None

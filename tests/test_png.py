@@ -9,8 +9,8 @@ Layers:
   (gray, gray+alpha, RGB, RGBA, palette);
 * malformed input -> PngError (bad CRC, truncation, interlace, depth);
 * the Spark kernels: decode_images/resize_images run the REAL path for
-  PNG payloads (ok_png), per-row decode_error for corrupt PNGs, and
-  still raise NotImplementedError for non-PNG formats.
+  PNG payloads (ok_png), per-row decode_error for corrupt PNGs, and a
+  per-row unsupported_format status for non-PNG formats.
 """
 
 from __future__ import annotations
@@ -173,17 +173,18 @@ def test_spark_resize_images_real_png(spark):
     assert decode_png(expect)[:3] == (8, 8, 3)
 
 
-def test_spark_unknown_format_still_marked_stub(spark):
-    # TIFF has no stdlib codec here: the env-blocked seam must raise,
-    # not silently fake.
+def test_spark_unknown_format_is_status_row_not_abort(spark):
+    # TIFF has no stdlib codec here: the env-blocked seam surfaces as
+    # a per-row unsupported_format status (mixed-format batches must
+    # survive), and never silently falls back to the fake path.
     df = spark.createDataFrame([(1, b"II*\x00\x08\x00\x00\x00faketiff")],
                                "doc_id long, payload binary")
-    for fn in (lambda: multimodal.decode_images(df).collect(),
-               lambda: multimodal.resize_images(df).collect()):
-        with pytest.raises(Exception) as ei:
-            fn()
-        assert "NotImplementedError" in str(ei.value) or isinstance(
-            ei.value, NotImplementedError)
+    (d,) = multimodal.decode_images(df).collect()
+    assert d.decode_status == "unsupported_format"
+    assert d.width is None and d.features is None
+    (r,) = multimodal.resize_images(df).collect()
+    assert r.resize_status == "unsupported_format"
+    assert r.resized_digest is None
 
 
 def test_spark_malformed_jpeg_is_row_level_error_not_stage_abort(spark):
@@ -245,3 +246,25 @@ def test_features_padding_and_truncation():
     assert f4 == pytest.approx([0.0, 1.0, 0.0, 0.0])
     f3 = features_from_pixels(pix, 2, 3)
     assert f3 == pytest.approx([0.0, 1.0, 0.0])
+
+
+def test_hostile_png_headers_rejected_cheaply():
+    """A 16k x 16k header exceeds the pixel budget; and a zlib bomb
+    whose stream inflates past the declared geometry is cut off at the
+    bounded decompression, not after ballooning in memory."""
+    from cdx_writer_spark.functions.png import MAX_PIXELS
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 14, 1 << 14, 8, 2, 0, 0, 0)
+    assert (1 << 14) * (1 << 14) > MAX_PIXELS
+    big = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="too large"):
+        decode_png(big)
+    # 2x2 RGB geometry (14 filtered bytes) but a ~1 MB inflating bomb
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr2)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(PngError, match="larger than the image"):
+        decode_png(bomb)
