@@ -631,6 +631,29 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.bmp_features(payloads)
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-TIFF decode (functions/tiff.py): every doc
+    gets a deterministic strip TIFF (size, channels, byte order and
+    strip split from doc_id arithmetic; TIFF strips are lossless) and
+    the DuckDB oracle re-derives the dimensions, the exact channel-0
+    sum AND the md5 of the comma-joined decoded samples from the
+    generation rule alone — a mis-step in IFD parsing, byte order or
+    strip assembly breaks the hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def tiff_udf(ids):
+        import pandas as pd
+
+        from cdx_writer_spark.functions import tiff as tifflib
+        return pd.Series(
+            [tifflib.synth_tiff_bytes(int(d)) for d in ids])
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", tiff_udf("doc_id"))
+    return multimodal.tiff_features(payloads)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake kernel
     (real decoder stubbed: no PIL in env).  The fake decode derives
@@ -880,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "jpeg_decode": q_jpeg_decode,
         "bmp_decode": q_bmp_decode,
+        "tiff_decode": q_tiff_decode,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1594,6 +1618,25 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
             "',')) AS pix_md5, "
             "'ok_bmp' AS decode_status FROM px"),
+        # TIFF fixture generation rule re-derived (tiff.synth_tiff_bytes:
+        # w=3+id%5, h=2+id%4, nch=(1,3,4)[id%3], pix[i]=(id*23+i*31)%256)
+        "tiff_decode": (
+            "WITH g AS (SELECT doc_id, 3 + doc_id % 5 AS w, "
+            "2 + doc_id % 4 AS h, "
+            "CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END "
+            "AS nch FROM documents), "
+            "px AS (SELECT doc_id, w, h, nch, "
+            "list_transform(range(0, w * h * nch), i -> "
+            "(doc_id * 23 + i * 31) % 256) AS ls FROM g) "
+            "SELECT doc_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(nch AS INTEGER) AS n_channels, "
+            "CAST(list_aggregate(list_transform(range(0, w * h), "
+            "j -> (doc_id * 23 + j * nch * 31) % 256), 'sum') "
+            "AS BIGINT) AS ch0_sum, "
+            "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
+            "',')) AS pix_md5, "
+            "'ok_tiff' AS decode_status FROM px"),
         "multimodal_decode": (
             _W + ", pay AS (SELECT doc_id, "
             f"sha256({_PAYLOAD_SQL}) AS dg FROM pages) "

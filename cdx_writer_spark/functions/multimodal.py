@@ -8,7 +8,8 @@ PNG payloads decode/resize FOR REAL via the pure-stdlib codec in
 multi-frame GIFs, the honest "video" this container can decode —
 via :mod:`.gif` (struct + hand LZW); baseline JPEGs via :mod:`.jpeg`
 (canonical Huffman + dequant + IDCT + YCbCr); uncompressed 24/32-bit
-BMPs via :mod:`.bmp`.  Malformed payloads yield a per-row
+BMPs via :mod:`.bmp`; uncompressed strip TIFFs (both byte orders)
+via :mod:`.tiff`.  Malformed payloads yield a per-row
 ``decode_error:*`` status rather than aborting the
 batch.  Every other format (video codecs, progressive JPEG, WebP)
 needs PIL/ffmpeg, which are NOT in this container, so those rows get
@@ -38,6 +39,8 @@ _MAGIC = {
     "47494638": "image/gif",
     "52494646": "riff",  # wav/webp container
     "1A45DFA3": "video/webm",
+    "49492A00": "image/tiff",
+    "4D4D002A": "image/tiff",
 }
 
 
@@ -105,6 +108,7 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
         from . import gif as giflib
         from . import jpeg as jpeglib
         from . import png as pnglib
+        from . import tiff as tifflib
 
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
@@ -193,7 +197,25 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                             out["decode_status"].append(
                                 f"decode_error:{e}")
                         continue
-                    # unsupported container (webp/tiff/ico/... — the
+                    if data.startswith(tifflib.TIFF_MAGICS):
+                        try:
+                            w, h, ch, pix = tifflib.decode_tiff(data)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["n_channels"].append(ch)
+                            out["features"].append(
+                                pnglib.features_from_pixels(
+                                    pix, ch, feature_dim))
+                            out["decode_status"].append("ok_tiff")
+                        except tifflib.TiffError as e:
+                            out["width"].append(None)
+                            out["height"].append(None)
+                            out["n_channels"].append(None)
+                            out["features"].append(None)
+                            out["decode_status"].append(
+                                f"decode_error:{e}")
+                        continue
+                    # unsupported container (webp/ico/... — the
                     # real decoder needs PIL/cv2, absent here): a
                     # per-row status, NEVER a raise — one off-format
                     # payload in a mixed batch must not abort a
@@ -260,6 +282,7 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
         from . import gif as giflib
         from . import jpeg as jpeglib
         from . import png as pnglib
+        from . import tiff as tifflib
 
         for pdf in batches:
             out = {"doc_id": [], "out_width": [], "out_height": [],
@@ -284,6 +307,8 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                         fmt = "jpeg"
                     elif data.startswith(bmplib.BMP_MAGIC):
                         fmt = "bmp"
+                    elif data.startswith(tifflib.TIFF_MAGICS):
+                        fmt = "tiff"
                     else:
                         # unsupported container: per-row status, never
                         # a raise (see decode_images)
@@ -307,6 +332,8 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                             ch, pix = 3, f0["rgb"]
                         elif fmt == "jpeg":
                             w0, h0, ch, pix = jpeglib.decode_jpeg(data)
+                        elif fmt == "tiff":
+                            w0, h0, ch, pix = tifflib.decode_tiff(data)
                         else:
                             w0, h0, ch, pix = bmplib.decode_bmp(data)
                         resized = pnglib.resize_nearest(
@@ -320,7 +347,8 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                             hashlib.md5(enc).hexdigest())
                         out["resize_status"].append(f"ok_{fmt}")
                     except (pnglib.PngError, giflib.GifError,
-                            jpeglib.JpegError, bmplib.BmpError) as e:
+                            jpeglib.JpegError, bmplib.BmpError,
+                            tifflib.TiffError) as e:
                         out["out_width"].append(None)
                         out["out_height"].append(None)
                         out["resized_bytes"].append(None)
@@ -666,6 +694,63 @@ def bmp_features(df: DataFrame, bin_col: str = "payload",
                     ",".join(str(v) for v in pix)
                     .encode()).hexdigest())
                 out["decode_status"].append("ok_bmp")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=BMP_FEATURES_SCHEMA)
+
+
+def tiff_features(df: DataFrame, bin_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """REAL uncompressed-TIFF decode with exact-integer features — the
+    oracle-checkable face of the :mod:`.tiff` decoder (same contract
+    as :func:`bmp_features`: ``ch0_sum`` = exact int64 channel-0 sum,
+    ``pix_md5`` = md5 of the comma-joined decoded samples; TIFF strips
+    are lossless, so a SQL oracle re-derives both from the fixture
+    generation rule — a decoder that mis-stepped in strip assembly,
+    byte order or tag layout could not match)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import pandas as pd
+
+        from . import tiff as tifflib
+
+        def err_row(doc_id, status):
+            out["doc_id"].append(doc_id)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["n_channels"].append(None)
+            out["ch0_sum"].append(None)
+            out["pix_md5"].append(None)
+            out["decode_status"].append(status)
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_channels": [], "ch0_sum": [], "pix_md5": [],
+                   "decode_status": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    err_row(doc_id, "null_payload")
+                    continue
+                data = bytes(payload)
+                if not data.startswith(tifflib.TIFF_MAGICS):
+                    err_row(doc_id, "not_tiff")
+                    continue
+                try:
+                    w, h, ch, pix = tifflib.decode_tiff(data)
+                except tifflib.TiffError as e:
+                    err_row(doc_id, f"decode_error:{e}")
+                    continue
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(ch)
+                out["ch0_sum"].append(sum(pix[0::ch]))
+                out["pix_md5"].append(hashlib.md5(
+                    ",".join(str(v) for v in pix)
+                    .encode()).hexdigest())
+                out["decode_status"].append("ok_tiff")
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(

@@ -174,11 +174,12 @@ def test_spark_resize_images_real_png(spark):
 
 
 def test_spark_unknown_format_is_status_row_not_abort(spark):
-    # TIFF has no stdlib codec here: the env-blocked seam surfaces as
+    # WebP has no stdlib codec here: the env-blocked seam surfaces as
     # a per-row unsupported_format status (mixed-format batches must
     # survive), and never silently falls back to the fake path.
-    df = spark.createDataFrame([(1, b"II*\x00\x08\x00\x00\x00faketiff")],
-                               "doc_id long, payload binary")
+    df = spark.createDataFrame(
+        [(1, b"RIFF\x24\x00\x00\x00WEBPVP8 fake")],
+        "doc_id long, payload binary")
     (d,) = multimodal.decode_images(df).collect()
     assert d.decode_status == "unsupported_format"
     assert d.width is None and d.features is None
