@@ -432,6 +432,13 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (sklearn smooth-idf
+    formula, ties to the smaller term) — the oracle recomputes tf, df,
+    the ln() idf on the same round-6 grid, and the ranking."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) document fingerprints — MOSS-style;
     the oracle re-derives k-gram hashing, the sliding min-window and
@@ -891,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_gopher": q_quality_gopher,
         "quality_repetition": q_quality_repetition,
+        "text_tfidf": q_text_tfidf,
         "text_winnowing": q_text_winnowing,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -1497,6 +1505,26 @@ def oracle_sql() -> dict[str, str]:
             "  (top_bigram_frac <= 0.08 AND top_trigram_frac <= 0.04 "
             "   AND dup_span_frac <= 0.2) AS passes "
             "FROM piv "),
+        # smoothed TF-IDF re-derived: same tokenize, same
+        # ln((N+1)/(df+1))+1 idf on the round-6 grid, same
+        # (tfidf DESC, term ASC) ranking
+        "text_tfidf": (
+            "WITH toks AS (SELECT doc_id, "
+            "  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "       FROM toks GROUP BY doc_id, term), "
+            "dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "        FROM tf GROUP BY term), "
+            "n AS (SELECT count(DISTINCT doc_id) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, "
+            "  round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1)) + 1.0), 6) AS tfidf "
+            "  FROM tf JOIN dfq USING (term) CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, term, tf, df, tfidf, "
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "       ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank "
+            "  FROM scored) "
+            "SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3 "),
         # Winnowing fingerprints re-derived: char 8-grams of the
         # normalized text -> md5-prefix hashes -> min of each
         # 4-hash window -> sorted distinct set

@@ -269,3 +269,40 @@ def repetition_stats(docs, span_words: int = 10,
          & (F.col("top_trigram_frac") <= max_top_trigram_frac)
          & (F.col("dup_span_frac") <= max_dup_span_frac))
         .alias("passes"))
+
+
+def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Top-``k`` terms per document by smoothed TF-IDF:
+    ``tf * (ln((N+1)/(df+1)) + 1)`` (scikit-learn's smooth-idf), ties
+    toward the lexicographically smaller term.
+
+    Scale shape: one narrow (id, term) count aggregation (map-side
+    partial), a vocabulary-sized df aggregate joined back on term
+    (vocabularies are tiny next to the corpus, so AQE broadcasts it),
+    and a per-document window for the top-k.  Scores round to 6 so the
+    SQL oracle's ln() agrees across engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"))
+    # one tiny driver scalar (same budget as ivf_topk's codebook peek):
+    # the corpus document count that parameterizes idf
+    n = docs.select(id_col).distinct().count()
+    scored = tf.join(df_tbl, "term").select(
+        id_col, "term", "tf", "df",
+        F.round(F.col("tf") * (
+            F.log((F.lit(float(n + 1))) / (F.col("df") + 1))
+            + F.lit(1.0)), 6).alias("tfidf"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "tfidf",
+                    F.col("rank").cast("int").alias("rank")))
