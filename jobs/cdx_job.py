@@ -30,6 +30,13 @@ import sys
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if os.path.isdir(os.path.join(_repo, "cdx_writer_spark")):
     sys.path.insert(0, _repo)
+    # local-mode executor Python workers inherit the process
+    # env, not the driver's sys.path mutations: without this a
+    # plain-python run from OUTSIDE the repo unpickles UDFs to
+    # ModuleNotFoundError on the workers (spark-submit
+    # --py-files covers cluster mode; this covers dev runs)
+    os.environ["PYTHONPATH"] = _repo + os.pathsep + \
+        os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:

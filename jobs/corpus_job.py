@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""The training-corpus build job: pages table -> admission dispatch ->
+HTML->text extraction -> Gopher rule filter -> corpus-wide
+duplicate-span removal -> clean (doc_id, url, clean_text) parquet.
+
+Ship it the way the north star specifies::
+
+    python scripts/package.py            # build dist/cdx_writer_spark.zip
+    spark-submit --py-files dist/cdx_writer_spark.zip \
+        jobs/corpus_job.py pages.parquet out_corpus/ \
+        --stats-file corpus_stats.json
+
+On a real cluster ``pages.parquet`` is the Common-Crawl-style
+Iceberg/parquet pages table.  The stage boundary between admission and
+span-dedup is materialized (the admitted frame persists) so the
+extraction subtree executes once, mirroring what a production build
+checkpoints between stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo, "cdx_writer_spark")):
+    sys.path.insert(0, _repo)
+    # local-mode executor Python workers inherit the process
+    # env, not the driver's sys.path mutations: without this a
+    # plain-python run from OUTSIDE the repo unpickles UDFs to
+    # ModuleNotFoundError on the workers (spark-submit
+    # --py-files covers cluster mode; this covers dev runs)
+    os.environ["PYTHONPATH"] = _repo + os.pathsep + \
+        os.environ.get("PYTHONPATH", "")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("pages", help="pages parquet path (PAGES_SCHEMA)")
+    p.add_argument("out", help="output parquet dir for the clean corpus")
+    p.add_argument("--stats-file", default=None,
+                   help="write per-stage counters as JSON")
+    p.add_argument("--span-words", type=int, default=10)
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{args.cpus}]"))
+        .appName("corpus-build")
+        .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from cdx_writer_spark.functions import dedup, extract, textstats
+
+    pages = spark.read.parquet(args.pages)
+    n_pages = pages.count()
+    ext = extract.extract_text(pages).filter(F.col("text").isNotNull())
+    gq = textstats.gopher_quality_stats(ext, min_words=args.min_words)
+    # materialize the admitted corpus once: both dedup consumers (the
+    # narrow span explode and the rebuild join) read the persisted
+    # frame instead of re-running extraction + quality per consumer
+    passing = ext.select("doc_id", "url", "text").join(
+        gq.filter(F.col("passes")).select("doc_id"), "doc_id").persist()
+    n_admitted = passing.count()
+    n_extracted = ext.count()
+    clean = dedup.drop_duplicate_spans(
+        passing, span_words=args.span_words, passthrough_cols=("url",))
+    clean.select("doc_id", "url", "clean_text", "n_spans", "n_kept") \
+        .write.mode("error").parquet(args.out)
+    agg = spark.read.parquet(args.out).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_spans").alias("spans_total"),
+        F.sum("n_kept").alias("spans_kept")).first()
+    passing.unpersist()
+    stats = {
+        "pages": n_pages,
+        "extracted": n_extracted,
+        "admitted": n_admitted,
+        "clean_docs": agg["docs"],
+        "spans_total": int(agg["spans_total"] or 0),
+        "spans_kept": int(agg["spans_kept"] or 0),
+    }
+    print(json.dumps(stats))
+    if args.stats_file:
+        with open(args.stats_file, "w") as fh:
+            json.dump(stats, fh, indent=2, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -95,3 +95,47 @@ def test_cdx_job_via_spark_submit_pyfiles(spark, tmp_path):
         all_records=False)
     assert got[1:] == sorted(expected)
     assert json.load(open(stats_file)) == exp_stats
+
+
+def test_corpus_job_via_spark_submit_pyfiles(spark, tmp_path):
+    """The corpus-build ship path end-to-end: a spark-submit run from
+    OUTSIDE the repo (zip is the only package source) must produce
+    byte-identical rows to the in-process web_corpus_pipeline query
+    and a stats file whose counters agree with the output."""
+    import __spark_entry__ as entrymod
+    from cdx_writer_spark.webview import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    pages_dir = str(tmp_path / "pages.parquet")
+    pages_from_documents(spark, sf).write.parquet(pages_dir)
+
+    z = packager.build(str(tmp_path / "app.zip"))
+    job = str(tmp_path / "corpus_job.py")
+    shutil.copy(os.path.join(REPO, "jobs", "corpus_job.py"), job)
+    out = str(tmp_path / "out_corpus")
+    stats_file = str(tmp_path / "corpus_stats.json")
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", z,
+         job, pages_dir, out, "--stats-file", stats_file,
+         "--cpus", "4"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=420,
+        env=env)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("doc_id", "url", "clean_text",
+                             "n_spans", "n_kept").collect()))
+    want = sorted(map(tuple, entrymod.q_web_corpus_pipeline(
+        spark, sf).select("doc_id", "url", "clean_text",
+                          "n_spans", "n_kept").collect()))
+    assert got == want and len(got) > 0
+
+    stats = json.load(open(stats_file))
+    assert stats["clean_docs"] == len(got)
+    assert stats["admitted"] == len(got)
+    assert stats["spans_kept"] <= stats["spans_total"]
+    assert stats["extracted"] >= stats["admitted"]
