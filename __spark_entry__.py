@@ -390,6 +390,26 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     portable=True)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the portable MinHash pairs closed into
+    connected components (alternating large-star/small-star), one
+    cluster id (= min member doc_id) per document and a keep flag for
+    the cluster representative — the decision a corpus build actually
+    applies, where pair-at-a-time dropping would over-delete on chains.
+    The oracle closes the same pairs with a recursive CTE (min
+    reachable id), sharing nothing with the star alternation."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5, portable=True)
+    labels = dedup.connected_components(pairs)
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(F.col("doc_id"), comp.alias("cluster_id"),
+                (comp == F.col("doc_id")).alias("is_keep"))
+    )
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Dolma-style duplicate-span removal: every 10-word span that
     repeats anywhere in the corpus survives only at its globally-first
@@ -894,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
         "text_stats": q_text_stats,
         "quality_gopher": q_quality_gopher,
@@ -997,6 +1018,35 @@ _HEX_BYTE = ("((strpos('0123456789abcdef', substr(dg, {p1}, 1)) - 1) * 16"
 # chars of md5(token); bit i = majority vote of bit i across tokens
 # (nibble i//4 via a strpos hex lookup, shifted by 3 - i%4; the Spark
 # side uses conv() instead).  Mirrors dedup.simhash_bits_col.
+# The full portable MinHash+LSH pipeline (shingles → 32-hash md5
+# signature → 8 bands → bucket candidates → exact-Jaccard scores),
+# shared by the dedup_minhash oracle and the dedup_clusters oracle
+# (which clusters its surviving pairs).  Mirrors
+# dedup.minhash_lsh_dedup(portable=True) stage for stage.
+_MINHASH_CTES = (
+    "tk AS (SELECT doc_id, string_split_regex(trim(text), "
+    "'\\s+') AS tk FROM documents), "
+    "shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 "
+    "THEN list_transform(range(1, len(tk) - 1), i -> "
+    "array_to_string(list_slice(tk, i, i + 2), ' ')) "
+    "ELSE [array_to_string(tk, ' ')] END) AS sh FROM tk), "
+    "sig AS (SELECT doc_id, list_transform(range(0, 32), j -> "
+    "list_aggregate(list_transform(sh, s -> "
+    "md5(j::VARCHAR || ':' || s)), 'min')) AS sig FROM shg), "
+    "banded AS (SELECT doc_id, u.band AS band, u.bucket AS bucket "
+    "FROM (SELECT doc_id, unnest(list_transform(range(0, 8), "
+    "b -> {'band': b, 'bucket': md5(array_to_string("
+    "list_slice(sig, b * 4 + 1, b * 4 + 4), ','))})) AS u "
+    "FROM sig)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM banded a JOIN banded b ON a.band = b.band "
+    "AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+    "scored AS (SELECT id_a, id_b, round(CAST(len(list_filter("
+    "sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE) / "
+    "len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard "
+    "FROM cand JOIN shg sa ON sa.doc_id = cand.id_a "
+    "JOIN shg sb ON sb.doc_id = cand.id_b)")
+
 _SIMHASH_CTE = (
     "hs AS (SELECT doc_id, list_transform(list_distinct("
     "string_split_regex(trim(lower(text)), '\\s+')), t -> "
@@ -1221,29 +1271,28 @@ def oracle_sql() -> dict[str, str]:
         # output-equivalent to banding every doc, which is what this
         # SQL does.)
         "dedup_minhash": (
-            "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), "
-            "'\\s+') AS tk FROM documents), "
-            "shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 "
-            "THEN list_transform(range(1, len(tk) - 1), i -> "
-            "array_to_string(list_slice(tk, i, i + 2), ' ')) "
-            "ELSE [array_to_string(tk, ' ')] END) AS sh FROM tk), "
-            "sig AS (SELECT doc_id, list_transform(range(0, 32), j -> "
-            "list_aggregate(list_transform(sh, s -> "
-            "md5(j::VARCHAR || ':' || s)), 'min')) AS sig FROM shg), "
-            "banded AS (SELECT doc_id, u.band AS band, u.bucket AS bucket "
-            "FROM (SELECT doc_id, unnest(list_transform(range(0, 8), "
-            "b -> {'band': b, 'bucket': md5(array_to_string("
-            "list_slice(sig, b * 4 + 1, b * 4 + 4), ','))})) AS u "
-            "FROM sig)), "
-            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM banded a JOIN banded b ON a.band = b.band "
-            "AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
-            "scored AS (SELECT id_a, id_b, round(CAST(len(list_filter("
-            "sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE) / "
-            "len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard "
-            "FROM cand JOIN shg sa ON sa.doc_id = cand.id_a "
-            "JOIN shg sb ON sb.doc_id = cand.id_b) "
-            "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"),
+            "WITH " + _MINHASH_CTES +
+            " SELECT id_a, id_b, jaccard FROM scored "
+            "WHERE jaccard >= 0.5"),
+        # near-dup CLUSTERS: the minhash pairs above, closed under
+        # transitive reachability by a recursive CTE (label = min
+        # reachable id) — an implementation-independent check of the
+        # Spark side's large-star/small-star alternation
+        "dedup_clusters": (
+            "WITH RECURSIVE " + _MINHASH_CTES + ", "
+            "pairs AS (SELECT id_a, id_b FROM scored "
+            "WHERE jaccard >= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT u AS id, u AS lab FROM edges "
+            "UNION SELECT e.v, r.lab FROM reach r "
+            "JOIN edges e ON e.u = r.id), "
+            "comp AS (SELECT id, MIN(lab) AS comp FROM reach "
+            "GROUP BY id) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id, "
+            "coalesce(c.comp, d.doc_id) = d.doc_id AS is_keep "
+            "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"),
         # EXACT prefix-filtered Jaccard — the oracle is independent of
         # the prefix filter: candidates = pairs sharing ANY shingle (a
         # complete superset for threshold > 0), then exact verification

@@ -768,3 +768,120 @@ def drop_duplicate_spans(docs: DataFrame, span_words: int = 10,
         F.array_join(kept_spans, " ").alias("clean_text"),
         n_spans.alias("n_spans"),
         F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_kept"))
+
+
+# --- near-dup clustering (connected components over candidate pairs) --------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_rounds: int = 50) -> DataFrame:
+    """Connected components over an undirected pair list via the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): the step
+    after near-dup pair generation that turns MinHash/SimHash/embedding
+    PAIRS into duplicate CLUSTERS, so a corpus build can keep exactly
+    one document per cluster (``min`` id here) instead of greedily
+    dropping pair losers (which over-deletes on chains a-b, b-c).
+
+    Returns one row per node appearing in ``pairs``:
+    ``(id, component)`` with ``component`` = the minimum node id of the
+    node's component (the component root maps to itself).
+
+    Scale shape (the 100 TB path):
+
+    * Converges in O(log n) rounds — not graph-diameter rounds, which
+      is what sinks plain label propagation on chained boilerplate
+      duplicates — and each round is two window exchanges plus a
+      distinct over the CURRENT edge list, which only ever carries two
+      int64 columns.  Both stars strictly never grow the edge
+      multiset's node span, and edges concentrate onto component roots
+      as rounds proceed.
+    * Neighborhood minima come from a window ``min`` (one exchange,
+      no ``collect_list`` — a hub node of degree k sorts k narrow rows
+      in one partition rather than materializing a k-element array in
+      one aggregation buffer).
+    * The driver-side convergence check reads a 1-row signature
+      aggregate (count + hash-sum) per round — O(log n) tiny jobs, no
+      data collected.
+    * Each round's edge frame is persisted and the previous round's
+      unpersisted once the signature is read, so lineage stays one
+      round deep (no exponential replay on the final labels job).
+
+    Determinism: the result is a pure function of the input pair SET —
+    partitioning, round count and evaluation order cannot change the
+    fixpoint (component minima are order-free).
+    """
+    edges = (pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+                          F.least(F.col(id_a), F.col(id_b)).alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct())
+    from pyspark.sql import Window
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # both orientations; every neighbor v > u links to
+        # min(N(u) + {u})
+        b = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+        return (b.withColumn("m", m)
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input edges satisfy u > v (large_star emits (v, m) with
+        # v > u >= m); every smaller neighbor and u itself link to the
+        # minimum neighbor
+        m = F.min("v").over(Window.partitionBy("u"))
+        nbrs = (e.withColumn("m", m)
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        selfe = e.withColumn("m", m).select("u", F.col("m").alias("v"))
+        return nbrs.union(selfe).distinct()
+
+    def signature(e: DataFrame):
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(u, v))").alias("h")).first()
+        return (row["n"], row["h"])
+
+    # each round materializes via localCheckpoint: persist alone keeps
+    # the FULL logical plan growing round over round (two windows + a
+    # distinct per round — ~10 rounds deep the plan tree itself
+    # overflows the analyzer stack), while a checkpoint truncates the
+    # lineage so the plan stays one round deep.  On a real cluster with
+    # executor loss in play, swap localCheckpoint for a reliable
+    # ``checkpoint()`` (HDFS/object-store checkpoint dir) — the round
+    # structure is identical.
+    cur = edges.localCheckpoint(eager=True)
+    cur_sig = signature(cur)
+    for _ in range(max_rounds):
+        # eager checkpoint: nxt is fully materialized with truncated
+        # lineage before cur's blocks are released below
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        nxt_sig = signature(nxt)
+        cur.unpersist()
+        cur, cur_sig, prev_sig = nxt, nxt_sig, cur_sig
+        if nxt_sig == prev_sig:
+            break
+    else:  # pragma: no cover - star alternation always converges
+        _LOG.warning("connected_components: no fixpoint after %d "
+                     "rounds; labels may be partial", max_rounds)
+
+    # at the fixpoint every edge is (node, component_min); roots never
+    # appear on the left, so they are restored from the original node
+    # set with component = themselves
+    nodes = (pairs.select(F.col(id_a).alias("id"))
+             .union(pairs.select(F.col(id_b).alias("id")))
+             .distinct())
+    labels = cur.groupBy("u").agg(F.min("v").alias("component"))
+    out = (nodes.join(labels.withColumnRenamed("u", "id"), "id", "left")
+           .select("id", F.coalesce("component", F.col("id"))
+                   .alias("component")))
+    # the result is small (two ints per clustered node); persist it via
+    # the shared release path (:func:`release_candidate_caches`) so
+    # multi-consumer callers don't replay the labels join.  cur's
+    # checkpoint blocks stay referenced by out's lineage (checkpointed
+    # RDDs have no lineage to recompute from) and are GC'd with it.
+    out = _persist_candidates(out)
+    out.count()
+    return out
