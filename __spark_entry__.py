@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from cdx_writer_spark.job import (
     CDXConfig, cdx_flagged, cdx_lines, stats_aggregation,
 )
-from cdx_writer_spark.functions import (audio, dedup, extract, multimodal,
-                                        similarity, textstats)
+from cdx_writer_spark.functions import (audio, decontam, dedup, extract,
+                                        multimodal, similarity, textstats)
 from cdx_writer_spark.webview import ORACLE_PAGES_CTE, pages_from_documents
 
 # Format without the k (checksum) field: the computed-SHA1 path is not
@@ -408,6 +408,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), comp.alias("cluster_id"),
                 (comp == F.col("doc_id")).alias("is_keep"))
     )
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing a 13-word n-gram
+    with a held-out "eval set" (here the deterministic doc_id % 7 == 0
+    slice of the same table — no external data) are flagged with their
+    distinct-hit count.  Both sides exchange only 16-byte digests; the
+    banned-set join is deliberately un-hinted (AQE broadcasts small
+    eval sets from runtime bytes).  The oracle re-derives n-grams,
+    banned set and distinct-hit counts relationally."""
+    docs = _docs(spark, sf_dir)
+    test_set = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    banned = decontam.banned_ngram_digests(test_set, n=13)
+    return decontam.decontaminate(corpus, banned, n=13)
 
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "text_stats": q_text_stats,
         "quality_gopher": q_quality_gopher,
         "quality_repetition": q_quality_repetition,
@@ -1318,6 +1334,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, "
             "round(CAST(i AS DOUBLE) / u, 4) AS jaccard "
             "FROM scored WHERE i * 2 >= u"),
+        # 13-gram decontamination re-derived: same word 13-grams (with
+        # the short-document whole-text fallback), banned set = the
+        # doc_id % 7 == 0 slice, distinct-hit counts per corpus doc
+        "corpus_decontaminate": (
+            "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents), "
+            "shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 13 "
+            "THEN list_transform(range(1, len(tk) - 11), i -> "
+            "array_to_string(list_slice(tk, i, i + 12), ' ')) "
+            "ELSE [array_to_string(tk, ' ')] END) AS sh FROM tk), "
+            "banned AS (SELECT DISTINCT unnest(sh) AS s FROM shg "
+            "WHERE doc_id % 7 = 0), "
+            "ex AS (SELECT doc_id, unnest(sh) AS s FROM shg "
+            "WHERE doc_id % 7 <> 0), "
+            "hits AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) "
+            "AS n_hits FROM ex JOIN banned ON ex.s = banned.s "
+            "GROUP BY ex.doc_id) "
+            "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
+            "coalesce(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id "
+            "WHERE d.doc_id % 7 <> 0"),
         # C4-style duplicate-span removal re-derived: 10-word split,
         # global first-occurrence via ROW_NUMBER over (chunk text),
         # ordered string_agg reassembly (NULL-skipping CASE keeps only
