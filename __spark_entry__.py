@@ -27,7 +27,8 @@ from cdx_writer_spark.job import (
     CDXConfig, cdx_flagged, cdx_lines, stats_aggregation,
 )
 from cdx_writer_spark.functions import (audio, decontam, dedup, extract,
-                                        multimodal, similarity, textstats)
+                                        multimodal, pii, similarity,
+                                        textstats)
 from cdx_writer_spark.webview import ORACLE_PAGES_CTE, pages_from_documents
 
 # Format without the k (checksum) field: the computed-SHA1 path is not
@@ -408,6 +409,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), comp.alias("cluster_id"),
                 (comp == F.col("doc_id")).alias("is_keep"))
     )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the documents table.  The synthetic corpus
+    carries no PII, so the query plants it deterministically first
+    (modulo-keyed email / phone / ipv4 / ssn suffixes — pure arithmetic
+    both engines reproduce exactly), then runs the real operator:
+    sequential typed-placeholder redaction + per-pattern detection
+    counts, one native projection, zero Python.  The oracle replays the
+    augmentation and runs the IDENTICAL pattern strings (Java-regex/
+    RE2 common subset) through DuckDB's RE2."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0,
+               F.concat(F.lit(" contact user"), d.cast("string"),
+                        F.lit("@example.com now")))
+        .when(d % 11 == 3, F.lit(" call 555-123-4567 or +1 555-987-6543"))
+        .when(d % 13 == 5,
+              F.concat(F.lit(" from 192.168.1.77 and 10.0.0."),
+                       (d % 250).cast("string")))
+        .when(d % 17 == 2,
+              F.concat(F.lit(" ssn 123-45-"),
+                       F.lpad((d % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    return pii.scrub_pii(docs)
 
 
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "text_pii_scrub": q_text_pii_scrub,
         "text_stats": q_text_stats,
         "quality_gopher": q_quality_gopher,
         "quality_repetition": q_quality_repetition,
@@ -1034,6 +1063,35 @@ _HEX_BYTE = ("((strpos('0123456789abcdef', substr(dg, {p1}, 1)) - 1) * 16"
 # chars of md5(token); bit i = majority vote of bit i across tokens
 # (nibble i//4 via a strpos hex lookup, shifted by 3 - i%4; the Spark
 # side uses conv() instead).  Mirrors dedup.simhash_bits_col.
+# PII-scrub oracle, composed from the SAME ordered pattern constants
+# the Spark operator applies (the patterns are the operator's spec;
+# both engines' regex dialects meet on the Java/RE2 common subset the
+# patterns are restricted to).
+def _pii_sql() -> str:
+    scrubbed = "text"
+    for _name, pat, repl in pii.PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        f"AS n_{name}"
+        for name, pat, _repl in pii.PII_PATTERNS)
+    return (
+        "WITH aug AS (SELECT doc_id, text || CASE "
+        "WHEN doc_id % 7 = 0 THEN ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com now' "
+        "WHEN doc_id % 11 = 3 THEN "
+        "' call 555-123-4567 or +1 555-987-6543' "
+        "WHEN doc_id % 13 = 5 THEN ' from 192.168.1.77 and 10.0.0.' || "
+        "CAST(doc_id % 250 AS VARCHAR) "
+        "WHEN doc_id % 17 = 2 THEN ' ssn 123-45-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "ELSE '' END AS text FROM documents) "
+        f"SELECT doc_id, {scrubbed} AS clean_text, {counts} FROM aug")
+
+
+_PII_SQL = _pii_sql()
+
+
 # The full portable MinHash+LSH pipeline (shingles → 32-hash md5
 # signature → 8 bands → bucket candidates → exact-Jaccard scores),
 # shared by the dedup_minhash oracle and the dedup_clusters oracle
@@ -1334,6 +1392,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, "
             "round(CAST(i AS DOUBLE) / u, 4) AS jaccard "
             "FROM scored WHERE i * 2 >= u"),
+        # PII scrub re-derived: the same deterministic augmentation,
+        # then the IDENTICAL pattern strings (pii.PII_PATTERNS is the
+        # spec, not the implementation) through DuckDB's RE2 —
+        # sequential 'g' replaces + raw-text detection counts
+        "text_pii_scrub": _PII_SQL,
         # 13-gram decontamination re-derived: same word 13-grams (with
         # the short-document whole-text fallback), banned set = the
         # doc_id % 7 == 0 slice, distinct-hit counts per corpus doc
