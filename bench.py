@@ -47,7 +47,8 @@ def build_spark() -> SparkSession:
 
 
 def bench_queries(spark: SparkSession, sf_dir: str):
-    from cdx_writer_spark.functions import dedup, extract, similarity
+    from cdx_writer_spark.functions import (decontam, dedup, extract,
+                                            similarity)
     from cdx_writer_spark.job import CDXConfig, cdx_lines
     from cdx_writer_spark.webview import pages_from_documents
     import __spark_entry__ as entrymod
@@ -79,6 +80,17 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "dedup_simhash": lambda: dedup.simhash_dedup(docs),
         "dedup_spans": lambda: dedup.drop_duplicate_spans(
             docs, span_words=10),
+        # clusters over the FAST (xxhash64) pair family: the bench
+        # measures the star alternation, not the portable-oracle hashes
+        "dedup_clusters": lambda: dedup.connected_components(
+            dedup.minhash_lsh_dedup(docs, threshold=0.5)),
+        "corpus_decontaminate": lambda: decontam.decontaminate(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            decontam.banned_ngram_digests(
+                docs.filter(F.col("doc_id") % 7 == 0), n=13),
+            n=13),
+        "text_pii_scrub": lambda: entrymod.q_text_pii_scrub(
+            spark, sf_dir),
         "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
         "extract_text": lambda: extract.extract_text(
             pages_from_documents(spark, sf_dir, amplify=AMPLIFY))
