@@ -655,6 +655,30 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.gif_frame_features(payloads, stride=2)
 
 
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-AVI video frame sampling (functions/avi.py RIFF
+    demux + functions/jpeg.py per-frame baseline-JPEG decode): every
+    doc gets a deterministic multi-frame grayscale MJPEG AVI, the
+    kernel walks the container and decodes every 2nd frame, and the
+    DuckDB oracle re-derives frame count, dimensions, exact-integer
+    luma sums AND the md5 of the comma-joined sample values from the
+    generation rule alone — a slip in chunk walking, frame extraction,
+    Huffman decoding or the IDCT could not match."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def avi_udf(ids):
+        import pandas as pd
+
+        from cdx_writer_spark.functions import avi as avilib
+        return pd.Series(
+            [avilib.synth_avi_bytes(int(d)) for d in ids])
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", avi_udf("doc_id"))
+    return multimodal.avi_frame_features(payloads, stride=2)
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode (stdlib Huffman+IDCT decoder,
     functions/jpeg.py): every doc gets a deterministic constant-block
@@ -975,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
         "gif_frames": q_gif_frames,
+        "avi_frames": q_avi_frames,
         "jpeg_decode": q_jpeg_decode,
         "bmp_decode": q_bmp_decode,
         "tiff_decode": q_tiff_decode,
@@ -1761,6 +1786,29 @@ def oracle_sql() -> dict[str, str]:
         # the rule: block (bx,by) of a (2+id%3)x(1+id%2)-block image is
         # (id*11 + (by*bw+bx)*29) % 256, pixel p's block is
         # ((p // w) // 8) * bw + (p % w) // 8
+        # MJPEG-AVI frames re-derived from the synth rule
+        # (avi.synth_avi_bytes: bw=2+id%3, bh=1+id%2 blocks,
+        # nf=1+id%4 frames, stride-2 sampling, frame f block (bx,by)
+        # = (id*11 + f*47 + (by*bw+bx)*29) % 256) — lossless DC-only
+        # JPEG frames, so decoded samples == generated samples
+        "avi_frames": (
+            "WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS bw, "
+            "1 + doc_id % 2 AS bh, 1 + doc_id % 4 AS nf "
+            "FROM documents), "
+            "fr AS (SELECT doc_id, bw, bh, nf, "
+            "CAST(t.f AS INTEGER) AS f FROM g, "
+            "unnest(range(0, nf)) AS t(f) WHERE t.f % 2 = 0), "
+            "px AS (SELECT doc_id, nf, f, 8 * bw AS w, 8 * bh AS h, "
+            "list_transform(range(0, 64 * bw * bh), p -> "
+            "(doc_id * 11 + f * 47 + (((p // (8 * bw)) // 8) * bw "
+            "+ ((p % (8 * bw)) // 8)) * 29) % 256) AS ls FROM fr) "
+            "SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, "
+            "f AS frame_index, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(list_aggregate(ls, 'sum') AS BIGINT) AS luma_sum, "
+            "md5(array_to_string(list_transform(ls, x -> x::VARCHAR), "
+            "',')) AS pix_md5, "
+            "'ok_avi' AS frame_status FROM px"),
         "jpeg_decode": (
             "WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS bw, "
             "1 + doc_id % 2 AS bh FROM documents), "

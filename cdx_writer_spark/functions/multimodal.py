@@ -387,9 +387,12 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
     Animated GIFs sample for real (:mod:`.gif` — hand LZW, every frame
     decoded, digest = md5 of the frame's RGB bytes, luma = the exact
     integer mean of the ITU-601-ish (54r+183g+19b)/256 weighting);
-    malformed GIFs yield one ``decode_error:*`` row.  Every other
-    video container needs ffmpeg/cv2 (absent here) and yields one
-    ``unsupported_format`` row, the marked integration point.  With
+    malformed GIFs yield one ``decode_error:*`` row.  MJPEG-AVI
+    containers also sample for real (:mod:`.avi` demux + :mod:`.jpeg`
+    per-frame decode; digest = md5 of the decoded sample bytes).
+    Every other video container needs ffmpeg/cv2 (absent here) and
+    yields one ``unsupported_format`` row, the marked integration
+    point.  With
     ``fake_decode=True`` the frame count and per-frame values derive
     deterministically from the payload digest — n_frames = 8 +
     (sha256 byte 2 mod 25), frame_digest = md5(hex_digest ':' index),
@@ -402,7 +405,9 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
         import hashlib
         import pandas as pd
 
+        from . import avi as avilib
         from . import gif as giflib
+        from . import jpeg as jpeglib
 
         for pdf in batches:
             out = {"doc_id": [], "n_frames": [], "frame_index": [],
@@ -441,6 +446,39 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
                             out["frame_digest"].append(
                                 hashlib.md5(rgb).hexdigest())
                             out["frame_luma_x256"].append(luma)
+                        continue
+                    if avilib.is_avi(data):
+                        # MJPEG-AVI: real container demux + per-frame
+                        # JPEG decode (functions/avi.py); digest = md5
+                        # of the decoded sample bytes
+                        try:
+                            _, _, _, jframes = avilib.parse_avi(data)
+                            for i in range(0, len(jframes), stride):
+                                w, h, nch, px = \
+                                    jpeglib.decode_jpeg(jframes[i])
+                                buf = bytes(px)
+                                npx = len(buf) // nch
+                                if nch >= 3:
+                                    luma = (54 * sum(buf[0::nch])
+                                            + 183 * sum(buf[1::nch])
+                                            + 19 * sum(buf[2::nch])) \
+                                        // (256 * npx)
+                                else:
+                                    luma = sum(buf) // npx
+                                out["doc_id"].append(doc_id)
+                                out["n_frames"].append(len(jframes))
+                                out["frame_index"].append(i)
+                                out["frame_digest"].append(
+                                    hashlib.md5(buf).hexdigest())
+                                out["frame_luma_x256"].append(luma)
+                        except (avilib.AviError,
+                                jpeglib.JpegError) as e:
+                            out["doc_id"].append(doc_id)
+                            out["n_frames"].append(None)
+                            out["frame_index"].append(None)
+                            out["frame_digest"].append(
+                                f"decode_error:{e}")
+                            out["frame_luma_x256"].append(None)
                         continue
                     # unsupported container (mp4/webm/... need
                     # ffmpeg/cv2, absent here): one status row via the
@@ -545,6 +583,91 @@ def gif_frame_features(df: DataFrame, bin_col: str = "payload",
                         ",".join(str(v) for v in lumas)
                         .encode()).hexdigest())
                     out["frame_status"].append("ok_gif")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=GIF_FRAME_SCHEMA)
+
+
+def avi_frame_features(df: DataFrame, bin_col: str = "payload",
+                       id_col: str = "doc_id",
+                       stride: int = 2) -> DataFrame:
+    """REAL video frame sampling from an MJPEG-AVI container — the
+    oracle-checkable face of the :mod:`.avi` parser composed with the
+    :mod:`.jpeg` decoder (the video pipeline's actual shape: container
+    demux, then per-frame still-image decode).
+
+    Every ``stride``-th frame yields one row with the frame's decoded
+    dimensions, ``luma_sum`` = exact int64 sum of the decoded samples
+    (grayscale MJPEG: the samples themselves) and ``pix_md5`` = md5 of
+    the comma-joined sample values — both engines hash the same UTF-8
+    string, so a slip in RIFF chunk walking, frame extraction, Huffman
+    decoding or the IDCT breaks the hash.  Malformed containers or
+    frames produce a single ``*_error:*`` row; non-AVI payloads a
+    ``not_avi`` row — never a batch abort."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+        import pandas as pd
+
+        from . import avi as avilib
+        from . import jpeg as jpeglib
+
+        def err_row(doc_id, status):
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(None)
+            out["frame_index"].append(None)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["luma_sum"].append(None)
+            out["pix_md5"].append(None)
+            out["frame_status"].append(status)
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_index": [],
+                   "width": [], "height": [], "luma_sum": [],
+                   "pix_md5": [], "frame_status": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    err_row(doc_id, "null_payload")
+                    continue
+                data = bytes(payload)
+                if not avilib.is_avi(data):
+                    err_row(doc_id, "not_avi")
+                    continue
+                try:
+                    _, _, _, frames = avilib.parse_avi(data)
+                except avilib.AviError as e:
+                    err_row(doc_id, f"container_error:{e}")
+                    continue
+                try:
+                    for i in range(0, len(frames), stride):
+                        w, h, nch, px = jpeglib.decode_jpeg(frames[i])
+                        if nch != 1:
+                            # color MJPEG: luma over RGB triplets
+                            lumas = [(54 * px[p] + 183 * px[p + 1]
+                                      + 19 * px[p + 2]) // 256
+                                     for p in range(0, len(px), 3)]
+                        else:
+                            lumas = list(px)
+                        out["doc_id"].append(doc_id)
+                        out["n_frames"].append(len(frames))
+                        out["frame_index"].append(i)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["luma_sum"].append(sum(lumas))
+                        out["pix_md5"].append(hashlib.md5(
+                            ",".join(str(v) for v in lumas)
+                            .encode()).hexdigest())
+                        out["frame_status"].append("ok_avi")
+                except jpeglib.JpegError as e:
+                    # drop this doc's partial rows: a per-doc error row
+                    # is clearer than a mixed ok/error fan-out
+                    while (out["doc_id"] and out["doc_id"][-1] == doc_id
+                           and out["frame_status"][-1] == "ok_avi"):
+                        for k in out:
+                            out[k].pop()
+                    err_row(doc_id, f"frame_error:{e}")
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(

@@ -59,6 +59,7 @@ def test_decoders_never_hang_or_leak_on_garbage(payload):
     the format's own error type (the per-row decode_error contract) —
     never any other exception and never succeed on garbage this
     short unless it genuinely parses."""
+    from cdx_writer_spark.functions.avi import AviError, parse_avi
     from cdx_writer_spark.functions.bmp import BmpError
     from cdx_writer_spark.functions.gif import GifError, decode_gif
     from cdx_writer_spark.functions.jpeg import JpegError, decode_jpeg
@@ -72,9 +73,26 @@ def test_decoders_never_hang_or_leak_on_garbage(payload):
         (b"BM", decode_bmp, BmpError),
         (b"II*\x00", decode_tiff, TiffError),
         (b"MM\x00*", decode_tiff, TiffError),
+        (b"RIFF\xff\x00\x00\x00AVI ", parse_avi, AviError),
     ]
     for magic, decoder, err in cases:
         try:
             decoder(magic + payload)
         except err:
             pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(doc_id=st.integers(0, 10_000),
+       n_frames=st.integers(1, 6))
+def test_avi_container_round_trip(doc_id, n_frames):
+    """The MJPEG-AVI wrapper must hand back exactly the JPEG byte
+    strings it was given, in order, with the declared geometry."""
+    from cdx_writer_spark.functions.avi import encode_mjpeg_avi, parse_avi
+    from cdx_writer_spark.functions.jpeg import encode_gray_blocks_jpeg
+
+    frames = [encode_gray_blocks_jpeg(1, 1, [[(doc_id + f) % 256]])
+              for f in range(n_frames)]
+    w, h, us, got = parse_avi(encode_mjpeg_avi(frames, 8, 8, 12345))
+    assert (w, h, us) == (8, 8, 12345)
+    assert got == frames
