@@ -255,6 +255,45 @@ def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "url", "clean_text", "n_spans", "n_kept")
 
 
+def q_web_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build with ALL hygiene stages composed: pages →
+    admission dispatch → HTML extraction → Gopher rule filter →
+    benchmark DECONTAMINATION (documents sharing a 13-gram with the
+    doc_id % 7 == 0 eval slice are dropped — the eval docs themselves
+    self-match and fall out, exactly as a real build excludes its eval
+    set) → planted-PII SCRUB (typed placeholders + per-pattern counts)
+    → corpus-wide duplicate-span removal.  One declarative plan per
+    stage boundary; the decontamination probe exchanges 16-byte
+    digests, the scrub is a pure projection, the span owner decision
+    exchanges digests only, and the PII counts ride the reassembly
+    join as passthrough columns.  The oracle re-derives every stage in
+    one SQL statement from shared fragments (`_CORPUS_ADM_CTES`,
+    `_ngram13_sql`, `_pii_scrub_sql`, `_SPAN_DEDUP_CTES`)."""
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract.extract_text(pages).filter(F.col("text").isNotNull())
+    gq = textstats.gopher_quality_stats(ext)
+    passing = ext.select("doc_id", "url", "text").join(
+        gq.filter(F.col("passes")).select("doc_id"), "doc_id")
+    banned = decontam.banned_ngram_digests(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0), n=13)
+    flags = decontam.decontaminate(passing, banned, n=13)
+    survivors = passing.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+    planted = F.concat(F.col("text"), _pii_aug_col())
+    scrub_in = survivors.select("doc_id", "url", planted.alias("text"))
+    t = F.col("text")
+    scrubbed = scrub_in.select(
+        "doc_id", "url", pii.scrub_col(t).alias("text"),
+        *pii.pii_counts(t))
+    clean = dedup.drop_duplicate_spans(
+        scrubbed, span_words=10,
+        passthrough_cols=("url", "n_email", "n_ssn", "n_phone",
+                          "n_ipv4"))
+    return clean.select("doc_id", "url", "clean_text", "n_spans",
+                        "n_kept", "n_email", "n_ssn", "n_phone",
+                        "n_ipv4")
+
+
 def q_frontier_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots pipeline end-to-end: per-host robots.txt TEXTS
     (synthesized deterministically: a cdxbot-specific group with
@@ -411,18 +450,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub over the documents table.  The synthetic corpus
-    carries no PII, so the query plants it deterministically first
-    (modulo-keyed email / phone / ipv4 / ssn suffixes — pure arithmetic
-    both engines reproduce exactly), then runs the real operator:
-    sequential typed-placeholder redaction + per-pattern detection
-    counts, one native projection, zero Python.  The oracle replays the
-    augmentation and runs the IDENTICAL pattern strings (Java-regex/
-    RE2 common subset) through DuckDB's RE2."""
+def _pii_aug_col() -> F.Column:
+    """The deterministic planted-PII suffix (modulo-keyed email /
+    phone / ipv4 / ssn) — pure arithmetic the oracle replays via
+    ``_PII_AUG_SQL``; the synthetic corpus itself carries no PII."""
     d = F.col("doc_id")
-    aug = F.concat(
-        F.col("text"),
+    return (
         F.when(d % 7 == 0,
                F.concat(F.lit(" contact user"), d.cast("string"),
                         F.lit("@example.com now")))
@@ -434,6 +467,18 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(F.lit(" ssn 123-45-"),
                        F.lpad((d % 10000).cast("string"), 4, "0")))
         .otherwise(F.lit("")))
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the documents table.  The synthetic corpus
+    carries no PII, so the query plants it deterministically first
+    (modulo-keyed email / phone / ipv4 / ssn suffixes — pure arithmetic
+    both engines reproduce exactly), then runs the real operator:
+    sequential typed-placeholder redaction + per-pattern detection
+    counts, one native projection, zero Python.  The oracle replays the
+    augmentation and runs the IDENTICAL pattern strings (Java-regex/
+    RE2 common subset) through DuckDB's RE2."""
+    aug = F.concat(F.col("text"), _pii_aug_col())
     docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
     return pii.scrub_pii(docs)
 
@@ -972,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_extract_text": q_cdx_extract_text,
         "web_text_pipeline": q_web_text_pipeline,
         "web_corpus_pipeline": q_web_corpus_pipeline,
+        "web_corpus_full": q_web_corpus_full,
         "cdx_checksum_fast": q_cdx_checksum_fast,
         "cdx_checksum_computed": q_cdx_checksum_computed,
         "cdx_mime_status": q_cdx_mime_status,
@@ -1053,6 +1099,56 @@ def _strip_sql(expr: str) -> str:
         "'&amp;', '&'), "
         "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))")
 
+# pages → extraction → Gopher admission, ending in an ``adm(doc_id,
+# url, text)`` CTE — the shared front half of the corpus-build oracles
+# (web_corpus_pipeline and web_corpus_full must not drift).
+_CORPUS_ADM_CTES = (
+    _EXTRACT_ELIG_CTE
+    + ", xt AS (SELECT doc_id, url, " + _strip_sql("body")
+    + " AS text FROM elig), "
+    "toks AS (SELECT doc_id, url, text, "
+    "string_split_regex(trim(text), '\\s+') AS tk, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS tkl "
+    "FROM xt), "
+    "gq AS (SELECT doc_id, url, text, "
+    "CAST(len(tk) AS BIGINT) AS n_words, "
+    "round(CAST(len(replace(text, ' ', '')) AS DOUBLE) "
+    "/ greatest(len(tk), 1), 6) AS mean_word_len, "
+    "round(CAST(length(text) - length(regexp_replace(text, "
+    "'[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
+    "/ greatest(length(text), 1), 6) AS punct_ratio, "
+    "round(CAST(len(list_filter(tk, t -> "
+    "regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) "
+    "/ greatest(len(tk), 1), 6) AS alpha_word_ratio, "
+    "CAST(len(list_filter(tkl, t -> t IN ('the', 'and', 'of', "
+    "'to', 'in', 'is', 'a'))) AS BIGINT) AS stop_hits "
+    "FROM toks), "
+    "adm AS (SELECT doc_id, url, text FROM gq "
+    "WHERE n_words >= 50 AND n_words <= 100000 "
+    "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+    "AND punct_ratio <= 0.1 AND alpha_word_ratio >= 0.8 "
+    "AND stop_hits >= 2)")
+
+# 10-word span dedup + ordered reassembly over an ``srcdocs(doc_id,
+# text)`` relation, ending in ``agg(doc_id, clean_text, n_spans,
+# n_kept)`` — the shared back half of the corpus-build oracles.
+_SPAN_DEDUP_CTES = (
+    "w AS (SELECT doc_id, string_split(text, ' ') AS words "
+    "FROM srcdocs), "
+    "ch AS (SELECT doc_id, CAST(t.g AS INTEGER) AS idx, "
+    "array_to_string(words[CAST(t.g*10+1 AS BIGINT):"
+    "CAST(t.g*10+10 AS BIGINT)], ' ') AS chunk "
+    "FROM w, unnest(range(0, (len(words)+9)//10)) AS t(g)), "
+    "ranked AS (SELECT doc_id, idx, chunk, "
+    "ROW_NUMBER() OVER (PARTITION BY chunk "
+    "ORDER BY doc_id, idx) AS rn FROM ch), "
+    "agg AS (SELECT doc_id, "
+    "coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, "
+    "' ' ORDER BY idx), '') AS clean_text, "
+    "CAST(count(*) AS BIGINT) AS n_spans, "
+    "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_kept FROM ranked GROUP BY doc_id)")
+
 # The synthesized record payload (webview.html_str) re-derived in pure
 # SQL — shared by the multimodal oracles.
 _PAYLOAD_SQL = (
@@ -1092,25 +1188,52 @@ _HEX_BYTE = ("((strpos('0123456789abcdef', substr(dg, {p1}, 1)) - 1) * 16"
 # the Spark operator applies (the patterns are the operator's spec;
 # both engines' regex dialects meet on the Java/RE2 common subset the
 # patterns are restricted to).
-def _pii_sql() -> str:
-    scrubbed = "text"
+def _ngram13_sql(src: str) -> str:
+    """``doc_id, sh`` (distinct word 13-grams with the whole-text
+    fallback) over ``src`` — shared by the decontamination oracles."""
+    return ("SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 13 "
+            "THEN list_transform(range(1, len(tk) - 11), i -> "
+            "array_to_string(list_slice(tk, i, i + 12), ' ')) "
+            "ELSE [array_to_string(tk, ' ')] END) AS sh FROM "
+            "(SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM " + src + ") _t")
+
+
+def _pii_scrub_sql(col: str) -> str:
+    scrubbed = col
     for _name, pat, repl in pii.PII_PATTERNS:
         scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
-    counts = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+    return scrubbed
+
+
+def _pii_counts_sql(col: str) -> str:
+    return ", ".join(
+        f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT) "
         f"AS n_{name}"
         for name, pat, _repl in pii.PII_PATTERNS)
+
+
+# the deterministic PII augmentation both engines replay (planted
+# because the synthetic corpus carries no PII)
+_PII_AUG_SQL = (
+    "CASE "
+    "WHEN doc_id % 7 = 0 THEN ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com now' "
+    "WHEN doc_id % 11 = 3 THEN "
+    "' call 555-123-4567 or +1 555-987-6543' "
+    "WHEN doc_id % 13 = 5 THEN ' from 192.168.1.77 and 10.0.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) "
+    "WHEN doc_id % 17 = 2 THEN ' ssn 123-45-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "ELSE '' END")
+
+
+def _pii_sql() -> str:
+    scrubbed = _pii_scrub_sql("text")
+    counts = _pii_counts_sql("text")
     return (
-        "WITH aug AS (SELECT doc_id, text || CASE "
-        "WHEN doc_id % 7 = 0 THEN ' contact user' || "
-        "CAST(doc_id AS VARCHAR) || '@example.com now' "
-        "WHEN doc_id % 11 = 3 THEN "
-        "' call 555-123-4567 or +1 555-987-6543' "
-        "WHEN doc_id % 13 = 5 THEN ' from 192.168.1.77 and 10.0.0.' || "
-        "CAST(doc_id % 250 AS VARCHAR) "
-        "WHEN doc_id % 17 = 2 THEN ' ssn 123-45-' || "
-        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
-        "ELSE '' END AS text FROM documents) "
+        "WITH aug AS (SELECT doc_id, text || " + _PII_AUG_SQL +
+        " AS text FROM documents) "
         f"SELECT doc_id, {scrubbed} AS clean_text, {counts} FROM aug")
 
 
@@ -1426,12 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         # the short-document whole-text fallback), banned set = the
         # doc_id % 7 == 0 slice, distinct-hit counts per corpus doc
         "corpus_decontaminate": (
-            "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), "
-            "'\\s+') AS tk FROM documents), "
-            "shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 13 "
-            "THEN list_transform(range(1, len(tk) - 11), i -> "
-            "array_to_string(list_slice(tk, i, i + 12), ' ')) "
-            "ELSE [array_to_string(tk, ' ')] END) AS sh FROM tk), "
+            "WITH shg AS (" + _ngram13_sql("documents") + "), "
             "banned AS (SELECT DISTINCT unnest(sh) AS s FROM shg "
             "WHERE doc_id % 7 = 0), "
             "ex AS (SELECT doc_id, unnest(sh) AS s FROM shg "
@@ -1566,48 +1684,36 @@ def oracle_sql() -> dict[str, str]:
         # the COMPLETE corpus build re-derived stage by stage:
         # extraction -> Gopher admission -> corpus-wide span dedup
         "web_corpus_pipeline": (
-            _W + _EXTRACT_ELIG_CTE
-            + ", xt AS (SELECT doc_id, url, " + _strip_sql("body")
-            + " AS text FROM elig), "
-            "toks AS (SELECT doc_id, url, text, "
-            "string_split_regex(trim(text), '\\s+') AS tk, "
-            "string_split_regex(trim(lower(text)), '\\s+') AS tkl "
-            "FROM xt), "
-            "gq AS (SELECT doc_id, url, text, "
-            "CAST(len(tk) AS BIGINT) AS n_words, "
-            "round(CAST(len(replace(text, ' ', '')) AS DOUBLE) "
-            "/ greatest(len(tk), 1), 6) AS mean_word_len, "
-            "round(CAST(length(text) - length(regexp_replace(text, "
-            "'[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
-            "/ greatest(length(text), 1), 6) AS punct_ratio, "
-            "round(CAST(len(list_filter(tk, t -> "
-            "regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) "
-            "/ greatest(len(tk), 1), 6) AS alpha_word_ratio, "
-            "CAST(len(list_filter(tkl, t -> t IN ('the', 'and', 'of', "
-            "'to', 'in', 'is', 'a'))) AS BIGINT) AS stop_hits "
-            "FROM toks), "
-            "adm AS (SELECT doc_id, url, text FROM gq "
-            "WHERE n_words >= 50 AND n_words <= 100000 "
-            "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
-            "AND punct_ratio <= 0.1 AND alpha_word_ratio >= 0.8 "
-            "AND stop_hits >= 2), "
-            "w AS (SELECT doc_id, string_split(text, ' ') AS words "
-            "FROM adm), "
-            "ch AS (SELECT doc_id, CAST(t.g AS INTEGER) AS idx, "
-            "array_to_string(words[CAST(t.g*10+1 AS BIGINT):"
-            "CAST(t.g*10+10 AS BIGINT)], ' ') AS chunk "
-            "FROM w, unnest(range(0, (len(words)+9)//10)) AS t(g)), "
-            "ranked AS (SELECT doc_id, idx, chunk, "
-            "ROW_NUMBER() OVER (PARTITION BY chunk "
-            "ORDER BY doc_id, idx) AS rn FROM ch), "
-            "agg AS (SELECT doc_id, "
-            "coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, "
-            "' ' ORDER BY idx), '') AS clean_text, "
-            "CAST(count(*) AS BIGINT) AS n_spans, "
-            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_kept FROM ranked GROUP BY doc_id) "
-            "SELECT a.doc_id, p.url, a.clean_text, a.n_spans, a.n_kept "
-            "FROM agg a JOIN adm p USING (doc_id)"),
+            _W + _CORPUS_ADM_CTES
+            + ", srcdocs AS (SELECT doc_id, text FROM adm), "
+            + _SPAN_DEDUP_CTES +
+            " SELECT a.doc_id, p.url, a.clean_text, a.n_spans, "
+            "a.n_kept FROM agg a JOIN adm p USING (doc_id)"),
+        # every hygiene stage composed: admission CTEs, then
+        # decontamination vs the %7 eval slice (over the EXTRACTED
+        # text), planted-PII scrub, span dedup + reassembly
+        "web_corpus_full": (
+            _W + _CORPUS_ADM_CTES
+            + ", bshg AS (" + _ngram13_sql(
+                "(SELECT doc_id, text FROM documents "
+                "WHERE doc_id % 7 = 0)") + "), "
+            "banned AS (SELECT DISTINCT unnest(sh) AS s FROM bshg), "
+            "ashg AS (" + _ngram13_sql(
+                "(SELECT doc_id, text FROM adm)") + "), "
+            "cont AS (SELECT DISTINCT a.doc_id FROM "
+            "(SELECT doc_id, unnest(sh) AS s FROM ashg) a "
+            "JOIN banned USING (s)), "
+            "surv AS (SELECT doc_id, url, text || " + _PII_AUG_SQL +
+            " AS text FROM adm WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM cont)), "
+            "scr AS (SELECT doc_id, url, "
+            + _pii_scrub_sql("text") + " AS text, "
+            + _pii_counts_sql("text") + " FROM surv), "
+            "srcdocs AS (SELECT doc_id, text FROM scr), "
+            + _SPAN_DEDUP_CTES +
+            " SELECT a.doc_id, p.url, a.clean_text, a.n_spans, "
+            "a.n_kept, p.n_email, p.n_ssn, p.n_phone, p.n_ipv4 "
+            "FROM agg a JOIN scr p USING (doc_id)"),
         # Gopher rules re-decided in SQL: same measures, same round-6
         # grid, same thresholds — booleans compare exactly
         "quality_gopher": (

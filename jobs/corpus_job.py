@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """The training-corpus build job: pages table -> admission dispatch ->
-HTML->text extraction -> Gopher rule filter -> corpus-wide
-duplicate-span removal -> clean (doc_id, url, clean_text) parquet.
+HTML->text extraction -> Gopher rule filter -> optional benchmark
+decontamination (``--decontaminate-against eval.parquet``) -> optional
+PII scrub (``--pii-scrub``) -> corpus-wide duplicate-span removal ->
+clean (doc_id, url, clean_text) parquet.
 
 Ship it the way the north star specifies::
 
@@ -44,6 +46,14 @@ def main() -> None:
                    help="write per-stage counters as JSON")
     p.add_argument("--span-words", type=int, default=10)
     p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--decontaminate-against", default=None,
+                   metavar="PARQUET",
+                   help="drop documents sharing a 13-gram with this "
+                   "held-out (doc_id, text) eval table")
+    p.add_argument("--pii-scrub", action="store_true",
+                   help="redact emails/SSNs/phones/IPv4 with typed "
+                   "placeholders before span dedup and carry "
+                   "per-pattern detection counts into the output")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = p.parse_args()
@@ -63,7 +73,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    from cdx_writer_spark.functions import dedup, extract, textstats
+    from cdx_writer_spark.functions import (decontam, dedup, extract,
+                                            pii, textstats)
 
     pages = spark.read.parquet(args.pages)
     n_pages = pages.count()
@@ -76,9 +87,30 @@ def main() -> None:
         gq.filter(F.col("passes")).select("doc_id"), "doc_id").persist()
     n_admitted = passing.count()
     n_extracted = ext.count()
+    n_decontaminated = 0
+    if args.decontaminate_against:
+        eval_docs = spark.read.parquet(args.decontaminate_against)
+        banned = decontam.banned_ngram_digests(eval_docs, n=13)
+        flags = decontam.decontaminate(passing, banned, n=13)
+        survivors = passing.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id").persist()
+        n_kept_docs = survivors.count()
+        n_decontaminated = n_admitted - n_kept_docs
+        passing.unpersist()
+        passing = survivors
+    passthrough = ["url"]
+    if args.pii_scrub:
+        t = F.col("text")
+        passing = passing.select(
+            "doc_id", "url", pii.scrub_col(t).alias("text"),
+            *pii.pii_counts(t))
+        passthrough += ["n_email", "n_ssn", "n_phone", "n_ipv4"]
     clean = dedup.drop_duplicate_spans(
-        passing, span_words=args.span_words, passthrough_cols=("url",))
-    clean.select("doc_id", "url", "clean_text", "n_spans", "n_kept") \
+        passing, span_words=args.span_words,
+        passthrough_cols=tuple(passthrough))
+    clean.select("doc_id", *passthrough, "clean_text", "n_spans",
+                 "n_kept") \
         .write.mode("error").parquet(args.out)
     agg = spark.read.parquet(args.out).agg(
         F.count("*").alias("docs"),
@@ -89,6 +121,7 @@ def main() -> None:
         "pages": n_pages,
         "extracted": n_extracted,
         "admitted": n_admitted,
+        "decontaminated": n_decontaminated,
         "clean_docs": agg["docs"],
         "spans_total": int(agg["spans_total"] or 0),
         "spans_kept": int(agg["spans_kept"] or 0),

@@ -139,3 +139,37 @@ def test_corpus_job_via_spark_submit_pyfiles(spark, tmp_path):
     assert stats["admitted"] == len(got)
     assert stats["spans_kept"] <= stats["spans_total"]
     assert stats["extracted"] >= stats["admitted"]
+
+
+def test_corpus_job_hygiene_flags(spark, tmp_path):
+    """--decontaminate-against + --pii-scrub: the opt-in hygiene
+    stages drop eval-overlapping documents and carry PII counts into
+    the output schema (plain-python run, repo-path fallback)."""
+    from pyspark.sql import functions as F
+
+    from cdx_writer_spark.webview import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    pages_dir = str(tmp_path / "pages.parquet")
+    pages_from_documents(spark, sf).write.parquet(pages_dir)
+    eval_dir = str(tmp_path / "eval.parquet")
+    (spark.read.parquet(f"{sf}/documents.parquet")
+     .filter(F.col("doc_id") % 7 == 0)
+     .select("doc_id", "text").write.parquet(eval_dir))
+
+    out = str(tmp_path / "out_corpus")
+    stats_file = str(tmp_path / "stats.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "corpus_job.py"),
+         pages_dir, out, "--stats-file", stats_file, "--cpus", "4",
+         "--decontaminate-against", eval_dir, "--pii-scrub"],
+        capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    stats = json.load(open(stats_file))
+    assert stats["decontaminated"] > 0
+    assert stats["clean_docs"] == stats["admitted"] - \
+        stats["decontaminated"]
+    got = spark.read.parquet(out)
+    assert {"n_email", "n_ssn", "n_phone", "n_ipv4"} <= set(got.columns)
+    assert got.count() == stats["clean_docs"]
