@@ -625,6 +625,22 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, queries, k=5, m=8, ksub=16, stride=31)
 
 
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Faiss-IVFADC-shaped, no residuals): the vec_id % 37
+    coarse cells restrict the scan to nprobe=2 cells per query, PQ-ADC
+    (m=8, ksub=16, vec_id % 31 codebook) ranks within them.  The SQL
+    oracle composes the similarity_ivf cell CTEs with the
+    similarity_pq code/LUT CTEs and re-derives the cell-restricted ADC
+    sums; nprobe >= n_cells degenerating to exactly pq_topk is
+    pytest-gated (`tests/test_similarity_quality.py`)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.ivfpq_topk(emb, queries, k=5, m=8, ksub=16,
+                                 pq_stride=31, centroid_stride=37,
+                                 nprobe=2)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs over a view with PLANTED near-duplicates:
     every 10th vector gets a clone (id + 10M) scaled by exactly 2.0 —
@@ -1041,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_probe": q_similarity_lsh_probe,
         "similarity_ivf": q_similarity_ivf,
         "similarity_pq": q_similarity_pq,
+        "similarity_ivfpq": q_similarity_ivfpq,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
@@ -1321,6 +1338,56 @@ def _cos_sql(a: str, b: str) -> str:
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
         f"* sqrt(list_aggregate(list_transform({b}, "
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))")
+
+
+# IVF coarse-cell CTEs (c/cell_scores/asg/qcells) and PQ
+# code/LUT CTEs (js/cent/dists/codes/lut) — shared verbatim by
+# similarity_ivf, similarity_pq and their composition
+# similarity_ivfpq so the three oracles cannot drift.
+_IVF_CTES = (
+    "c AS (SELECT vec_id AS cid, embedding AS cvec "
+            "FROM embeddings WHERE vec_id % 37 = 0), "
+            "cell_scores AS (SELECT e.vec_id, e.embedding, c.cid, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 9) "
+            "DESC, c.cid ASC) AS INTEGER) AS crn "
+            "FROM embeddings e CROSS JOIN c), "
+            "asg AS (SELECT vec_id, embedding, cid AS cell "
+            "FROM cell_scores WHERE crn = 1), "
+            "qcells AS (SELECT vec_id AS q_id, embedding AS q_vec, "
+            "cid AS cell FROM cell_scores "
+            "WHERE vec_id < 3 AND crn <= 2), "
+)
+
+_PQ_CTES = (
+    "js AS (SELECT unnest(range(0,8)) AS j), "
+            "cent AS (SELECT "
+            "CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) "
+            "AS c, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            "AS cvec FROM embeddings WHERE vec_id % 31 = 0 "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16), "
+            "dists AS (SELECT e.vec_id, js.j, cent.c, "
+            "round(list_aggregate(list_transform(list_zip("
+            "e.embedding[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)], "
+            "cent.cvec[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)]), "
+            "x -> (CAST(x[1] AS DOUBLE) - x[2]) "
+            "* (CAST(x[1] AS DOUBLE) - x[2])), 'sum'), 9) AS dist "
+            "FROM embeddings e CROSS JOIN js CROSS JOIN cent), "
+            "codes AS (SELECT vec_id, j, c FROM dists "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j "
+            "ORDER BY dist, c) = 1), "
+            "lut AS (SELECT q.vec_id AS q_id, js.j, cent.c, "
+            "round(list_aggregate(list_transform(list_zip("
+            "q.embedding[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)], "
+            "cent.cvec[CAST(js.j*8+1 AS BIGINT):"
+            "CAST(js.j*8+8 AS BIGINT)]), "
+            "x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum'), 9) AS ip "
+            "FROM embeddings q CROSS JOIN js CROSS JOIN cent "
+            "WHERE q.vec_id < 3), "
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2015,18 +2082,8 @@ def oracle_sql() -> dict[str, str]:
             "substr(frame_digest, 2, 1)) - 1) AS INTEGER) "
             "AS frame_luma_x256 FROM fd"),
         "similarity_ivf": (
-            "WITH c AS (SELECT vec_id AS cid, embedding AS cvec "
-            "FROM embeddings WHERE vec_id % 37 = 0), "
-            "cell_scores AS (SELECT e.vec_id, e.embedding, c.cid, "
-            "CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id "
-            f"ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 9) "
-            "DESC, c.cid ASC) AS INTEGER) AS crn "
-            "FROM embeddings e CROSS JOIN c), "
-            "asg AS (SELECT vec_id, embedding, cid AS cell "
-            "FROM cell_scores WHERE crn = 1), "
-            "qcells AS (SELECT vec_id AS q_id, embedding AS q_vec, "
-            "cid AS cell FROM cell_scores "
-            "WHERE vec_id < 3 AND crn <= 2), "
+            "WITH " + _IVF_CTES +
+            
             "cand AS (SELECT qc.q_id, a.vec_id, "
             f"round({_cos_sql('a.embedding', 'qc.q_vec')}, 4) AS cosine "
             "FROM asg a JOIN qcells qc ON a.cell = qc.cell), "
@@ -2042,38 +2099,32 @@ def oracle_sql() -> dict[str, str]:
         # code-indexed ADC sum (list fold over j — matches Spark's
         # left-fold aggregate), rank by (approx_ip DESC, vec_id ASC)
         "similarity_pq": (
-            "WITH js AS (SELECT unnest(range(0,8)) AS j), "
-            "cent AS (SELECT "
-            "CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) "
-            "AS c, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
-            "AS cvec FROM embeddings WHERE vec_id % 31 = 0 "
-            "QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16), "
-            "dists AS (SELECT e.vec_id, js.j, cent.c, "
-            "round(list_aggregate(list_transform(list_zip("
-            "e.embedding[CAST(js.j*8+1 AS BIGINT):"
-            "CAST(js.j*8+8 AS BIGINT)], "
-            "cent.cvec[CAST(js.j*8+1 AS BIGINT):"
-            "CAST(js.j*8+8 AS BIGINT)]), "
-            "x -> (CAST(x[1] AS DOUBLE) - x[2]) "
-            "* (CAST(x[1] AS DOUBLE) - x[2])), 'sum'), 9) AS dist "
-            "FROM embeddings e CROSS JOIN js CROSS JOIN cent), "
-            "codes AS (SELECT vec_id, j, c FROM dists "
-            "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j "
-            "ORDER BY dist, c) = 1), "
-            "lut AS (SELECT q.vec_id AS q_id, js.j, cent.c, "
-            "round(list_aggregate(list_transform(list_zip("
-            "q.embedding[CAST(js.j*8+1 AS BIGINT):"
-            "CAST(js.j*8+8 AS BIGINT)], "
-            "cent.cvec[CAST(js.j*8+1 AS BIGINT):"
-            "CAST(js.j*8+8 AS BIGINT)]), "
-            "x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum'), 9) AS ip "
-            "FROM embeddings q CROSS JOIN js CROSS JOIN cent "
-            "WHERE q.vec_id < 3), "
+            "WITH " + _PQ_CTES +
+            
             "approx AS (SELECT l.q_id, cd.vec_id, "
             "round(list_aggregate(list(l.ip ORDER BY cd.j), 'sum'), 4) "
             "AS approx_ip "
             "FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c "
             "GROUP BY l.q_id, cd.vec_id), "
+            "ranked AS (SELECT q_id, vec_id, approx_ip, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q_id "
+            "ORDER BY approx_ip DESC, vec_id ASC) AS INTEGER) AS rank "
+            "FROM approx) "
+            "SELECT q_id, vec_id, approx_ip, rank FROM ranked "
+            "WHERE rank <= 5"),
+        # IVF-PQ composed: the IVF cell CTEs restrict which (query,
+        # vector) pairs score, the PQ code/LUT CTEs provide the ADC
+        # sums — identical fragments to the two component oracles
+        "similarity_ivfpq": (
+            "WITH " + _IVF_CTES + _PQ_CTES +
+            "approx AS (SELECT qc.q_id, cd.vec_id, "
+            "round(list_aggregate(list(l.ip ORDER BY cd.j), 'sum'), 4) "
+            "AS approx_ip "
+            "FROM asg a JOIN qcells qc ON a.cell = qc.cell "
+            "JOIN codes cd ON cd.vec_id = a.vec_id "
+            "JOIN lut l ON l.q_id = qc.q_id AND l.j = cd.j "
+            "AND l.c = cd.c "
+            "GROUP BY qc.q_id, cd.vec_id), "
             "ranked AS (SELECT q_id, vec_id, approx_ip, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY q_id "
             "ORDER BY approx_ip DESC, vec_id ASC) AS INTEGER) AS rank "

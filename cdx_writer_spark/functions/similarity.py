@@ -587,3 +587,77 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
             F.lit(0.0), lambda acc, v: acc + v), 4).alias("approx_ip"))
     return topk_per_query(scored, k, q_id_col, id_col,
                           score_col="approx_ip")
+
+
+def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+               m: int = 8, ksub: int = 16, pq_stride: int = 31,
+               centroid_stride: int = 37, nprobe: int = 2,
+               dim: int | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+               ivf_codebook: DataFrame | None = None,
+               pq_codebook: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ approximate top-k — the production ANN shape (Faiss
+    IVFADC without residual encoding): a coarse quantizer restricts
+    the scan to the query's ``nprobe`` cells, and WITHIN them vectors
+    are ranked by the PQ-ADC approximate inner product over their
+    ``m``-byte codes.
+
+    Scale shape (this is why the tier exists): the index build is ONE
+    map-only projection per vector — cell id + PQ codes against two
+    broadcast one-row codebooks, no shuffle — and the query scan reads
+    ONLY (cell, codes): ``nprobe / n_cells`` of the corpus touched,
+    m table lookups + adds per candidate regardless of dim, vectors
+    themselves never read after the build.  At 10^10 × dim-1536
+    vectors that is the difference between scanning 60 TB of floats
+    and ~5% of a 480 GB code column.  The only exchange is the narrow
+    two-stage rank of :func:`topk_per_query`.
+
+    Composition contract (pytest-gated): with ``nprobe >=`` the cell
+    count the result equals :func:`pq_topk` exactly (probing every
+    cell degenerates to the full ADC scan); the oracle re-derives the
+    whole pipeline (cells, codes, LUTs, cell-restricted ADC sums) in
+    SQL.  Both codebooks accept trained frames (``kmeans_codebook`` /
+    per-subspace k-means) through the same aggregation paths.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).limit(1).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    cents = ivf_codebook if ivf_codebook is not None else (
+        emb.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col(vec_col).alias("cvec")))
+    cb_ivf = _codebook_row(cents)
+    cb_pq = pq_codebook if pq_codebook is not None else pq_codebook_row(
+        emb, ksub, pq_stride, id_col, vec_col)
+    # the index build: cell + codes in one map-only stage
+    enc = (emb.crossJoin(F.broadcast(cb_ivf))
+           .crossJoin(F.broadcast(cb_pq))
+           .select(F.col(id_col),
+                   _nearest_cells(F.col(vec_col), 1)[0].alias("cell"),
+                   pq_codes_col(F.col(vec_col), m, d).alias("codes")))
+    q_cells = queries.crossJoin(F.broadcast(cb_ivf)).select(
+        F.col(q_id_col), F.col(q_vec_col),
+        F.explode(_nearest_cells(F.col(q_vec_col), nprobe))
+        .alias("cell"))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.col("_pq"),
+            lambda cv: F.round(dot_col(F.slice(F.col(q_vec_col),
+                                               j * d + 1, d),
+                                       F.slice(cv, j * d + 1, d)), 9)))
+    q_lut = q_cells.crossJoin(F.broadcast(cb_pq)).select(
+        F.col(q_id_col), F.col("cell"), lut.alias("_lut"))
+    # every vector lives in exactly one cell and a query's nprobe
+    # cells are distinct -> each (query, vector) matches at most once
+    scored = enc.join(F.broadcast(q_lut), "cell").select(
+        q_id_col, id_col,
+        F.round(F.aggregate(
+            F.zip_with(F.col("codes"), F.col("_lut"),
+                       lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0), lambda acc, v: acc + v), 4).alias("approx_ip"))
+    return topk_per_query(scored, k, q_id_col, id_col,
+                          score_col="approx_ip")

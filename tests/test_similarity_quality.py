@@ -400,3 +400,31 @@ def test_pq_deterministic_across_partitioning(spark, emb):
     b = sorted(map(tuple, similarity.pq_topk(
         emb.repartition(13), queries, k=5).collect()))
     assert a == b
+
+
+def test_ivfpq_degenerates_to_pq_when_probing_all_cells(spark, emb):
+    """The composition contract: with nprobe >= the cell count, IVF-PQ
+    must equal the full PQ-ADC scan EXACTLY (cells only restrict which
+    candidates score; they never change a score)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    n_cells = emb.filter(F.col("vec_id") % 37 == 0).count()
+    full = similarity.ivfpq_topk(emb, queries, k=5, nprobe=n_cells)
+    plain = similarity.pq_topk(emb, queries, k=5)
+    assert sorted(map(tuple, full.collect())) \
+        == sorted(map(tuple, plain.collect()))
+
+
+def test_ivfpq_is_subset_of_pq_candidates(spark, emb):
+    """With nprobe=2 every (q, vec, score) IVF-PQ emits must carry the
+    same approx_ip the full ADC scan assigns that pair (the cell
+    restriction prunes, never rescores)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    sub = similarity.ivfpq_topk(emb, queries, k=5, nprobe=2)
+    big_k = emb.count()
+    full = similarity.pq_topk(emb, queries, k=big_k)
+    full_scores = {(r["q_id"], r["vec_id"]): r["approx_ip"]
+                   for r in full.collect()}
+    for r in sub.collect():
+        assert full_scores[(r["q_id"], r["vec_id"])] == r["approx_ip"]
