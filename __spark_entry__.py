@@ -272,8 +272,15 @@ def q_web_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir)
     ext = extract.extract_text(pages).filter(F.col("text").isNotNull())
     gq = textstats.gopher_quality_stats(ext)
-    passing = ext.select("doc_id", "url", "text").join(
-        gq.filter(F.col("passes")).select("doc_id"), "doc_id")
+    # stage-boundary materialization, exactly like jobs/corpus_job.py:
+    # decontaminate() consumes `passing` twice (probe + outcome join)
+    # and drop_duplicate_spans consumes its input twice (explode +
+    # rebuild) — without these persists the extraction subtree would
+    # re-execute ~4-6x.  Registered on the shared release path
+    # (dedup.release_candidate_caches) like every other cached frame.
+    passing = dedup._persist_candidates(
+        ext.select("doc_id", "url", "text").join(
+            gq.filter(F.col("passes")).select("doc_id"), "doc_id"))
     banned = decontam.banned_ngram_digests(
         _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0), n=13)
     flags = decontam.decontaminate(passing, banned, n=13)
@@ -282,9 +289,9 @@ def q_web_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = F.concat(F.col("text"), _pii_aug_col())
     scrub_in = survivors.select("doc_id", "url", planted.alias("text"))
     t = F.col("text")
-    scrubbed = scrub_in.select(
+    scrubbed = dedup._persist_candidates(scrub_in.select(
         "doc_id", "url", pii.scrub_col(t).alias("text"),
-        *pii.pii_counts(t))
+        *pii.pii_counts(t)))
     clean = dedup.drop_duplicate_spans(
         scrubbed, span_words=10,
         passthrough_cols=("url", "n_email", "n_ssn", "n_phone",

@@ -117,9 +117,12 @@ def encode_mjpeg_avi(frames, width: int, height: int,
         "<IIIIIIIIIIIIII",
         us_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0,
         width, height, 0, 0, 0, 0)
+    # dwScale=us_per_frame, dwRate=1e6 -> fps = dwRate/dwScale (the
+    # strh pair is (scale, rate) in that order; swapping them declares
+    # 0.04 fps instead of 25 to players that honor strh over avih)
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"MJPG", 0, 0, 0, 0, 1_000_000, us_per_frame,
+        b"vids", b"MJPG", 0, 0, 0, 0, us_per_frame, 1_000_000,
         0, len(frames), 0, 0xFFFFFFFF, 0, 0, 0, width, height)
     strf = struct.pack(
         "<IiiHH4sIiiII",

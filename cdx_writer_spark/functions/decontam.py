@@ -7,8 +7,9 @@ or scrub it — otherwise eval answers leak into the training data.
 
 Scale shape (the 100 TB path):
 
-* Both sides reduce to 16-byte ``md5`` n-gram digests before any
-  exchange; n-gram TEXT never shuffles.
+* Both sides reduce to 16-byte BINARY ``unhex(md5)`` n-gram digests
+  before any exchange (md5's hex string form would double the
+  shuffled bytes); n-gram TEXT never shuffles.
 * The corpus side explodes per-document DISTINCT n-grams (the within-
   document dedup happens before the exchange, so a document repeating
   one banned phrase k times contributes one probe row, not k).
@@ -32,15 +33,15 @@ from .dedup import shingles_col
 
 def banned_ngram_digests(test_docs: DataFrame, n: int = 13,
                          text_col: str = "text") -> DataFrame:
-    """The distinct 16-byte digests of every word n-gram in the
-    held-out set: one column ``_h``.  Documents shorter than n words
+    """The distinct 16-byte binary digests of every word n-gram in
+    the held-out set: one column ``_h``.  Documents shorter than n words
     contribute their whole text as a single n-gram (the
     :func:`~cdx_writer_spark.functions.dedup.shingles_col` fallback),
     so short eval rows are still protected."""
     return (
         test_docs
         .select(F.explode(shingles_col(F.col(text_col), k=n)).alias("_s"))
-        .select(F.md5("_s").alias("_h"))
+        .select(F.unhex(F.md5("_s")).alias("_h"))
         .distinct()
     )
 
@@ -59,7 +60,7 @@ def decontaminate(docs: DataFrame, banned: DataFrame, n: int = 13,
     probes = docs.select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), k=n)).alias("_s"),
-    ).select(id_col, F.md5("_s").alias("_h"))
+    ).select(id_col, F.unhex(F.md5("_s")).alias("_h"))
     hits = (
         probes.join(banned, "_h")
         .groupBy(id_col)

@@ -803,9 +803,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     * The driver-side convergence check reads a 1-row signature
       aggregate (count + hash-sum) per round — O(log n) tiny jobs, no
       data collected.
-    * Each round's edge frame is persisted and the previous round's
-      unpersisted once the signature is read, so lineage stays one
-      round deep (no exponential replay on the final labels job).
+    * Each round's edge frame is eagerly checkpointed and the previous
+      round's blocks explicitly released once the new round is
+      materialized, so both the plan depth and the stored edge state
+      stay one round deep (no exponential replay on the final labels
+      job, no block accumulation across rounds).
 
     Determinism: the result is a pure function of the input pair SET —
     partitioning, round count and evaluation order cannot change the
@@ -852,15 +854,41 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # executor loss in play, swap localCheckpoint for a reliable
     # ``checkpoint()`` (HDFS/object-store checkpoint dir) — the round
     # structure is identical.
+    #
+    # Block release: ``DataFrame.unpersist()`` only clears CacheManager
+    # entries and does NOT touch a localCheckpoint's RDD blocks (those
+    # are freed when the JVM RDD is GC'd — unboundedly late).  Each
+    # round's checkpoint blocks are therefore released explicitly via
+    # the persistent-RDD registry, identified by diffing the registry
+    # around the checkpoint call (this function is synchronous, so the
+    # diff window contains only its own RDDs).
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids) -> None:
+        reg = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            ref = reg.get(i)
+            if ref is not None:
+                ref.unpersist(False)
+
+    seen_ids = _persistent_ids()
     cur = edges.localCheckpoint(eager=True)
+    cur_ids = _persistent_ids() - seen_ids
     cur_sig = signature(cur)
     for _ in range(max_rounds):
         # eager checkpoint: nxt is fully materialized with truncated
         # lineage before cur's blocks are released below
+        seen_ids = _persistent_ids()
         nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        nxt_ids = _persistent_ids() - seen_ids
         nxt_sig = signature(nxt)
-        cur.unpersist()
-        cur, cur_sig, prev_sig = nxt, nxt_sig, cur_sig
+        _release(cur_ids)
+        cur, cur_ids = nxt, nxt_ids
+        cur_sig, prev_sig = nxt_sig, cur_sig
         if nxt_sig == prev_sig:
             break
     else:  # pragma: no cover - star alternation always converges

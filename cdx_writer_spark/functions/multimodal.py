@@ -473,6 +473,16 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
                                 out["frame_luma_x256"].append(luma)
                         except (avilib.AviError,
                                 jpeglib.JpegError) as e:
+                            # a mid-stream bad frame passes the
+                            # container parse (only SOI is checked);
+                            # drop this doc's partial ok rows so one
+                            # doc never mixes ok and error rows
+                            while (out["doc_id"]
+                                   and out["doc_id"][-1] == doc_id
+                                   and out["frame_index"][-1]
+                                   is not None):
+                                for key in out:
+                                    out[key].pop()
                             out["doc_id"].append(doc_id)
                             out["n_frames"].append(None)
                             out["frame_index"].append(None)

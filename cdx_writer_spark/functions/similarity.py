@@ -639,7 +639,7 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                    _nearest_cells(F.col(vec_col), 1)[0].alias("cell"),
                    pq_codes_col(F.col(vec_col), m, d).alias("codes")))
     q_cells = queries.crossJoin(F.broadcast(cb_ivf)).select(
-        F.col(q_id_col), F.col(q_vec_col),
+        F.col(q_id_col),
         F.explode(_nearest_cells(F.col(q_vec_col), nprobe))
         .alias("cell"))
     lut = F.transform(
@@ -649,11 +649,17 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
             lambda cv: F.round(dot_col(F.slice(F.col(q_vec_col),
                                                j * d + 1, d),
                                        F.slice(cv, j * d + 1, d)), 9)))
-    q_lut = q_cells.crossJoin(F.broadcast(cb_pq)).select(
-        F.col(q_id_col), F.col("cell"), lut.alias("_lut"))
+    # the m x ksub LUT depends only on the query vector: build it ONCE
+    # per query and join the nprobe cell rows onto it by q_id —
+    # building it on q_cells would recompute the identical table
+    # nprobe times per query (32-64x redundant arithmetic at
+    # production probe counts)
+    q_lut = queries.crossJoin(F.broadcast(cb_pq)).select(
+        F.col(q_id_col), lut.alias("_lut"))
     # every vector lives in exactly one cell and a query's nprobe
     # cells are distinct -> each (query, vector) matches at most once
-    scored = enc.join(F.broadcast(q_lut), "cell").select(
+    scored = enc.join(F.broadcast(q_cells), "cell") \
+        .join(F.broadcast(q_lut), q_id_col).select(
         q_id_col, id_col,
         F.round(F.aggregate(
             F.zip_with(F.col("codes"), F.col("_lut"),

@@ -95,3 +95,44 @@ def test_sample_frames_real_avi_path(spark):
     assert [r["frame_index"] for r in got] == [0, 2]
     assert all(r["n_frames"] == 4 for r in got)
     assert all(len(r["frame_digest"]) == 32 for r in got)
+
+
+def test_strh_declares_correct_fps():
+    """strh field order is (dwScale, dwRate): fps = rate/scale must be
+    1e6/us_per_frame — a swap declares 0.04 fps to external players
+    (parse_avi only reads avih, so round-trips can't catch it)."""
+    data = avi.encode_mjpeg_avi(
+        [jpeg.encode_gray_blocks_jpeg(1, 1, [[0]])], 8, 8,
+        us_per_frame=40000)
+    i = data.index(b"strh")
+    scale, rate = struct.unpack_from("<II", data, i + 8 + 20)
+    assert (scale, rate) == (40000, 1_000_000)
+    assert rate / scale == 25.0
+
+
+def test_sample_frames_mid_stream_bad_frame_rolls_back(spark):
+    """A frame that passes the SOI check but fails JPEG decode must
+    yield ONE decode_error row for the doc — never a mix of ok rows
+    and an error row with contradictory n_frames.  Frame 2 (a sampled
+    index at stride=2) keeps its SOI but loses its entropy stream, so
+    the container parse passes and frame 0 decodes first."""
+    _, _, _, frames = avi.parse_avi(avi.synth_avi_bytes(7))
+    broken = frames[2][:2] + b"\x00" * (len(frames[2]) - 2)
+    data = avi.encode_mjpeg_avi([frames[0], frames[1], broken], 16, 16)
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "doc_id long, payload binary")
+    got = multimodal.sample_frames(df, stride=2).collect()
+    assert len(got) == 1
+    assert got[0]["frame_digest"].startswith("decode_error:")
+    assert got[0]["n_frames"] is None
+
+
+def test_avi_frame_features_mid_stream_bad_frame_rolls_back(spark):
+    _, _, _, frames = avi.parse_avi(avi.synth_avi_bytes(7))
+    broken = frames[2][:2] + b"\x00" * (len(frames[2]) - 2)
+    data = avi.encode_mjpeg_avi([frames[0], frames[1], broken], 16, 16)
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "doc_id long, payload binary")
+    got = multimodal.avi_frame_features(df, stride=2).collect()
+    assert len(got) == 1
+    assert got[0]["frame_status"].startswith("frame_error:")

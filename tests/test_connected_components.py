@@ -76,3 +76,26 @@ def test_cc_matches_union_find_on_random_graph(spark):
     got = _cc(spark, pairs)
     want = _union_find(pairs)
     assert got == set(want.items())
+
+
+def test_cc_releases_intermediate_checkpoint_blocks(spark):
+    """DataFrame.unpersist() is a no-op for localCheckpoint blocks, so
+    the rounds must release them through the persistent-RDD registry:
+    after a multi-round run, at most the FINAL round's checkpoint (and
+    the registered labels cache) may remain stored — without the
+    explicit release a 7-round chain leaves ~8 checkpointed RDDs."""
+    sc = spark.sparkContext
+
+    def ids():
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = ids()
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "id_a long, id_b long")
+    out = dedup.connected_components(pairs, max_rounds=12)
+    out.count()
+    dedup.release_candidate_caches()
+    leftover = ids() - before
+    assert len(leftover) <= 2, (
+        f"{len(leftover)} persistent RDDs leaked: {sorted(leftover)}")
