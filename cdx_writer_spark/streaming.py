@@ -159,3 +159,58 @@ def run_politeness_stream(spark: SparkSession, input_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming corpus ingestion: extract -> quality -> append ---------------
+
+def corpus_stream(pages: DataFrame, min_words: int = 50) -> DataFrame:
+    """Streaming training-corpus ingestion: the per-document hygiene
+    stages that need NO cross-document state — HTML→text extraction,
+    Gopher rule admission, PII scrub with detection counts — run
+    incrementally per micro-batch (all pure projections + a
+    stream-stream-free semi-filter, so the plan is append-mode
+    compatible with zero streaming state).  Corpus-WIDE stages
+    (span/near-dup dedup, decontamination against a banned set built
+    from the same stream) are deliberately batch jobs over the landed
+    output: they need a global view, and the checkpointed landing
+    table is exactly the stage boundary a production pipeline
+    recomputes them from (micro-batching a global dedup would
+    silently miss cross-batch duplicates).
+    """
+    from .functions import extract as extractmod
+    from .functions import pii as piimod
+    from .functions import textstats as textstatsmod
+
+    ext = extractmod.extract_text(pages).filter(
+        F.col("text").isNotNull())
+    # quality measures with text riding the projection: joining the
+    # stats back onto ext would be a stream-stream self-join, which
+    # append mode rejects — this keeps the whole plan one stateless
+    # pipeline.  Keyed by url (the north rule's document key; the raw
+    # PAGES schema carries no synthetic doc_id).
+    gq = textstatsmod.gopher_quality_stats(
+        ext, id_col="url", min_words=min_words,
+        passthrough_cols=("text",))
+    passing = gq.filter(F.col("passes"))
+    t = F.col("text")
+    return passing.select(
+        "url", piimod.scrub_col(t).alias("clean_text"),
+        *piimod.pii_counts(t))
+
+
+def run_corpus_stream(spark: SparkSession, input_dir: str,
+                      out_dir: str, checkpoint_dir: str,
+                      min_words: int = 50) -> None:
+    """Drain the pages landing dir once (availableNow) into the clean
+    corpus parquet, exactly-once via the checkpoint; rerun after new
+    WARC-derived files land to process only the delta."""
+    clean = corpus_stream(pages_stream(spark, input_dir),
+                          min_words=min_words)
+    q = (
+        clean.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -127,3 +127,32 @@ def test_politeness_stream_budget_and_batch_equivalence(spark, tmp_path):
     new_admitted = {s for h, s in got3 - got2 if h == "newhost"}
     assert got3 - got2 == {("newhost", s) for s in new_admitted}
     assert len(new_admitted) == budget
+
+
+def test_corpus_stream_matches_batch_and_is_incremental(spark, tmp_path):
+    """Streaming corpus ingestion (extract → Gopher admission → PII
+    scrub) drained in two increments must equal the same stages run as
+    one batch — and the second drain must process only the delta."""
+    from cdx_writer_spark.streaming import corpus_stream, run_corpus_stream
+    from cdx_writer_spark.webview import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_from_documents(spark, sf)
+    a = pages.filter(F.col("doc_id") % 2 == 0)
+    b = pages.filter(F.col("doc_id") % 2 == 1)
+
+    a.write.mode("append").parquet(land)
+    run_corpus_stream(spark, land, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+
+    b.write.mode("append").parquet(land)
+    run_corpus_stream(spark, land, out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert len(got) > first
+
+    want = sorted(map(tuple, corpus_stream(pages).collect()))
+    assert got == want
