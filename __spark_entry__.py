@@ -490,6 +490,18 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.scrub_pii(docs)
 
 
+def q_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window duplicated-substring removal (Lee et al.
+    2022 style): every 10-word window is examined at every alignment,
+    a window occurrence owns its text iff it is the global minimum
+    (doc, pos), and a word survives iff some covering window is an
+    owner — so an unaligned verbatim re-post vanishes where fixed
+    chunks (dedup_spans) would miss it.  The oracle re-derives
+    windows, global first-occurrence ROW_NUMBER, coverage expansion
+    and the ordered reassembly in SQL."""
+    return dedup.drop_duplicate_windows(_docs(spark, sf_dir), k=10)
+
+
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: documents sharing a 13-word n-gram
     with a held-out "eval set" (here the deterministic doc_id % 7 == 0
@@ -1052,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
         "dedup_spans": q_dedup_spans,
+        "dedup_windows": q_dedup_windows,
         "corpus_decontaminate": q_corpus_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
         "text_stats": q_text_stats,
@@ -1614,6 +1627,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, "
             "round(CAST(i AS DOUBLE) / u, 4) AS jaccard "
             "FROM scored WHERE i * 2 >= u"),
+        # overlapping-window substring dedup re-derived: all 10-word
+        # windows (short-doc whole-text fallback), global
+        # first-occurrence ROW_NUMBER over (doc_id, pos), owner
+        # windows expanded to covered word indices, ordered
+        # reassembly of covered words
+        "dedup_windows": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') "
+            "AS words FROM documents), "
+            "win AS (SELECT doc_id, CAST(t.p AS INTEGER) AS p, "
+            "array_to_string(words[CAST(t.p+1 AS BIGINT):"
+            "CAST(t.p+10 AS BIGINT)], ' ') AS chunk "
+            "FROM w, unnest(range(0, len(words)-9)) AS t(p) "
+            "WHERE len(words) >= 10 "
+            "UNION ALL SELECT doc_id, 0, array_to_string(words, ' ') "
+            "FROM w WHERE len(words) < 10), "
+            "ranked AS (SELECT doc_id, p, ROW_NUMBER() OVER "
+            "(PARTITION BY chunk ORDER BY doc_id, p) AS rn FROM win), "
+            "covered AS (SELECT DISTINCT doc_id, "
+            "CAST(t.i AS INTEGER) AS i FROM ranked, "
+            "unnest(range(p+1, p+11)) AS t(i) WHERE rn = 1), "
+            "we AS (SELECT doc_id, CAST(t.i AS INTEGER) AS i, "
+            "words[t.i] AS wd FROM w, "
+            "unnest(range(1, len(words)+1)) AS t(i)) "
+            "SELECT we.doc_id, "
+            "coalesce(string_agg(CASE WHEN c.i IS NOT NULL THEN wd "
+            "END, ' ' ORDER BY we.i), '') AS clean_text, "
+            "CAST(count(*) AS BIGINT) AS n_words, "
+            "CAST(sum(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_kept "
+            "FROM we LEFT JOIN covered c ON c.doc_id = we.doc_id "
+            "AND c.i = we.i GROUP BY we.doc_id"),
         # PII scrub re-derived: the same deterministic augmentation,
         # then the IDENTICAL pattern strings (pii.PII_PATTERNS is the
         # spec, not the implementation) through DuckDB's RE2 —

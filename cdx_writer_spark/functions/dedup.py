@@ -913,3 +913,110 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     out = _persist_candidates(out)
     out.count()
     return out
+
+
+# --- overlapping-window duplicate-substring removal --------------------------
+
+def windows_col(text: Column, k: int) -> Column:
+    """ALL overlapping ``k``-word windows of ``text`` (1-based start
+    positions; documents shorter than k words contribute their whole
+    text as the single window).  The split is lambda-bound
+    (:func:`bind_once`) so the iterating slice lambda cannot
+    re-tokenize the document per window."""
+    words = F.split(text, " ")
+
+    def over(w: Column) -> Column:
+        n = F.size(w)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k))),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+
+    return bind_once(words, over)
+
+
+def drop_duplicate_windows(docs: DataFrame, k: int = 10,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           passthrough_cols: tuple[str, ...] = ()
+                           ) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal via overlapping windows —
+    the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") style pass that :func:`drop_duplicate_spans`'
+    fixed non-overlapping chunks approximate: because every k-word
+    window is examined, a duplicated run is caught at EVERY alignment,
+    not just when it happens to line up with a chunk boundary.
+
+    Rule: window occurrence (doc, pos) is the OWNER of its window text
+    iff it is the global minimum (doc, pos) for that text; a word
+    survives iff at least one window covering it is an owner.  A
+    verbatim re-post of a paragraph therefore vanishes from every doc
+    but the first (its interior words are covered only by loser
+    windows), while words at the junction between copied and original
+    text survive through the straddling unique windows — and a fully
+    novel document is untouched (every window is its own owner).
+    Returns ``(id, *passthrough, clean_text, n_words, n_kept)``.
+
+    Scale shape (the 100 TB path):
+
+    * The ownership decision exchanges ONLY ``(unhex(md5(window)),
+      id, pos)`` — 16-byte binary digests, map-side partial
+      ``min(struct(id, pos))`` — window TEXT never shuffles.  The
+      explode is L rows/doc (vs L/k for spans): the k× narrower rows
+      are the price of alignment-free detection; pick spans when the
+      corpus is too hot for it.
+    * Winners expand to covered word indices (``sequence(pos,
+      pos+k-1)`` ints, deduped map-side by ``collect_set``) and ride
+      ONE id-keyed reassembly join back onto the source — the wide
+      text column crosses exactly that one exchange, zero if the
+      source is bucketed by id.
+    * A boilerplate window repeated 10^9 times is ONE group whose
+      partial mins combine map-side — no hot-key blowup.
+    """
+    wins = windows_col(F.col(text_col), k)
+    narrow = docs.select(
+        F.col(id_col), F.posexplode(wins).alias("_p0", "_win")
+    ).select(id_col, "_p0", F.unhex(F.md5("_win")).alias("_h"))
+    owner = narrow.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("_p0").alias("x"))).alias("_own"))
+    winners = (narrow.join(owner, "_h")
+               .filter((F.col(id_col) == F.col("_own.i"))
+                       & (F.col("_p0") == F.col("_own.x")))
+               .select(id_col, "_p0"))
+    covered = (winners.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_p0") + 1,
+                             F.col("_p0") + k)).alias("_i"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_i")).alias("_kidx")))
+    rebuilt = docs.join(covered, id_col, "left")
+    words = F.split(F.col(text_col), " ")
+
+    def kept_of(w: Column) -> Column:
+        idx = F.filter(
+            F.coalesce(F.col("_kidx"), F.array().cast("array<int>")),
+            lambda i: i <= F.size(w))
+        return F.struct(
+            F.array_join(
+                F.transform(idx, lambda i: F.element_at(w, i)),
+                " ").alias("txt"),
+            F.size(idx).cast("long").alias("nk"))
+
+    # the struct leaves the row through an inline(array(struct))
+    # Generate barrier: reading two fields off the bound struct
+    # directly would let CollapseProject re-evaluate the whole
+    # reassembly pipeline once per referenced field (the measured
+    # bind_once failure mode)
+    kept = bind_once(words, kept_of)
+    exploded = rebuilt.select(
+        F.col(id_col), *passthrough_cols,
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        .alias("n_words"),
+        F.inline(F.array(kept)))
+    return exploded.select(
+        F.col(id_col), *passthrough_cols,
+        F.col("txt").alias("clean_text"), F.col("n_words"),
+        F.col("nk").alias("n_kept"))
