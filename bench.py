@@ -80,6 +80,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "dedup_simhash": lambda: dedup.simhash_dedup(docs),
         "dedup_spans": lambda: dedup.drop_duplicate_spans(
             docs, span_words=10),
+        "dedup_windows": lambda: dedup.drop_duplicate_windows(
+            docs, k=10),
         # clusters over the FAST (xxhash64) pair family: the bench
         # measures the star alternation, not the portable-oracle hashes
         "dedup_clusters": lambda: dedup.connected_components(
@@ -99,6 +101,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             emb, emb_q, k=10),
         "similarity_pq": lambda: similarity.pq_topk(
             emb, emb_q, k=10),
+        "similarity_ivfpq": lambda: similarity.ivfpq_topk(
+            emb, emb_q, k=10, nprobe=2),
         "embedding_near_dup": lambda: similarity.embedding_near_dup_pairs(
             emb.unionByName(
                 emb.filter(F.col("vec_id") % 10 == 0).select(
