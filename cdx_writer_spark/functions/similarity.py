@@ -245,13 +245,20 @@ def _codebook_row(cents: DataFrame) -> DataFrame:
 
 def _nearest_cells(vec: Column, n: int) -> Column:
     """The ``n`` best cells of ``_codebook`` for ``vec``: highest
-    cosine, ties toward the lower centroid id (array_sort ascending on
-    struct(cos, neg_cid), then reverse + slice)."""
+    cosine, ties toward the lower centroid id.  ``n == 1`` (the
+    per-VECTOR assignment, i.e. the hot path every IVF/IVF-PQ index
+    build runs over the whole corpus) takes a single ``array_max``
+    pass instead of sorting all C scored cells per row — identical
+    element by the same lexicographic (cos, neg_cid) order the sort
+    used, O(C) instead of O(C log C).  Multi-cell probes (per-QUERY,
+    tiny row count) keep the sort."""
     scored = F.transform(
         F.col("_codebook"),
         lambda c: F.struct(
             F.round(cosine_col(vec, c["cvec"]), 9).alias("cos"),
             (-c["cid"]).alias("neg_cid")))
+    if n == 1:
+        return F.array(-F.array_max(scored)["neg_cid"])
     top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
     return F.transform(top, lambda s: -s["neg_cid"])
 
