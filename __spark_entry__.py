@@ -31,10 +31,11 @@ from cdx_writer_spark.functions import (audio, decontam, dedup, extract,
                                         textstats)
 from cdx_writer_spark.webview import ORACLE_PAGES_CTE, pages_from_documents
 
-# Format without the k (checksum) field: the computed-SHA1 path is not
-# ANSI-SQL-expressible (DuckDB has no sha1/base32), so the oracle-checked
-# flagship uses the reference's --format narrowing (cdx_writer.py:871)
-# and k is covered by cdx_checksum_{fast,computed} below.
+# Format without the k (checksum) field: the flagship keeps the
+# reference's --format narrowing (cdx_writer.py:871) so its oracle SQL
+# stays linear; k is covered by cdx_checksum_{fast,computed} below —
+# the computed path against a from-scratch recursive-CTE SHA-1 oracle
+# (DuckDB has no sha1 scalar; see _SHA1_REC_CTES).
 _ORACLE_FORMAT = "N b a m s r M S V g"
 
 _EXCLUDE = ("http://site3.example.com",)  # surt prefix com,example,site3)
@@ -359,9 +360,12 @@ def q_cdx_checksum_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdx_checksum_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-field computed path: base32(sha1(payload)) pandas UDF
-    (cdx_writer.py:222-223) — rows-only check (no sha1/b32 in DuckDB);
-    byte-level parity is covered by tests/ against the row oracle."""
+    """k-field computed path: base32(sha1(payload)) fully JVM-side
+    (cdx_writer.py:222-223).  DuckDB ships no sha1 scalar, so the
+    oracle implements SHA-1 itself — FIPS 180-1 padding, message
+    schedule and 80 compression rounds as a lockstep recursive CTE,
+    plus an RFC 4648 base32 fold (see _SHA1_REC_CTES) — making this
+    row hash-checked with zero shared code between the engines."""
     pages = pages_from_documents(spark, sf_dir)
     flagged = cdx_flagged(pages, CDXConfig())
     return (
@@ -1136,6 +1140,93 @@ def _strip_sql(expr: str) -> str:
         "'&amp;', '&'), "
         "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))")
 
+# SHA-1 + base32, in pure ANSI SQL.  DuckDB 1.0 ships no sha1 scalar
+# (COVERAGE.md records the probe), so the computed-k oracle implements
+# the algorithm itself: pad the UTF-8 payload per FIPS 180-1, expand
+# each 512-bit block's message schedule and run the 80 compression
+# rounds in a lockstep recursive CTE (one round per iteration, all
+# documents advance together; rows retire at step = nblk*80), then
+# fold the five h-words through the RFC 4648 base32 alphabet.  All
+# arithmetic is BIGINT mod 2^32 — rotl is shift/or/mask, the choice/
+# majority/parity f-functions are DuckDB's native &/|/~/xor.  Verified
+# against hashlib over empty/block-boundary/multibyte inputs before
+# being trusted here (and continuously by the driver's hash compare:
+# the Spark side computes the digest with JVM sha1, sharing nothing).
+_SHA1_REC_CTES = (
+    ", msg AS (SELECT doc_id, lower(hex(encode(body))) AS hx "
+    "FROM elig WHERE doc_id % 3 = 0), "
+    "sized AS (SELECT doc_id, hx, length(hx) // 2 AS n, "
+    "(length(hx) // 2 + 9 + 63) // 64 AS nblk FROM msg), "
+    "padded AS (SELECT doc_id, nblk, "
+    "list_transform(range(0, nblk * 64), i -> CASE "
+    "WHEN i < n THEN "
+    "(strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) "
+    "WHEN i = n THEN 128 "
+    "WHEN i >= nblk * 64 - 8 THEN (CAST(n AS BIGINT) * 8 // "
+    "(CAST(1 AS BIGINT) << (8 * (nblk*64 - 1 - i)))) % 256 "
+    "ELSE 0 END) AS b FROM sized), "
+    "wordsall AS (SELECT doc_id, nblk, "
+    "list_transform(range(0, nblk * 16), j -> "
+    "b[4*j + 1] * 16777216 + b[4*j + 2] * 65536 "
+    "+ b[4*j + 3] * 256 + b[4*j + 4]) AS wall FROM padded), "
+    "sha AS (SELECT doc_id, nblk, wall, 0 AS step, "
+    "CAST(1732584193 AS BIGINT) AS h0, CAST(4023233417 AS BIGINT) AS h1, "
+    "CAST(2562383102 AS BIGINT) AS h2, CAST(271733878 AS BIGINT) AS h3, "
+    "CAST(3285377520 AS BIGINT) AS h4, "
+    "CAST(1732584193 AS BIGINT) AS a, CAST(4023233417 AS BIGINT) AS b, "
+    "CAST(2562383102 AS BIGINT) AS c, CAST(271733878 AS BIGINT) AS d, "
+    "CAST(3285377520 AS BIGINT) AS e, wall[1:16] AS wbuf FROM wordsall "
+    "UNION ALL "
+    "SELECT doc_id, nblk, wall, step + 1, "
+    "CASE WHEN step % 80 = 79 THEN (h0 + na) % 4294967296 ELSE h0 END, "
+    "CASE WHEN step % 80 = 79 THEN (h1 + a) % 4294967296 ELSE h1 END, "
+    "CASE WHEN step % 80 = 79 THEN (h2 + nc) % 4294967296 ELSE h2 END, "
+    "CASE WHEN step % 80 = 79 THEN (h3 + c) % 4294967296 ELSE h3 END, "
+    "CASE WHEN step % 80 = 79 THEN (h4 + d) % 4294967296 ELSE h4 END, "
+    "CASE WHEN step % 80 = 79 THEN (h0 + na) % 4294967296 ELSE na END, "
+    "CASE WHEN step % 80 = 79 THEN (h1 + a) % 4294967296 ELSE a END, "
+    "CASE WHEN step % 80 = 79 THEN (h2 + nc) % 4294967296 ELSE nc END, "
+    "CASE WHEN step % 80 = 79 THEN (h3 + c) % 4294967296 ELSE c END, "
+    "CASE WHEN step % 80 = 79 THEN (h4 + d) % 4294967296 ELSE d END, "
+    "CASE WHEN step % 80 = 79 AND step + 1 < nblk * 80 "
+    "THEN wall[(step + 1) // 80 * 16 + 1 : (step + 1) // 80 * 16 + 16] "
+    "ELSE nwbuf END "
+    "FROM (SELECT *, "
+    "((((a << 5) | (a >> 27)) & 4294967295) "
+    "+ CASE WHEN step % 80 < 20 THEN (b & c) | ((~b) & d) "
+    "WHEN step % 80 < 40 THEN xor(xor(b, c), d) "
+    "WHEN step % 80 < 60 THEN (b & c) | (b & d) | (c & d) "
+    "ELSE xor(xor(b, c), d) END "
+    "+ e "
+    "+ CASE WHEN step % 80 < 20 THEN 1518500249 "
+    "WHEN step % 80 < 40 THEN 1859775393 "
+    "WHEN step % 80 < 60 THEN 2400959708 "
+    "ELSE 3395469782 END "
+    "+ nwbuf[step % 80 + 1]) % 4294967296 AS na, "
+    "((b << 30) | (b >> 2)) & 4294967295 AS nc "
+    "FROM (SELECT *, "
+    "CASE WHEN step % 80 < 16 THEN wbuf "
+    "ELSE list_append(wbuf, "
+    "((xor(xor(xor(wbuf[step % 80 - 2], wbuf[step % 80 - 7]), "
+    "wbuf[step % 80 - 13]), wbuf[step % 80 - 15]) << 1) "
+    "| (xor(xor(xor(wbuf[step % 80 - 2], wbuf[step % 80 - 7]), "
+    "wbuf[step % 80 - 13]), wbuf[step % 80 - 15]) >> 31)) "
+    "& 4294967295) END AS nwbuf "
+    "FROM sha WHERE step < nblk * 80))), "
+    "digest AS (SELECT doc_id, "
+    "printf('%08x%08x%08x%08x%08x', h0, h1, h2, h3, h4) || '00' AS hd "
+    "FROM sha WHERE step = nblk * 80)")
+
+_SHA1_B32_SELECT = (
+    " SELECT doc_id, array_to_string(list_transform(range(0, 32), j -> "
+    "substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ234567', (("
+    "(strpos('0123456789abcdef', substr(hd, 5*j // 4 + 1, 1)) - 1) * 256 "
+    "+ (strpos('0123456789abcdef', substr(hd, 5*j // 4 + 2, 1)) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', substr(hd, 5*j // 4 + 3, 1)) - 1)"
+    ") >> (7 - (5*j) % 4)) % 32 + 1, 1)), '') AS new_style_checksum "
+    "FROM digest")
+
 # pages → extraction → Gopher admission, ending in an ``adm(doc_id,
 # url, text)`` CTE — the shared front half of the corpus-build oracles
 # (web_corpus_pipeline and web_corpus_full must not drift).
@@ -1554,6 +1645,9 @@ def oracle_sql() -> dict[str, str]:
             _W + " SELECT doc_id, digest AS new_style_checksum "
             "FROM admitted "
             "WHERE record_type = 'response' AND doc_id % 3 <> 0"),
+        "cdx_checksum_computed": (
+            "WITH RECURSIVE " + ORACLE_PAGES_CTE + _EXTRACT_ELIG_CTE
+            + _SHA1_REC_CTES + _SHA1_B32_SELECT),
         "cdx_mime_status": (
             _W + " SELECT "
             "CASE WHEN record_type = 'revisit' THEN 'warc/revisit' "

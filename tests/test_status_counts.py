@@ -32,8 +32,10 @@ def test_every_oracle_key_has_a_query():
 
 
 def test_rows_only_set_is_exactly_the_documented_one():
-    """Only cdx_checksum_computed may be rows-only (DuckDB 1.0 has no
-    SHA-1 scalar — see COVERAGE.md); any new rows-only query must be
-    consciously added here with its impossibility argument."""
+    """Every query has an oracle — cdx_checksum_computed's grey era
+    ended when the recursive-CTE SHA-1 oracle landed (DuckDB 1.0 has
+    no sha1 scalar, so the oracle implements the algorithm itself);
+    any new rows-only query must be consciously added here with its
+    impossibility argument."""
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
-    assert set(qs) - set(osql) == {"cdx_checksum_computed"}
+    assert set(qs) - set(osql) == set()
