@@ -570,6 +570,80 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line + document cleaning (Raffel et al. 2020 §2.2) over a
+    view with PLANTED line structure: the corpus text is single-line
+    word salad, so each document is recut into 12-token lines whose
+    terminal punctuation follows (doc_id + line) % 3, plus planted
+    short ('thanks.'), javascript, 'lorem ipsum' and curly-brace
+    lines on doc_id % 7/4/13/9 — every rule fires on a known modulo
+    class.  The oracle re-synthesizes the identical lines from
+    doc_id arithmetic and re-decides every line keep and doc-level
+    drop in SQL, down to the cleaned re-joined text."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def lines_of(tk: F.Column) -> F.Column:
+        nch = F.floor((F.size(tk) + 11) / 12).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(tk, i * 12 + 1, 12), " "),
+                F.when((d + i) % 3 != 0, F.lit("."))
+                .otherwise(F.lit(""))))
+
+    empty = F.array().cast("array<string>")
+
+    def planted(mod: int, line: str) -> F.Column:
+        return (F.when(d % mod == 0, F.array(F.lit(line)))
+                .otherwise(empty))
+
+    ml = docs.select(
+        "doc_id",
+        F.array_join(F.concat(
+            dedup.bind_once(F.split(F.trim(F.col("text")), " +"),
+                            lines_of),
+            planted(7, "thanks."),
+            planted(4, "javascript is required to view this page."),
+            planted(13, "lorem ipsum dolor sit amet."),
+            planted(9, "enable { cookies } to continue reading.")),
+            "\n").alias("text"))
+    return textstats.c4_line_filter(ml)
+
+
+def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: add-one-smoothed bigram model
+    trained on the doc_id % 5 != 0 slice, every document scored by
+    exact dyadic-quantized total negative-log-likelihood (order-
+    independent integer sum), perplexity, and the head/middle/tail
+    ntile tier — the oracle retrains the same counts and re-derives
+    every score in SQL."""
+    from cdx_writer_spark.functions import lm
+
+    return lm.bigram_lm_scores(_docs(spark, sf_dir),
+                               F.col("doc_id") % 5 != 0)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-clone view (every 10th vector cloned
+    at exactly 2x, cosine exactly 1.0, natural max pairwise cosine
+    ≤ 0.61): broadcast-codebook cell assignment (centroids = base
+    vec_id % 37 == 0), within-cell cosine ≥ 0.95 against any lower id
+    drops the row.  Expected outcome: exactly the clones drop, each
+    pointing at its base as keeper — the oracle re-derives assignment,
+    pairing and keeper choice in SQL."""
+    emb = _table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float"))
+        .alias("embedding"))
+    aug = emb.select("vec_id", "embedding").unionByName(clones)
+    cents = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").cast("long").alias("cid"),
+        F.col("embedding").alias("cvec"))
+    return similarity.semdedup(aug, threshold=0.95, codebook=cents)
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) document fingerprints — MOSS-style;
     the oracle re-derives k-gram hashing, the sliding min-window and
@@ -1074,6 +1148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_gopher": q_quality_gopher,
         "quality_repetition": q_quality_repetition,
+        "quality_c4": q_quality_c4,
+        "quality_perplexity": q_quality_perplexity,
+        "semantic_dedup": q_semantic_dedup,
         "text_tfidf": q_text_tfidf,
         "text_winnowing": q_text_winnowing,
         "similarity_topk": q_similarity_topk,
@@ -2017,6 +2094,108 @@ def oracle_sql() -> dict[str, str]:
             "       ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank "
             "  FROM scored) "
             "SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3 "),
+        # C4 line rules: the oracle re-synthesizes the planted lines
+        # from doc_id arithmetic (12-token chunks, (doc_id+i)%3 punct,
+        # modulo-planted short/javascript/lorem/brace lines) and
+        # re-decides every line keep + doc-level drop in SQL
+        "quality_c4": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(text), ' +') AS tk "
+            "FROM documents), "
+            "ml AS (SELECT doc_id, array_to_string("
+            "list_transform(range(0, (len(tk) + 11) // 12), i -> "
+            "array_to_string(tk[i*12 + 1 : i*12 + 12], ' ') || "
+            "CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) "
+            "|| CASE WHEN doc_id % 7 = 0 THEN ['thanks.'] "
+            "ELSE []::VARCHAR[] END "
+            "|| CASE WHEN doc_id % 4 = 0 THEN "
+            "['javascript is required to view this page.'] "
+            "ELSE []::VARCHAR[] END "
+            "|| CASE WHEN doc_id % 13 = 0 THEN "
+            "['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END "
+            "|| CASE WHEN doc_id % 9 = 0 THEN "
+            "['enable { cookies } to continue reading.'] "
+            "ELSE []::VARCHAR[] END, chr(10)) AS text FROM tk), "
+            "ln AS (SELECT doc_id, text, "
+            "string_split(text, chr(10)) AS ls FROM ml), "
+            "k AS (SELECT doc_id, text, len(ls) AS n_lines, "
+            "list_filter(ls, l -> "
+            "len(string_split_regex(trim(l), ' +')) >= 5 "
+            "AND right(l, 1) IN ('.', '!', '?', '\"') "
+            "AND NOT contains(lower(l), 'javascript')) AS kept "
+            "FROM ln) "
+            "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+            "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+            # DuckDB's array_to_string([]) is NULL; Spark's
+            # array_join([]) is '' — coalesce to the Spark value
+            "COALESCE(array_to_string(kept, chr(10)), '') "
+            "AS cleaned_text, "
+            "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+            "contains(text, '{') AS has_brace, "
+            "len(kept) >= 3 AS ok_lines, "
+            "(len(kept) >= 3 AND NOT contains(lower(text), "
+            "'lorem ipsum') AND NOT contains(text, '{')) AS passes "
+            "FROM k"),
+        # CCNet bigram-LM retrained in SQL: same (prev,cur) counts off
+        # the doc_id%5<>0 slice, same add-one smoothing, same dyadic
+        # nll quantization (exact BIGINT sums), same ntile tiering
+        "quality_perplexity": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "inst AS (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(w)), i -> "
+            "{'prev': w[i], 'cur': w[i+1]})) AS bg "
+            "FROM tk WHERE len(w) >= 2), "
+            "ib AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur "
+            "FROM inst), "
+            "tr AS (SELECT prev, cur, count(*) AS c2 FROM ib "
+            "WHERE doc_id % 5 <> 0 GROUP BY 1, 2), "
+            "pc AS (SELECT prev, SUM(c2) AS c1 FROM tr GROUP BY 1), "
+            "vocab AS (SELECT count(DISTINCT t) AS v FROM "
+            "(SELECT doc_id, unnest(w) AS t FROM tk) "
+            "WHERE doc_id % 5 <> 0), "
+            "sc AS (SELECT ib.doc_id, "
+            "CAST(round((ln(COALESCE(p.c1, 0) + v) "
+            "- ln(COALESCE(t.c2, 0) + 1)) * 1048576) AS BIGINT) AS lq "
+            "FROM ib LEFT JOIN tr t ON ib.prev = t.prev "
+            "AND ib.cur = t.cur "
+            "LEFT JOIN pc p ON ib.prev = p.prev CROSS JOIN vocab), "
+            "ag AS (SELECT doc_id, count(*) AS n, SUM(lq) AS nll_q "
+            "FROM sc GROUP BY 1) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, "
+            "CAST(nll_q AS BIGINT) AS nll_q, "
+            "round(exp(CAST(nll_q AS DOUBLE) / 1048576 / n), 4) AS ppl, "
+            "['head', 'middle', 'tail'][ntile(3) OVER "
+            "(ORDER BY CAST(nll_q AS DOUBLE) / n ASC, doc_id ASC)] "
+            "AS bucket FROM ag"),
+        # SemDeDup re-derived: same planted-clone view, same
+        # broadcast-codebook cell assignment tie-break, same
+        # within-cell cosine>=0.95 lower-id keeper rule
+        "semantic_dedup": (
+            "WITH aug AS ("
+            "SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL "
+            "SELECT vec_id + 10000000 AS vec_id, "
+            "list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) "
+            "AS embedding FROM embeddings WHERE vec_id % 10 = 0), "
+            "c AS (SELECT vec_id AS cid, embedding AS cvec "
+            "FROM embeddings WHERE vec_id % 37 = 0), "
+            "cs AS (SELECT e.vec_id, e.embedding, c.cid, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 9) "
+            "DESC, c.cid ASC) AS INTEGER) AS crn "
+            "FROM aug e CROSS JOIN c), "
+            "asg AS (SELECT vec_id, embedding, cid AS cell "
+            "FROM cs WHERE crn = 1), "
+            "pr AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS keeper "
+            "FROM asg a JOIN asg b "
+            "ON a.cell = b.cell AND a.vec_id < b.vec_id "
+            f"WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) "
+            ">= 0.95 GROUP BY 1) "
+            "SELECT g.vec_id, g.cell, p.keeper, "
+            "p.keeper IS NULL AS kept "
+            "FROM asg g LEFT JOIN pr p ON g.vec_id = p.id"),
         # Winnowing fingerprints re-derived: char 8-grams of the
         # normalized text -> md5-prefix hashes -> min of each
         # 4-hash window -> sorted distinct set

@@ -94,6 +94,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "text_pii_scrub": lambda: entrymod.q_text_pii_scrub(
             spark, sf_dir),
         "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
+        "quality_perplexity": lambda: entrymod.q_quality_perplexity(
+            spark, sf_dir),
+        "semantic_dedup": lambda: entrymod.q_semantic_dedup(
+            spark, sf_dir),
         "extract_text": lambda: extract.extract_text(
             pages_from_documents(spark, sf_dir, amplify=AMPLIFY))
         .select("url", "text"),

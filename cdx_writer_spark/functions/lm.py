@@ -1,0 +1,113 @@
+"""CCNet-style statistical language-model quality filtering
+(Wenzek et al. 2020, arXiv:1911.00359): score every document's
+perplexity under an n-gram LM trained on a trusted slice of the same
+corpus, then bucket the corpus into head / middle / tail quality
+tiers.  CCNet uses a KenLM 5-gram model; this is the same operator
+re-expressed with an add-one-smoothed bigram model so the whole thing
+— training AND scoring — is declarative Catalyst and reproducible by
+an ANSI-SQL oracle.
+
+Exactness across engines: a per-document sum of floating-point log
+probabilities is summation-order-dependent, so each token's negative
+log probability is quantized onto a dyadic grid first —
+``round(nll * 2^20)`` as BIGINT — and the per-document total is an
+exact integer sum, independent of partitioning and join order (the
+same trick kmeans_codebook uses for its centroid sums).  The final
+perplexity ``exp(nll_q / 2^20 / n)`` is a display value rounded to 4.
+
+Scale shape: training is two narrow aggregations over exploded
+(prev, cur) token pairs (map-side partial counts); scoring joins the
+corpus's bigram instances against the trained counts — the bigram
+table shuffles on its natural key, the prev-count table is
+vocabulary-sized so AQE broadcasts it — then one groupBy(doc) integer
+sum.  The head/middle/tail split is a single global ntile window over
+one double per document (corpus-cardinality ROWS, constant width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import bind_once
+from .textstats import tokens_col
+
+#: dyadic quantization grid for per-token nll values (2^20)
+NLL_Q = 1 << 20
+
+BUCKETS = ("head", "middle", "tail")
+
+
+def _bigram_structs(w: Column) -> Column:
+    """(prev, cur) struct per adjacent token pair; [] when < 2 tokens."""
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("prev"),
+                F.element_at(w, i + 1).alias("cur"))),
+    ).otherwise(F.array().cast(
+        "array<struct<prev:string,cur:string>>"))
+
+
+def _bigram_instances(docs: DataFrame, id_col: str,
+                      text_col: str) -> DataFrame:
+    toks = tokens_col(F.lower(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        F.explode(bind_once(toks, _bigram_structs)).alias("_bg")
+    ).select(id_col, F.col("_bg.prev").alias("prev"),
+             F.col("_bg.cur").alias("cur"))
+
+
+def bigram_lm_scores(docs: DataFrame, train_filter: Column,
+                     id_col: str = "doc_id", text_col: str = "text"
+                     ) -> DataFrame:
+    """Score every document (with ≥ 2 tokens) under an add-one-smoothed
+    bigram LM trained on the ``train_filter`` slice:
+    ``p(cur|prev) = (c(prev,cur) + 1) / (c(prev·) + V)`` with V the
+    trained vocabulary size; unseen bigrams/contexts fall back to the
+    smoothing mass.  Returns ``(id, n_bigrams, nll_q, ppl, bucket)``:
+    ``nll_q`` is the exact quantized total (the hash-stable anchor),
+    ``ppl`` the rounded perplexity, ``bucket`` the CCNet-style
+    head/middle/tail tier (ntile(3) by mean nll, doc-id tie-break).
+    """
+    inst = _bigram_instances(docs, id_col, text_col)
+    train = _bigram_instances(docs.filter(train_filter), id_col,
+                              text_col)
+    bi = train.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    pc = bi.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    # one tiny driver scalar (tfidf_top_terms precedent): the trained
+    # vocabulary size that parameterizes the smoothing denominator
+    v = (docs.filter(train_filter)
+         .select(F.explode(tokens_col(F.lower(F.col(text_col))))
+                 .alias("t"))
+         .agg(F.countDistinct("t")).collect()[0][0])
+    if not v:
+        raise ValueError("empty training slice: no vocabulary")
+    scored = (
+        inst.join(bi, ["prev", "cur"], "left")
+        .join(pc, "prev", "left")
+        .select(
+            id_col,
+            F.round(
+                (F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v))
+                 - F.log(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)))
+                * F.lit(NLL_Q)).cast("long").alias("lq"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("lq").alias("nll_q"))
+    mean_nll = (F.col("nll_q").cast("double") / NLL_Q
+                / F.col("n_bigrams"))
+    w = Window.orderBy(
+        (F.col("nll_q").cast("double") / F.col("n_bigrams")).asc(),
+        F.col(id_col).asc())
+    tier = F.ntile(3).over(w)
+    return agg.select(
+        id_col, F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("nll_q").cast("long").alias("nll_q"),
+        F.round(F.exp(mean_nll), 4).alias("ppl"),
+        F.element_at(F.array(*[F.lit(b) for b in BUCKETS]), tier)
+        .alias("bucket"))

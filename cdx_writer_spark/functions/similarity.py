@@ -462,6 +462,58 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     return inter.unionByName(intra).select("id_a", "id_b", "cosine")
 
 
+def semdedup(emb: DataFrame, threshold: float = 0.95,
+             centroid_stride: int = 37, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             codebook: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic deduplication — assign every embedding to its nearest
+    centroid cell, then inside each cell drop any vector that has a
+    LOWER-id cell-mate with cosine ≥ ``threshold`` (the deterministic
+    keep-first variant of the paper's keep-one-per-group rule; exact
+    dedup's ``keep_id = min`` convention).  Returns one row per input
+    vector: ``(vec_id, cell, keeper, kept)`` — ``keeper`` is the
+    smallest qualifying lower id (NULL when kept).
+
+    Scale shape: cell assignment is the same broadcast-codebook
+    map-only stage as ``ivf_topk`` (no shuffle, no Python, no driver
+    centroid literals); the only exchange is the within-cell self-join
+    — which is the algorithm's published cost model: pairwise cosine
+    is confined to a cell, and the codebook size scales with the
+    corpus (the paper uses ~0.1% of N clusters) so cells stay bounded
+    and no all-pairs join ever materializes.  A skewed cell is a
+    mis-sized codebook, not a plan problem — the fix is more
+    centroids (or the trained ``kmeans_codebook``), not a hint.
+    """
+    cents = codebook if codebook is not None else (
+        emb.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col(vec_col).alias("cvec")))
+    if cents.limit(1).count() == 0:
+        raise ValueError("no centroids: stride larger than id range "
+                         "(or empty codebook)")
+    cb = _codebook_row(cents)
+    asg = emb.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col),
+        _nearest_cells(F.col(vec_col), 1)[0].alias("cell"))
+    a = asg.select(F.col("vec_id").alias("a_id"),
+                   F.col(vec_col).alias("a_vec"), "cell")
+    b = asg.select(F.col("vec_id").alias("b_id"),
+                   F.col(vec_col).alias("b_vec"), "cell")
+    keepers = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine_col(F.col("a_vec"), F.col("b_vec")), 4)
+                >= threshold)
+        .groupBy("b_id").agg(F.min("a_id").alias("keeper"))
+    )
+    return (
+        asg.join(keepers, asg["vec_id"] == keepers["b_id"], "left")
+        .select("vec_id", "cell", "keeper",
+                F.col("keeper").isNull().alias("kept"))
+    )
+
+
 # --- product quantization (PQ) ------------------------------------------------
 
 def l2sq_col(a: Column, b: Column) -> Column:

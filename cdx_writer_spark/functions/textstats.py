@@ -277,6 +277,53 @@ def repetition_stats(docs, span_words: int = 10,
         .alias("passes"))
 
 
+def c4_line_filter(docs, id_col: str = "doc_id", text_col: str = "text",
+                   min_words_per_line: int = 5, min_kept_lines: int = 3):
+    """C4-style line + document cleaning (Raffel et al. 2020, §2.2 —
+    the SQL-expressible core): keep a line only if it ends in terminal
+    punctuation (``. ! ? "``), has ≥ ``min_words_per_line`` words, and
+    does not mention ``javascript``; drop the whole document if fewer
+    than ``min_kept_lines`` lines survive, or if it contains ``lorem
+    ipsum`` or a curly brace anywhere.  Emits per-document audit
+    columns plus ``cleaned_text`` (the surviving lines re-joined), so
+    a pipeline can filter on ``passes`` or measure per-rule losses.
+
+    All-native Catalyst: one split per document, every line-derived
+    value leaves through a single ``inline(array(struct))`` Generate
+    barrier (CollapseProject cannot re-inline the split across it —
+    the gopher_quality_stats pattern), and the doc-level substring
+    probes run on the raw text column.  Embarrassingly parallel at
+    any scale: no shuffle, no Python, whole-stage codegen end-to-end.
+    """
+    from .dedup import bind_once
+
+    text = F.col(text_col)
+
+    def line_stats(ls: Column) -> Column:
+        kept = F.filter(
+            ls,
+            lambda l: (F.size(F.split(F.trim(l), " +"))
+                       >= min_words_per_line)
+            & F.substring(l, -1, 1).isin(".", "!", "?", '"')
+            & ~F.lower(l).contains("javascript"))
+        return F.array(F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept_lines"),
+            F.array_join(kept, "\n").alias("cleaned_text")))
+
+    base = docs.select(
+        F.col(id_col),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem"),
+        text.contains("{").alias("has_brace"),
+        F.inline(bind_once(F.split(text, "\n"), line_stats)))
+    ok_lines = F.col("n_kept_lines") >= min_kept_lines
+    return base.select(
+        id_col, "n_lines", "n_kept_lines", "cleaned_text",
+        "has_lorem", "has_brace", ok_lines.alias("ok_lines"),
+        (ok_lines & ~F.col("has_lorem") & ~F.col("has_brace"))
+        .alias("passes"))
+
+
 def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
                     text_col: str = "text"):
     """Top-``k`` terms per document by smoothed TF-IDF:

@@ -1,0 +1,183 @@
+"""Behavior gates for the C4 line filter, the CCNet-style bigram-LM
+perplexity scorer, and SemDeDup — hand-derived expectations on planted
+inputs (the oracle-parity sweep in test_entry_oracle.py checks the
+full pipelines value-for-value; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdx_writer_spark.functions import lm, similarity, textstats
+
+
+# --- C4 line filter -----------------------------------------------------------
+
+C4_DOCS = [
+    # 3 good sentences -> passes
+    (1, "alpha beta gamma delta epsilon.\n"
+        "zeta eta theta iota kappa!\n"
+        "lambda mu nu xi omicron?"),
+    # only 2 kept lines (one lacks terminal punct) -> fails ok_lines
+    (2, "alpha beta gamma delta epsilon.\n"
+        "zeta eta theta iota kappa\n"
+        "lambda mu nu xi omicron?"),
+    # short line dropped; still 3 kept -> passes
+    (3, "alpha beta gamma delta epsilon.\n"
+        "ok.\n"
+        "zeta eta theta iota kappa.\n"
+        "lambda mu nu xi omicron."),
+    # javascript line dropped -> 2 kept -> fails
+    (4, "alpha beta gamma delta epsilon.\n"
+        "please enable JavaScript to view this site.\n"
+        "zeta eta theta iota kappa.\n"
+        "lm no pq"),
+    # lorem ipsum anywhere -> doc drop even with 3 kept lines
+    (5, "alpha beta gamma delta epsilon.\n"
+        "zeta eta theta iota kappa.\n"
+        "some lorem ipsum filler text here."),
+    # curly brace -> doc drop
+    (6, "alpha beta gamma delta epsilon.\n"
+        "zeta eta theta iota kappa.\n"
+        "function f() { return 1; } extra words."),
+    # closing-quote terminal is accepted
+    (7, 'he said "alpha beta gamma delta."\n'
+        "zeta eta theta iota kappa.\n"
+        "lambda mu nu xi omicron."),
+]
+
+
+def test_c4_line_filter_semantics(spark):
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.c4_line_filter(docs).collect()}
+    assert out[1]["passes"] and out[1]["n_kept_lines"] == 3
+    assert not out[2]["passes"] and out[2]["n_kept_lines"] == 2
+    assert out[3]["passes"] and out[3]["n_kept_lines"] == 3
+    assert out[3]["n_lines"] == 4
+    assert "ok." not in out[3]["cleaned_text"]
+    assert not out[4]["passes"] and out[4]["n_kept_lines"] == 2
+    assert "JavaScript" not in out[4]["cleaned_text"]
+    assert out[5]["has_lorem"] and not out[5]["passes"]
+    assert out[5]["ok_lines"]  # lines were fine; the doc rule killed it
+    assert out[6]["has_brace"] and not out[6]["passes"]
+    assert out[7]["passes"] and out[7]["n_kept_lines"] == 3
+    # cleaned text preserves surviving lines in order
+    assert out[1]["cleaned_text"].split("\n")[0].startswith("alpha")
+
+
+# --- bigram LM ----------------------------------------------------------------
+
+LM_DOCS = [
+    (0, "a b a b"),          # train (0 % 5 != 0 is False -> held out)
+    (1, "a b a b a b"),      # train
+    (2, "a b c"),            # train
+    (3, "b a"),              # train
+    (4, "c c c"),            # train
+    (5, "a b"),              # scored only
+]
+
+
+def _expected_nll_q(tokens, bi, pc, v):
+    total = 0
+    for p, c in zip(tokens, tokens[1:]):
+        logp = math.log(bi.get((p, c), 0) + 1) - math.log(pc.get(p, 0) + v)
+        total += round(-logp * lm.NLL_Q)
+    return total
+
+
+def test_bigram_lm_hand_computed(spark):
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in lm.bigram_lm_scores(
+        docs, F.col("doc_id") % 5 != 0).collect()}
+    # train slice = docs 1..4; replicate the counts by hand
+    train = [t for i, t in LM_DOCS if i % 5 != 0]
+    bi, pc, vocab = {}, {}, set()
+    for t in train:
+        w = t.split()
+        vocab.update(w)
+        for p, c in zip(w, w[1:]):
+            bi[(p, c)] = bi.get((p, c), 0) + 1
+            pc[p] = pc.get(p, 0) + 1
+    v = len(vocab)
+    for i, t in LM_DOCS:
+        w = t.split()
+        assert out[i]["n_bigrams"] == len(w) - 1
+        assert out[i]["nll_q"] == _expected_nll_q(w, bi, pc, v), i
+    # doc 5 ("a b") should be the most predictable (a->b dominates
+    # training); doc 4 repeats the rare c->c bigram
+    assert out[5]["ppl"] < out[4]["ppl"]
+    assert set(r["bucket"] for r in out.values()) <= {
+        "head", "middle", "tail"}
+
+
+def test_bigram_lm_partitioning_invariant(spark):
+    """The dyadic-quantized nll sums are exact integers — identical
+    totals regardless of how the instance table is partitioned."""
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    pred = F.col("doc_id") % 5 != 0
+    a = {r["doc_id"]: r["nll_q"] for r in lm.bigram_lm_scores(
+        docs.repartition(1), pred).collect()}
+    b = {r["doc_id"]: r["nll_q"] for r in lm.bigram_lm_scores(
+        docs.repartition(7, "doc_id"), pred).collect()}
+    assert a == b
+
+
+def test_bigram_lm_empty_train_raises(spark):
+    docs = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty training slice"):
+        lm.bigram_lm_scores(docs, F.lit(False))
+
+
+# --- SemDeDup -----------------------------------------------------------------
+
+def test_semdedup_planted_clones(spark):
+    """8 base vectors in 2 obvious clusters + exact 2x clones of two of
+    them: the clones (higher ids) drop with their base as keeper,
+    every base row is kept."""
+    rows = []
+    for i in range(8):
+        base = [10.0, 0.0, 1.0 * i] if i < 4 else [0.0, 10.0, 1.0 * i]
+        rows.append((i, [float(x) for x in base]))
+    rows.append((100, [v * 2 for v in rows[1][1]]))   # clone of 1
+    rows.append((101, [v * 2 for v in rows[5][1]]))   # clone of 5
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, rows[0][1]), (1, rows[4][1])],
+        "cid long, cvec array<float>")
+    out = {r["vec_id"]: r.asDict() for r in similarity.semdedup(
+        emb, threshold=0.999, codebook=cents).collect()}
+    assert len(out) == 10
+    assert not out[100]["kept"] and out[100]["keeper"] == 1
+    assert not out[101]["kept"] and out[101]["keeper"] == 5
+    for i in range(8):
+        assert out[i]["kept"] and out[i]["keeper"] is None
+    # cells follow the obvious geometry
+    assert out[100]["cell"] == out[1]["cell"]
+    assert out[101]["cell"] == out[5]["cell"]
+
+
+def test_semdedup_keep_first_within_group(spark):
+    """Three mutually-identical vectors: the smallest id survives and
+    both others point at it (min-id keeper, not chain keeper)."""
+    vec = [1.0, 2.0, 3.0]
+    emb = spark.createDataFrame(
+        [(7, vec), (3, vec), (9, vec), (1, [5.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, vec)], "cid long, cvec array<float>")
+    out = {r["vec_id"]: r.asDict() for r in similarity.semdedup(
+        emb, threshold=0.999, codebook=cents).collect()}
+    assert out[3]["kept"]
+    assert not out[7]["kept"] and out[7]["keeper"] == 3
+    assert not out[9]["kept"] and out[9]["keeper"] == 3
+
+
+def test_semdedup_stride_guard(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no centroids"):
+        similarity.semdedup(emb, centroid_stride=50)
