@@ -624,6 +624,29 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("doc_id") % 5 != 0)
 
 
+def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context training-example chunking: 32-token windows every
+    24 tokens (8-token overlap), trailing partials kept — the oracle
+    re-derives every window boundary and re-joined chunk text from
+    the same token arithmetic in SQL."""
+    return textstats.chunk_documents(_docs(spark, sf_dir),
+                                     chunk_tokens=32, stride=24)
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus mixing: the CCNet-style final stage —
+    keep head/middle/tail perplexity tiers at 1000/500/125 per-mille
+    rates, decided by a salted md5 coin on doc_id (deterministic, no
+    RNG, re-derivable instead of stored).  The oracle retrains the
+    LM, re-tiers, and re-flips every coin in SQL."""
+    from cdx_writer_spark.functions import lm
+
+    scored = lm.bigram_lm_scores(_docs(spark, sf_dir),
+                                 F.col("doc_id") % 5 != 0)
+    return lm.quality_mix(scored).select(
+        "doc_id", "bucket", "coin", "sampled")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the planted-clone view (every 10th vector cloned
     at exactly 2x, cosine exactly 1.0, natural max pairwise cosine
@@ -1150,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "quality_c4": q_quality_c4,
         "quality_perplexity": q_quality_perplexity,
+        "corpus_chunks": q_corpus_chunks,
+        "corpus_mix": q_corpus_mix,
         "semantic_dedup": q_semantic_dedup,
         "text_tfidf": q_text_tfidf,
         "text_winnowing": q_text_winnowing,
@@ -1303,6 +1328,53 @@ _SHA1_B32_SELECT = (
     "+ (strpos('0123456789abcdef', substr(hd, 5*j // 4 + 3, 1)) - 1)"
     ") >> (7 - (5*j) % 4)) % 32 + 1, 1)), '') AS new_style_checksum "
     "FROM digest")
+
+# CCNet bigram-LM scoring pipeline, ending in a ``tiers(doc_id,
+# n_bigrams, nll_q, ppl, bucket)`` CTE — shared by quality_perplexity
+# and corpus_mix so the two oracles cannot drift.  Mirrors
+# functions/lm.py: train on the doc_id%5<>0 slice, add-one smoothing,
+# per-token nll quantized to the dyadic 2^-20 grid (exact BIGINT
+# sums), head/middle/tail ntile(3) by mean nll with doc-id tie-break.
+_PPL_CTES = (
+    "tk AS (SELECT doc_id, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS w "
+    "FROM documents), "
+    "inst AS (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(w)), i -> "
+    "{'prev': w[i], 'cur': w[i+1]})) AS bg "
+    "FROM tk WHERE len(w) >= 2), "
+    "ib AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur "
+    "FROM inst), "
+    "tr AS (SELECT prev, cur, count(*) AS c2 FROM ib "
+    "WHERE doc_id % 5 <> 0 GROUP BY 1, 2), "
+    "pc AS (SELECT prev, SUM(c2) AS c1 FROM tr GROUP BY 1), "
+    "vocab AS (SELECT count(DISTINCT t) AS v FROM "
+    "(SELECT doc_id, unnest(w) AS t FROM tk) "
+    "WHERE doc_id % 5 <> 0), "
+    "sc AS (SELECT ib.doc_id, "
+    "CAST(round((ln(COALESCE(p.c1, 0) + v) "
+    "- ln(COALESCE(t.c2, 0) + 1)) * 1048576) AS BIGINT) AS lq "
+    "FROM ib LEFT JOIN tr t ON ib.prev = t.prev "
+    "AND ib.cur = t.cur "
+    "LEFT JOIN pc p ON ib.prev = p.prev CROSS JOIN vocab), "
+    "ag AS (SELECT doc_id, count(*) AS n, SUM(lq) AS nll_q "
+    "FROM sc GROUP BY 1), "
+    "tiers AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, "
+    "CAST(nll_q AS BIGINT) AS nll_q, "
+    "round(exp(CAST(nll_q AS DOUBLE) / 1048576 / n), 4) AS ppl, "
+    "['head', 'middle', 'tail'][ntile(3) OVER "
+    "(ORDER BY CAST(nll_q AS DOUBLE) / n ASC, doc_id ASC)] "
+    "AS bucket FROM ag)")
+
+
+def _HEX8_SQL(expr: str) -> str:
+    """BIGINT value of an 8-hex-digit string expression (DuckDB has no
+    conv(); unrolled nibble decode, the COVERAGE.md strpos pattern)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(_h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}" for i in range(8))
+    return f"(SELECT {terms} FROM (SELECT {expr} AS _h))"
+
 
 # pages → extraction → Gopher admission, ending in an ``adm(doc_id,
 # url, text)`` CTE — the shared front half of the corpus-build oracles
@@ -2140,35 +2212,35 @@ def oracle_sql() -> dict[str, str]:
         # the doc_id%5<>0 slice, same add-one smoothing, same dyadic
         # nll quantization (exact BIGINT sums), same ntile tiering
         "quality_perplexity": (
+            "WITH " + _PPL_CTES
+            + " SELECT doc_id, n_bigrams, nll_q, ppl, bucket FROM tiers"),
+        # the mixing stage on top: same tiers, then the salted md5
+        # coin re-flipped in SQL (unrolled 8-nibble hex decode)
+        "corpus_mix": (
+            "WITH " + _PPL_CTES
+            + ", coins AS (SELECT doc_id, bucket, "
+            + _HEX8_SQL("substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),"
+                        " 1, 8)")
+            + " % 1000 AS coin FROM tiers) "
+            "SELECT doc_id, bucket, CAST(coin AS BIGINT) AS coin, "
+            "coin < (CASE bucket WHEN 'head' THEN 1000 "
+            "WHEN 'middle' THEN 500 ELSE 125 END) AS sampled "
+            "FROM coins"),
+        # fixed-context chunking re-derived: same 32/24 window starts,
+        # same trailing-partial windows, same re-joined text
+        "corpus_chunks": (
             "WITH tk AS (SELECT doc_id, "
-            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "string_split_regex(trim(text), '\\s+') AS tk "
             "FROM documents), "
-            "inst AS (SELECT doc_id, "
-            "unnest(list_transform(range(1, len(w)), i -> "
-            "{'prev': w[i], 'cur': w[i+1]})) AS bg "
-            "FROM tk WHERE len(w) >= 2), "
-            "ib AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur "
-            "FROM inst), "
-            "tr AS (SELECT prev, cur, count(*) AS c2 FROM ib "
-            "WHERE doc_id % 5 <> 0 GROUP BY 1, 2), "
-            "pc AS (SELECT prev, SUM(c2) AS c1 FROM tr GROUP BY 1), "
-            "vocab AS (SELECT count(DISTINCT t) AS v FROM "
-            "(SELECT doc_id, unnest(w) AS t FROM tk) "
-            "WHERE doc_id % 5 <> 0), "
-            "sc AS (SELECT ib.doc_id, "
-            "CAST(round((ln(COALESCE(p.c1, 0) + v) "
-            "- ln(COALESCE(t.c2, 0) + 1)) * 1048576) AS BIGINT) AS lq "
-            "FROM ib LEFT JOIN tr t ON ib.prev = t.prev "
-            "AND ib.cur = t.cur "
-            "LEFT JOIN pc p ON ib.prev = p.prev CROSS JOIN vocab), "
-            "ag AS (SELECT doc_id, count(*) AS n, SUM(lq) AS nll_q "
-            "FROM sc GROUP BY 1) "
-            "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, "
-            "CAST(nll_q AS BIGINT) AS nll_q, "
-            "round(exp(CAST(nll_q AS DOUBLE) / 1048576 / n), 4) AS ppl, "
-            "['head', 'middle', 'tail'][ntile(3) OVER "
-            "(ORDER BY CAST(nll_q AS DOUBLE) / n ASC, doc_id ASC)] "
-            "AS bucket FROM ag"),
+            "ch AS (SELECT doc_id, "
+            "unnest(list_transform(range(0, (len(tk) - 1) // 24 + 1), "
+            "i -> {'idx': i, "
+            "'n': len(tk[i*24 + 1 : i*24 + 32]), "
+            "'txt': array_to_string(tk[i*24 + 1 : i*24 + 32], ' ')})) "
+            "AS c FROM tk) "
+            "SELECT doc_id, CAST(c.idx AS BIGINT) AS chunk_idx, "
+            "CAST(c.n AS BIGINT) AS n_tokens, c.txt AS chunk_text "
+            "FROM ch"),
         # SemDeDup re-derived: same planted-clone view, same
         # broadcast-codebook cell assignment tie-break, same
         # within-cell cosine>=0.95 lower-id keeper rule

@@ -111,3 +111,41 @@ def bigram_lm_scores(docs: DataFrame, train_filter: Column,
         F.round(F.exp(mean_nll), 4).alias("ppl"),
         F.element_at(F.array(*[F.lit(b) for b in BUCKETS]), tier)
         .alias("bucket"))
+
+
+#: default per-tier keep rates in thousandths (CCNet keeps the head,
+#: thins the middle, mostly drops the tail)
+DEFAULT_MIX_MILLIS = {"head": 1000, "middle": 500, "tail": 125}
+
+
+def quality_mix(scored: DataFrame, rates_millis: dict[str, int]
+                | None = None, id_col: str = "doc_id",
+                bucket_col: str = "bucket") -> DataFrame:
+    """Deterministic quality-aware corpus mixing: keep each document
+    with a per-tier rate (thousandths), decided by a salted md5 coin
+    on the document id — reproducible across runs, partitionings and
+    engines (no RNG), which is what lets a 100 TB mix be re-derived
+    instead of stored.  Adds ``coin`` (0-999) and ``sampled``; filter
+    on ``sampled`` for the mixed corpus, keep both for the audit.
+
+    Scale shape: pure projection over the scored table — no shuffle,
+    no Python; the coin is the first 8 hex digits of
+    ``md5(id || ':mix')`` mod 1000, exactly reproducible in SQL.
+    """
+    rates = dict(DEFAULT_MIX_MILLIS if rates_millis is None
+                 else rates_millis)
+    unknown = F.lit(0)
+    rate = None
+    for b, r in sorted(rates.items()):
+        cond = F.col(bucket_col) == b
+        rate = F.when(cond, F.lit(r)) if rate is None \
+            else rate.when(cond, F.lit(r))
+    rate = unknown if rate is None else rate.otherwise(unknown)
+    coin = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":mix"))), 1, 8), 16, 10)
+        .cast("long") % 1000)
+    return scored.select(
+        "*", coin.alias("coin"),
+        (coin < rate).alias("sampled"))

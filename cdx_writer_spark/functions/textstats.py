@@ -324,6 +324,48 @@ def c4_line_filter(docs, id_col: str = "doc_id", text_col: str = "text",
         .alias("passes"))
 
 
+def chunk_documents(docs, chunk_tokens: int = 64, stride: int | None
+                    = None, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Fixed-context training-example chunking: recut every document
+    into windows of ``chunk_tokens`` whitespace tokens, starting every
+    ``stride`` tokens (defaults to ``chunk_tokens`` — disjoint
+    windows; a smaller stride gives the overlapping windows long-range
+    pretraining mixes use).  The trailing partial window is kept —
+    samplers that drop short tails can filter on ``n_tokens``.
+    Emits ``(id, chunk_idx, n_tokens, chunk_text)``.
+
+    Scale shape: one split per document behind the Generate barrier
+    (the token array is bound once; posexplode fans out 1 → ceil(L /
+    stride) rows), embarrassingly parallel, no shuffle, no Python —
+    the same plan at 500 documents and 10^10.
+    """
+    from .dedup import bind_once
+
+    step = chunk_tokens if stride is None else stride
+    if step <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def chunks_of(tk: Column) -> Column:
+        n_chunks = F.floor((F.size(tk) - 1) / step).cast("int") + 1
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.size(F.slice(tk, i * step + 1, chunk_tokens))
+                .cast("long").alias("n_tokens"),
+                F.array_join(F.slice(tk, i * step + 1, chunk_tokens),
+                             " ").alias("chunk_text")))
+
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(bind_once(tokens_col(text), chunks_of))
+        .alias("chunk_idx", "_c")
+    ).select(id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
+             F.col("_c.n_tokens").alias("n_tokens"),
+             F.col("_c.chunk_text").alias("chunk_text"))
+
+
 def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
                     text_col: str = "text"):
     """Top-``k`` terms per document by smoothed TF-IDF:

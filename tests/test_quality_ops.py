@@ -131,6 +131,74 @@ def test_bigram_lm_empty_train_raises(spark):
         lm.bigram_lm_scores(docs, F.lit(False))
 
 
+# --- chunking -----------------------------------------------------------------
+
+def test_chunk_documents_overlapping(spark):
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")],
+        "doc_id long, text string")
+    out = sorted(
+        (r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in
+        textstats.chunk_documents(docs, chunk_tokens=4, stride=3)
+        .collect())
+    assert out == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+        (3, 1, "t9"),
+    ]
+
+
+def test_chunk_documents_disjoint_and_exact_fit(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b")], "doc_id long, text string")
+    rows = textstats.chunk_documents(docs, chunk_tokens=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"]))
+    # exact fit: no empty trailing window
+    assert sorted(by_doc[1]) == [(0, 3, "a b c"), (1, 3, "d e f")]
+    assert sorted(by_doc[2]) == [(0, 2, "a b")]
+
+
+def test_chunk_documents_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(docs, chunk_tokens=4, stride=-1)
+
+
+# --- quality mix --------------------------------------------------------------
+
+def test_quality_mix_coin_matches_md5(spark):
+    import hashlib
+
+    scored = spark.createDataFrame(
+        [(7, "head"), (8, "middle"), (9, "tail"), (10, "weird")],
+        "doc_id long, bucket string")
+    out = {r["doc_id"]: r.asDict()
+           for r in lm.quality_mix(scored).collect()}
+    for i in (7, 8, 9, 10):
+        want = int(hashlib.md5(f"{i}:mix".encode()).hexdigest()[:8],
+                   16) % 1000
+        assert out[i]["coin"] == want, i
+    assert out[7]["sampled"] == (out[7]["coin"] < 1000)  # head: always
+    assert out[8]["sampled"] == (out[8]["coin"] < 500)
+    assert out[9]["sampled"] == (out[9]["coin"] < 125)
+    assert out[10]["sampled"] is False  # unknown bucket -> rate 0
+
+
+def test_quality_mix_custom_rates(spark):
+    scored = spark.createDataFrame(
+        [(1, "head"), (2, "tail")], "doc_id long, bucket string")
+    out = {r["doc_id"]: r.asDict() for r in lm.quality_mix(
+        scored, {"head": 0, "tail": 1000}).collect()}
+    assert out[1]["sampled"] is False
+    assert out[2]["sampled"] is True
+
+
 # --- SemDeDup -----------------------------------------------------------------
 
 def test_semdedup_planted_clones(spark):
