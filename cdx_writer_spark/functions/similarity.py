@@ -492,10 +492,17 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
     if cents.limit(1).count() == 0:
         raise ValueError("no centroids: stride larger than id range "
                          "(or empty codebook)")
+    from .dedup import _persist_candidates
+
     cb = _codebook_row(cents)
-    asg = emb.crossJoin(F.broadcast(cb)).select(
-        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col),
-        _nearest_cells(F.col(vec_col), 1)[0].alias("cell"))
+    # the assigned frame feeds three consumers (both self-join legs +
+    # the final keeper join): persist it once instead of re-running
+    # the codebook cross-join per leg (registered in the candidate-
+    # cache registry; release_candidate_caches() frees it)
+    asg = _persist_candidates(
+        emb.crossJoin(F.broadcast(cb)).select(
+            F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col),
+            _nearest_cells(F.col(vec_col), 1)[0].alias("cell")))
     a = asg.select(F.col("vec_id").alias("a_id"),
                    F.col(vec_col).alias("a_vec"), "cell")
     b = asg.select(F.col("vec_id").alias("b_id"),
