@@ -647,6 +647,18 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bucket", "coin", "sampled")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed unigram+bigram importance weights
+    of every document against the doc_id % 7 == 0 target slice,
+    top-quartile selection — the oracle re-estimates both bucket
+    distributions, re-hashes every feature (unrolled md5 hex decode),
+    and re-ranks in SQL.  logw_q totals are exact dyadic integers."""
+    from cdx_writer_spark.functions import lm
+
+    return lm.dsir_importance(_docs(spark, sf_dir),
+                              F.col("doc_id") % 7 == 0)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the planted-clone view (every 10th vector cloned
     at exactly 2x, cosine exactly 1.0, natural max pairwise cosine
@@ -1175,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_perplexity": q_quality_perplexity,
         "corpus_chunks": q_corpus_chunks,
         "corpus_mix": q_corpus_mix,
+        "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
         "text_tfidf": q_text_tfidf,
         "text_winnowing": q_text_winnowing,
@@ -2226,6 +2239,40 @@ def oracle_sql() -> dict[str, str]:
             "coin < (CASE bucket WHEN 'head' THEN 1000 "
             "WHEN 'middle' THEN 500 ELSE 125 END) AS sampled "
             "FROM coins"),
+        # DSIR re-derived end-to-end: namespaced unigram+bigram
+        # features, md5 bucket hash (unrolled hex decode), one-pass
+        # raw+target bucket counts, add-one log importance on the
+        # dyadic grid, top-quartile ntile selection
+        "dsir_select": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "gr AS (SELECT doc_id, doc_id % 7 = 0 AS is_t, "
+            "unnest(list_transform(w, t -> 'u:' || t) || "
+            "CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> "
+            "'b:' || w[i] || ' ' || w[i+1]) "
+            "ELSE []::VARCHAR[] END) AS gram FROM tk), "
+            "bk AS (SELECT doc_id, is_t, "
+            + _HEX8_SQL("substr(md5(gram), 1, 8)")
+            + " % 1024 AS bucket FROM gr), "
+            "bt AS (SELECT bucket, count(*) AS c_r, "
+            "SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t "
+            "FROM bk GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, "
+            "CAST(SUM(c_t) AS BIGINT) AS n_t FROM bt), "
+            "sc AS (SELECT bk.doc_id, "
+            "CAST(round((ln(CAST(c_t AS BIGINT) + 1) - ln(n_t + 1024) "
+            "- ln(CAST(c_r AS BIGINT) + 1) + ln(n_r + 1024)) "
+            "* 1048576) AS BIGINT) AS lq "
+            "FROM bk JOIN bt USING (bucket) CROSS JOIN tot), "
+            "ag AS (SELECT doc_id, count(*) AS n_feats, "
+            "SUM(lq) AS logw_q FROM sc GROUP BY 1) "
+            "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, "
+            "CAST(logw_q AS BIGINT) AS logw_q, "
+            "ntile(4) OVER (ORDER BY "
+            "CAST(logw_q AS DOUBLE) / n_feats DESC, doc_id ASC) = 1 "
+            "AS selected FROM ag"),
         # fixed-context chunking re-derived: same 32/24 window starts,
         # same trailing-partial windows, same re-joined text
         "corpus_chunks": (

@@ -113,6 +113,93 @@ def bigram_lm_scores(docs: DataFrame, train_filter: Column,
         .alias("bucket"))
 
 
+#: DSIR hashed-feature bucket count (the paper uses 10^4; 2^10 keeps
+#: the oracle's bucket tables tiny at test scale — a constructor arg)
+DSIR_BUCKETS = 1024
+
+
+def _feature_structs(w: Column) -> Column:
+    """Namespaced unigram + bigram feature strings per document:
+    ``u:<tok>`` for every token, ``b:<prev> <cur>`` for every adjacent
+    pair (the namespace keeps a unigram from colliding with a bigram
+    that hashes alike before bucketing)."""
+    uni = F.transform(w, lambda t: F.concat(F.lit("u:"), t))
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(F.lit("b:"), F.element_at(w, i),
+                               F.lit(" "), F.element_at(w, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(uni, bi)
+
+
+def dsir_importance(docs: DataFrame, target_filter: Column,
+                    n_buckets: int = DSIR_BUCKETS,
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    estimate hashed-n-gram bag-of-words distributions for a TARGET
+    slice and for the RAW corpus (add-one smoothing over
+    ``n_buckets`` md5 buckets), score every document by its total log
+    importance weight ``Σ ln(p_target(b)/p_raw(b))`` over unigram +
+    bigram feature instances, and mark the top quartile (by mean log
+    weight, doc-id tie-break) as ``selected`` — the deterministic
+    counterpart of the paper's importance resampling.
+
+    Per-instance log weights are quantized to the dyadic 2^-20 grid,
+    so ``logw_q`` totals are exact integers (partitioning-
+    independent), like ``bigram_lm_scores``.
+
+    Scale shape: one feature explode; both distribution estimates are
+    ``n_buckets``-row aggregates that join back by broadcast; one
+    integer groupBy(doc); one corpus-cardinality window for the
+    quartile (swap for an approx-percentile threshold at 10^10 docs).
+    The feature totals ride along as two 1-row aggregates cross-joined
+    into the scoring projection — no driver scalar.
+    """
+    w = tokens_col(F.lower(F.col(text_col)))
+    inst = docs.select(
+        F.col(id_col), target_filter.alias("_is_t"),
+        F.explode(bind_once(w, _feature_structs)).alias("gram")
+    ).select(
+        id_col, "_is_t",
+        (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+         .cast("long") % n_buckets).alias("bucket"))
+    # both distributions in ONE aggregation pass over the explode
+    # (the raw count plus the target-flagged conditional count)
+    btbl = inst.groupBy("bucket").agg(
+        F.count("*").alias("c_r"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("c_t"))
+    tot = btbl.agg(F.sum("c_r").alias("n_r"),
+                   F.sum("c_t").alias("n_t"))
+    # cheap guard (scan-limit, not a full feature pass): an empty
+    # target slice would make every importance weight vacuous
+    if docs.filter(target_filter).limit(1).count() == 0:
+        raise ValueError("empty target slice: no features")
+    scored = (
+        inst.join(F.broadcast(btbl), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.round(
+                (F.log(F.col("c_t") + F.lit(1))
+                 - F.log(F.col("n_t") + F.lit(n_buckets))
+                 - F.log(F.col("c_r") + F.lit(1))
+                 + F.log(F.col("n_r") + F.lit(n_buckets)))
+                * F.lit(NLL_Q)).cast("long").alias("lq"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_feats"), F.sum("lq").alias("logw_q"))
+    rk = F.ntile(4).over(Window.orderBy(
+        (F.col("logw_q").cast("double") / F.col("n_feats")).desc(),
+        F.col(id_col).asc()))
+    return agg.select(
+        id_col, F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("logw_q").cast("long").alias("logw_q"),
+        (rk == 1).alias("selected"))
+
+
 #: default per-tier keep rates in thousandths (CCNet keeps the head,
 #: thins the middle, mostly drops the tail)
 DEFAULT_MIX_MILLIS = {"head": 1000, "middle": 500, "tail": 125}

@@ -199,6 +199,53 @@ def test_quality_mix_custom_rates(spark):
     assert out[2]["sampled"] is True
 
 
+# --- DSIR ---------------------------------------------------------------------
+
+DSIR_DOCS = (
+    # target-like docs: heavy "spark" dialect
+    [(i, "spark shuffle partition broadcast join spark executor "
+         "stage task spark") for i in range(0, 30, 3)]
+    # raw background: different vocabulary
+    + [(i, "apple banana cherry date elderberry fig grape honeydew "
+           "kiwi lemon") for i in range(1, 30, 3)]
+    + [(i, "red orange yellow green blue indigo violet white black "
+           "gray") for i in range(2, 30, 3)]
+)
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    docs = spark.createDataFrame(DSIR_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in lm.dsir_importance(
+        docs, F.col("doc_id") % 3 == 0).collect()}
+    assert len(out) == 30
+    # every selected doc should be a target-dialect doc: they share
+    # all their features with the target distribution
+    selected = {i for i, r in out.items() if r["selected"]}
+    assert selected and selected <= set(range(0, 30, 3))
+    # mean log importance of target-dialect docs strictly exceeds
+    # the background's
+    def mean_logw(i):
+        return out[i]["logw_q"] / out[i]["n_feats"]
+    assert min(mean_logw(i) for i in range(0, 30, 3)) > \
+        max(mean_logw(i) for i in range(1, 30, 3))
+
+
+def test_dsir_partitioning_invariant(spark):
+    docs = spark.createDataFrame(DSIR_DOCS, "doc_id long, text string")
+    pred = F.col("doc_id") % 3 == 0
+    a = {r["doc_id"]: r["logw_q"] for r in lm.dsir_importance(
+        docs.repartition(1), pred).collect()}
+    b = {r["doc_id"]: r["logw_q"] for r in lm.dsir_importance(
+        docs.repartition(5, "doc_id"), pred).collect()}
+    assert a == b
+
+
+def test_dsir_empty_target_raises(spark):
+    docs = spark.createDataFrame(DSIR_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty target slice"):
+        lm.dsir_importance(docs, F.lit(False))
+
+
 # --- SemDeDup -----------------------------------------------------------------
 
 def test_semdedup_planted_clones(spark):
