@@ -663,10 +663,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the planted-clone view (every 10th vector cloned
     at exactly 2x, cosine exactly 1.0, natural max pairwise cosine
     ≤ 0.61): broadcast-codebook cell assignment (centroids = base
-    vec_id % 37 == 0), within-cell cosine ≥ 0.95 against any lower id
-    drops the row.  Expected outcome: exactly the clones drop, each
-    pointing at its base as keeper — the oracle re-derives assignment,
-    pairing and keeper choice in SQL."""
+    vec_id % 37 == 0), one survivor (min id) per within-cell
+    cosine ≥ 0.95 connected group.  Expected outcome: exactly the
+    clones drop, each pointing at its base as keeper — the oracle
+    re-derives assignment, the pair graph, and the groups (recursive
+    min-reachable closure) in SQL."""
     emb = _table(spark, sf_dir, "embeddings")
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
@@ -2204,10 +2205,11 @@ def oracle_sql() -> dict[str, str]:
             "ln AS (SELECT doc_id, text, "
             "string_split(text, chr(10)) AS ls FROM ml), "
             "k AS (SELECT doc_id, text, len(ls) AS n_lines, "
-            "list_filter(ls, l -> "
-            "len(string_split_regex(trim(l), ' +')) >= 5 "
-            "AND right(l, 1) IN ('.', '!', '?', '\"') "
-            "AND NOT contains(lower(l), 'javascript')) AS kept "
+            "list_filter(list_transform(ls, l -> "
+            "trim(l, ' ' || chr(9) || chr(13))), t -> "
+            "len(string_split_regex(t, '[ \\t\\r\\f\\x0B]+')) >= 5 "
+            "AND right(t, 1) IN ('.', '!', '?', '\"') "
+            "AND NOT contains(lower(t), 'javascript')) AS kept "
             "FROM ln) "
             "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
             "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
@@ -2279,20 +2281,24 @@ def oracle_sql() -> dict[str, str]:
             "WITH tk AS (SELECT doc_id, "
             "string_split_regex(trim(text), '\\s+') AS tk "
             "FROM documents), "
-            "ch AS (SELECT doc_id, "
-            "unnest(list_transform(range(0, (len(tk) - 1) // 24 + 1), "
+            "ch AS (SELECT doc_id, unnest("
+            "CASE WHEN len(tk) = 1 AND tk[1] = '' "
+            "THEN []::STRUCT(idx BIGINT, n BIGINT, txt VARCHAR)[] "
+            "ELSE list_transform(range(0, (len(tk) - 1) // 24 + 1), "
             "i -> {'idx': i, "
-            "'n': len(tk[i*24 + 1 : i*24 + 32]), "
-            "'txt': array_to_string(tk[i*24 + 1 : i*24 + 32], ' ')})) "
-            "AS c FROM tk) "
+            "'n': len(tk[i*24 + 1 : i*24 + 32])::BIGINT, "
+            "'txt': array_to_string(tk[i*24 + 1 : i*24 + 32], ' ')}) "
+            "END) AS c FROM tk) "
             "SELECT doc_id, CAST(c.idx AS BIGINT) AS chunk_idx, "
             "CAST(c.n AS BIGINT) AS n_tokens, c.txt AS chunk_text "
             "FROM ch"),
         # SemDeDup re-derived: same planted-clone view, same
         # broadcast-codebook cell assignment tie-break, same
-        # within-cell cosine>=0.95 lower-id keeper rule
+        # within-cell cosine>=0.95 pair graph — then the duplicate
+        # GROUPS via a recursive min-reachable-label closure (the
+        # independent formulation of the star-algorithm components)
         "semantic_dedup": (
-            "WITH aug AS ("
+            "WITH RECURSIVE aug AS ("
             "SELECT vec_id, embedding FROM embeddings "
             "UNION ALL "
             "SELECT vec_id + 10000000 AS vec_id, "
@@ -2307,14 +2313,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM aug e CROSS JOIN c), "
             "asg AS (SELECT vec_id, embedding, cid AS cell "
             "FROM cs WHERE crn = 1), "
-            "pr AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS keeper "
+            "pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM asg a JOIN asg b "
             "ON a.cell = b.cell AND a.vec_id < b.vec_id "
             f"WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) "
-            ">= 0.95 GROUP BY 1) "
-            "SELECT g.vec_id, g.cell, p.keeper, "
-            "p.keeper IS NULL AS kept "
-            "FROM asg g LEFT JOIN pr p ON g.vec_id = p.id"),
+            ">= 0.95), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach AS (SELECT u AS id, u AS lab FROM edges "
+            "UNION SELECT e.v, r.lab FROM reach r "
+            "JOIN edges e ON e.u = r.id), "
+            "comp AS (SELECT id, MIN(lab) AS comp FROM reach "
+            "GROUP BY id) "
+            "SELECT g.vec_id, g.cell, "
+            "CASE WHEN c.comp IS NOT NULL AND c.comp <> g.vec_id "
+            "THEN c.comp END AS keeper, "
+            "c.comp IS NULL OR c.comp = g.vec_id AS kept "
+            "FROM asg g LEFT JOIN comp c ON g.vec_id = c.id"),
         # Winnowing fingerprints re-derived: char 8-grams of the
         # normalized text -> md5-prefix hashes -> min of each
         # 4-hash window -> sorted distinct set

@@ -79,21 +79,25 @@ def bigram_lm_scores(docs: DataFrame, train_filter: Column,
                               text_col)
     bi = train.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
     pc = bi.groupBy("prev").agg(F.sum("c2").alias("c1"))
-    # one tiny driver scalar (tfidf_top_terms precedent): the trained
-    # vocabulary size that parameterizes the smoothing denominator
-    v = (docs.filter(train_filter)
-         .select(F.explode(tokens_col(F.lower(F.col(text_col))))
-                 .alias("t"))
-         .agg(F.countDistinct("t")).collect()[0][0])
-    if not v:
+    # the vocabulary size rides along as a broadcast 1-row aggregate
+    # (the dsir_importance pattern) — no eager driver collect, no
+    # extra blocking pass at construction time
+    vtbl = (docs.filter(train_filter)
+            .select(F.explode(tokens_col(F.lower(F.col(text_col))))
+                    .alias("t"))
+            .agg(F.countDistinct("t").alias("v")))
+    # cheap guard (scan-limit, not a full tokenize pass): an empty
+    # training slice has no model to score under
+    if docs.filter(train_filter).limit(1).count() == 0:
         raise ValueError("empty training slice: no vocabulary")
     scored = (
         inst.join(bi, ["prev", "cur"], "left")
         .join(pc, "prev", "left")
+        .crossJoin(F.broadcast(vtbl))
         .select(
             id_col,
             F.round(
-                (F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v))
+                (F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
                  - F.log(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)))
                 * F.lit(NLL_Q)).cast("long").alias("lq"))
     )

@@ -468,22 +468,26 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
              codebook: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     semantic deduplication — assign every embedding to its nearest
-    centroid cell, then inside each cell drop any vector that has a
-    LOWER-id cell-mate with cosine ≥ ``threshold`` (the deterministic
-    keep-first variant of the paper's keep-one-per-group rule; exact
-    dedup's ``keep_id = min`` convention).  Returns one row per input
-    vector: ``(vec_id, cell, keeper, kept)`` — ``keeper`` is the
-    smallest qualifying lower id (NULL when kept).
+    centroid cell, build the within-cell cosine ≥ ``threshold`` pair
+    graph, and keep exactly ONE vector per connected duplicate group
+    (the minimum id; everything else points at it as ``keeper``).
+    Connected components — not a greedy drop-if-any-lower-id-neighbor
+    rule — so a chain a~b, b~c with a≁c still keeps one member and
+    every ``keeper`` is itself a KEPT row (the greedy rule both
+    over-deletes and can emit keepers that were themselves dropped).
+    Returns one row per input vector: ``(vec_id, cell, keeper,
+    kept)`` with ``keeper`` NULL on kept rows.
 
     Scale shape: cell assignment is the same broadcast-codebook
     map-only stage as ``ivf_topk`` (no shuffle, no Python, no driver
-    centroid literals); the only exchange is the within-cell self-join
-    — which is the algorithm's published cost model: pairwise cosine
-    is confined to a cell, and the codebook size scales with the
-    corpus (the paper uses ~0.1% of N clusters) so cells stay bounded
-    and no all-pairs join ever materializes.  A skewed cell is a
-    mis-sized codebook, not a plan problem — the fix is more
-    centroids (or the trained ``kmeans_codebook``), not a hint.
+    centroid literals); the within-cell self-join is the algorithm's
+    published cost model — pairwise cosine confined to a cell, the
+    codebook sized with the corpus (the paper uses ~0.1% of N
+    clusters) so cells stay bounded and no all-pairs join ever
+    materializes (a skewed cell is a mis-sized codebook, not a plan
+    problem).  The component step runs on the NEAR-DUP PAIRS only
+    (two int64 columns, O(log n) star rounds — see
+    dedup.connected_components), not the corpus.
     """
     cents = codebook if codebook is not None else (
         emb.filter(F.col(id_col) % centroid_stride == 0).select(
@@ -507,17 +511,23 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
                    F.col(vec_col).alias("a_vec"), "cell")
     b = asg.select(F.col("vec_id").alias("b_id"),
                    F.col(vec_col).alias("b_vec"), "cell")
-    keepers = (
+    from .dedup import connected_components
+
+    pairs = (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(F.round(cosine_col(F.col("a_vec"), F.col("b_vec")), 4)
                 >= threshold)
-        .groupBy("b_id").agg(F.min("a_id").alias("keeper"))
+        .select("a_id", "b_id")
     )
+    comp = connected_components(pairs, id_a="a_id", id_b="b_id")
+    kept = F.col("component").isNull() | (F.col("component")
+                                          == F.col("vec_id"))
     return (
-        asg.join(keepers, asg["vec_id"] == keepers["b_id"], "left")
-        .select("vec_id", "cell", "keeper",
-                F.col("keeper").isNull().alias("kept"))
+        asg.join(comp, asg["vec_id"] == comp["id"], "left")
+        .select("vec_id", "cell",
+                F.when(~kept, F.col("component")).alias("keeper"),
+                kept.alias("kept"))
     )
 
 

@@ -300,12 +300,18 @@ def c4_line_filter(docs, id_col: str = "doc_id", text_col: str = "text",
     text = F.col(text_col)
 
     def line_stats(ls: Column) -> Column:
+        # rules run on per-line trimmed text (C4 strips each line), so
+        # CRLF endings, tabs and trailing blanks cannot defeat the
+        # terminal-punctuation or word-count tests; kept lines are
+        # re-joined in trimmed form.  Explicit ASCII whitespace
+        # classes only — the Java/RE2/Python engines disagree on \s.
+        trimmed = F.transform(ls, lambda l: F.btrim(l, F.lit(" \t\r")))
         kept = F.filter(
-            ls,
-            lambda l: (F.size(F.split(F.trim(l), " +"))
+            trimmed,
+            lambda t: (F.size(F.split(t, r"[ \t\r\f\x0B]+"))
                        >= min_words_per_line)
-            & F.substring(l, -1, 1).isin(".", "!", "?", '"')
-            & ~F.lower(l).contains("javascript"))
+            & F.substring(t, -1, 1).isin(".", "!", "?", '"')
+            & ~F.lower(t).contains("javascript"))
         return F.array(F.struct(
             F.size(ls).cast("long").alias("n_lines"),
             F.size(kept).cast("long").alias("n_kept_lines"),
@@ -348,13 +354,21 @@ def chunk_documents(docs, chunk_tokens: int = 64, stride: int | None
 
     def chunks_of(tk: Column) -> Column:
         n_chunks = F.floor((F.size(tk) - 1) / step).cast("int") + 1
-        return F.transform(
+        built = F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
             lambda i: F.struct(
                 F.size(F.slice(tk, i * step + 1, chunk_tokens))
                 .cast("long").alias("n_tokens"),
                 F.array_join(F.slice(tk, i * step + 1, chunk_tokens),
                              " ").alias("chunk_text")))
+        # an empty/whitespace-only document tokenizes to [''] (the
+        # oracle-parity convention) — emit NO chunks rather than a
+        # phantom 1-token empty training example
+        return F.when(
+            (F.size(tk) == 1) & (F.element_at(tk, 1) == ""),
+            F.array().cast(
+                "array<struct<n_tokens:bigint,chunk_text:string>>")
+        ).otherwise(built)
 
     text = F.col(text_col)
     return docs.select(

@@ -68,6 +68,26 @@ def test_c4_line_filter_semantics(spark):
     assert out[1]["cleaned_text"].split("\n")[0].startswith("alpha")
 
 
+def test_c4_line_filter_messy_whitespace(spark):
+    """CRLF endings, tabs as separators, and trailing blanks must not
+    defeat the line rules: the rules run on per-line trimmed text and
+    words split on any ASCII whitespace run."""
+    docs = spark.createDataFrame(
+        [(1, "one two three four five.\r\n"
+             "six seven eight nine ten.\r\n"
+             "more good words right here.\r"),
+         (2, "a\tb\tc\td\te.\n"
+             "f g h i j.   \n"
+             "k l m n o p q.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.c4_line_filter(docs).collect()}
+    assert out[1]["passes"] and out[1]["n_kept_lines"] == 3
+    assert "\r" not in out[1]["cleaned_text"]
+    assert out[2]["passes"] and out[2]["n_kept_lines"] == 3
+    assert not out[2]["cleaned_text"].split("\n")[1].endswith(" ")
+
+
 # --- bigram LM ----------------------------------------------------------------
 
 LM_DOCS = [
@@ -160,6 +180,15 @@ def test_chunk_documents_disjoint_and_exact_fit(spark):
     # exact fit: no empty trailing window
     assert sorted(by_doc[1]) == [(0, 3, "a b c"), (1, 3, "d e f")]
     assert sorted(by_doc[2]) == [(0, 2, "a b")]
+
+
+def test_chunk_documents_empty_doc_emits_no_chunks(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real tokens here")],
+        "doc_id long, text string")
+    rows = textstats.chunk_documents(docs, chunk_tokens=4).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["n_tokens"] == 3
 
 
 def test_chunk_documents_bad_params(spark):
@@ -289,6 +318,30 @@ def test_semdedup_keep_first_within_group(spark):
     assert out[3]["kept"]
     assert not out[7]["kept"] and out[7]["keeper"] == 3
     assert not out[9]["kept"] and out[9]["keeper"] == 3
+
+
+def test_semdedup_chain_keeps_one_per_group(spark):
+    """Chain a~b, b~c with a NOT ~ c (unit vectors at 0°, 18°, 36°,
+    τ between cos18° and cos36°): one connected group — only the min
+    id survives and BOTH others point at the kept row (the greedy
+    any-lower-id rule would have c point at the dropped b)."""
+    import math
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+    emb = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(18)), (3, unit(36))],
+        "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, unit(10))], "cid long, cvec array<float>")
+    out = {r["vec_id"]: r.asDict() for r in similarity.semdedup(
+        emb, threshold=0.94, codebook=cents).collect()}
+    assert out[1]["kept"] and out[1]["keeper"] is None
+    assert not out[2]["kept"] and out[2]["keeper"] == 1
+    assert not out[3]["kept"] and out[3]["keeper"] == 1  # via the chain
+    # every keeper is itself a kept row
+    keepers = {r["keeper"] for r in out.values() if r["keeper"] is not None}
+    assert all(out[k]["kept"] for k in keepers)
 
 
 def test_semdedup_stride_guard(spark):
