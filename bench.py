@@ -96,6 +96,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "text_stats": lambda: entrymod.q_text_stats(spark, sf_dir),
         "quality_perplexity": lambda: entrymod.q_quality_perplexity(
             spark, sf_dir),
+        "dsir_select": lambda: entrymod.q_dsir_select(spark, sf_dir),
         "semantic_dedup": lambda: entrymod.q_semantic_dedup(
             spark, sf_dir),
         "extract_text": lambda: extract.extract_text(
