@@ -140,8 +140,8 @@ def _feature_structs(w: Column) -> Column:
 
 def dsir_importance(docs: DataFrame, target_filter: Column,
                     n_buckets: int = DSIR_BUCKETS,
-                    id_col: str = "doc_id", text_col: str = "text"
-                    ) -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    rank_filter: Column | None = None) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
     estimate hashed-n-gram bag-of-words distributions for a TARGET
     slice and for the RAW corpus (add-one smoothing over
@@ -154,6 +154,12 @@ def dsir_importance(docs: DataFrame, target_filter: Column,
     Per-instance log weights are quantized to the dyadic 2^-20 grid,
     so ``logw_q`` totals are exact integers (partitioning-
     independent), like ``bigram_lm_scores``.
+
+    ``rank_filter`` (a predicate on ``id_col``) restricts which rows
+    are RANKED and returned — e.g. when the target slice rides the
+    same frame under sentinel ids (corpus_job unions the DSIR target
+    table in with negated ids), the target rows inform the
+    distributions but must not occupy selection-quartile slots.
 
     Scale shape: one feature explode; both distribution estimates are
     ``n_buckets``-row aggregates that join back by broadcast; one
@@ -195,6 +201,8 @@ def dsir_importance(docs: DataFrame, target_filter: Column,
     )
     agg = scored.groupBy(id_col).agg(
         F.count("*").alias("n_feats"), F.sum("lq").alias("logw_q"))
+    if rank_filter is not None:
+        agg = agg.filter(rank_filter)
     rk = F.ntile(4).over(Window.orderBy(
         (F.col("logw_q").cast("double") / F.col("n_feats")).desc(),
         F.col(id_col).asc()))

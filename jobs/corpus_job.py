@@ -3,7 +3,10 @@
 HTML->text extraction -> Gopher rule filter -> optional benchmark
 decontamination (``--decontaminate-against eval.parquet``) -> optional
 PII scrub (``--pii-scrub``) -> corpus-wide duplicate-span removal ->
-clean (doc_id, url, clean_text) parquet.
+optional model-based selection on the clean text (``--quality-mix
+H,M,T`` = CCNet bigram-LM perplexity tiers + deterministic md5-coin
+mixing; ``--dsir-target target.parquet`` = DSIR top-quartile
+importance selection) -> clean (doc_id, url, clean_text) parquet.
 
 Ship it the way the north star specifies::
 
@@ -54,6 +57,18 @@ def main() -> None:
                    help="redact emails/SSNs/phones/IPv4 with typed "
                    "placeholders before span dedup and carry "
                    "per-pattern detection counts into the output")
+    p.add_argument("--quality-mix", default=None, metavar="H,M,T",
+                   help="CCNet-style selection on the CLEAN corpus: "
+                   "train a bigram LM on the doc_id %% --lm-train-mod "
+                   "!= 0 slice, tier by perplexity, keep head/middle/"
+                   "tail at these per-mille rates (e.g. 1000,500,125) "
+                   "via the deterministic md5 coin")
+    p.add_argument("--lm-train-mod", type=int, default=5,
+                   help="LM training slice = doc_id %% MOD != 0")
+    p.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                   help="DSIR selection on the CLEAN corpus: keep the "
+                   "top importance-weight quartile against this "
+                   "(doc_id, text) target table")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = p.parse_args()
@@ -109,14 +124,56 @@ def main() -> None:
     clean = dedup.drop_duplicate_spans(
         passing, span_words=args.span_words,
         passthrough_cols=tuple(passthrough))
-    clean.select("doc_id", *passthrough, "clean_text", "n_spans",
-                 "n_kept") \
-        .write.mode("error").parquet(args.out)
+    out = clean.select("doc_id", *passthrough, "clean_text", "n_spans",
+                       "n_kept")
+    mix_stats: dict = {}
+    if args.quality_mix or args.dsir_target:
+        # model-based selection runs on the CLEAN text (the corpus a
+        # model would actually train on), so materialize it once —
+        # the LM/DSIR passes re-read it instead of re-running the
+        # whole hygiene pipeline per training/scoring consumer
+        from cdx_writer_spark.functions import lm
+
+        out = clean_cached = out.persist()
+        n_clean = out.count()
+        scored_docs = out.select("doc_id",
+                                 F.col("clean_text").alias("text"))
+        if args.quality_mix:
+            h, m, t = (int(x) for x in args.quality_mix.split(","))
+            tiers = lm.bigram_lm_scores(
+                scored_docs,
+                F.col("doc_id") % args.lm_train_mod != 0)
+            mixed = lm.quality_mix(
+                tiers, {"head": h, "middle": m, "tail": t})
+            out = out.join(
+                mixed.select("doc_id", "bucket", "ppl", "sampled"),
+                "doc_id")
+            mix_stats["mix_kept"] = out.filter("sampled").count()
+            mix_stats["mix_scored"] = n_clean
+            out = out.filter("sampled").drop("sampled")
+        if args.dsir_target:
+            # the target table rides the same frame under negated
+            # sentinel ids: it informs the distributions but cannot
+            # occupy selection-quartile slots (rank_filter)
+            target = (spark.read.parquet(args.dsir_target)
+                      .select((-F.col("doc_id") - 1).alias("doc_id"),
+                              "text"))
+            pool = scored_docs.join(
+                out.select("doc_id"), "doc_id").unionByName(target)
+            sel = lm.dsir_importance(
+                pool, F.col("doc_id") < 0,
+                rank_filter=F.col("doc_id") >= 0)
+            out = out.join(
+                sel.filter("selected").select("doc_id"), "doc_id")
+            mix_stats["dsir_kept"] = out.count()
+    out.write.mode("error").parquet(args.out)
     agg = spark.read.parquet(args.out).agg(
         F.count("*").alias("docs"),
         F.sum("n_spans").alias("spans_total"),
         F.sum("n_kept").alias("spans_kept")).first()
     passing.unpersist()
+    if args.quality_mix or args.dsir_target:
+        clean_cached.unpersist()
     stats = {
         "pages": n_pages,
         "extracted": n_extracted,
@@ -126,6 +183,7 @@ def main() -> None:
         "spans_total": int(agg["spans_total"] or 0),
         "spans_kept": int(agg["spans_kept"] or 0),
     }
+    stats.update(mix_stats)
     print(json.dumps(stats))
     if args.stats_file:
         with open(args.stats_file, "w") as fh:

@@ -173,3 +173,41 @@ def test_corpus_job_hygiene_flags(spark, tmp_path):
     got = spark.read.parquet(out)
     assert {"n_email", "n_ssn", "n_phone", "n_ipv4"} <= set(got.columns)
     assert got.count() == stats["clean_docs"]
+
+
+def test_corpus_job_selection_flags(spark, tmp_path):
+    """--quality-mix + --dsir-target: the model-based selection tier
+    runs on the CLEAN corpus — perplexity tiers + deterministic mix
+    first, DSIR top-quartile against a target table second — and the
+    stats counters agree with the written output."""
+    from pyspark.sql import functions as F
+
+    from cdx_writer_spark.webview import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    pages_dir = str(tmp_path / "pages.parquet")
+    pages_from_documents(spark, sf).write.parquet(pages_dir)
+    target_dir = str(tmp_path / "target.parquet")
+    (spark.read.parquet(f"{sf}/documents.parquet")
+     .filter(F.col("doc_id") % 11 == 0)
+     .select("doc_id", "text").write.parquet(target_dir))
+
+    out = str(tmp_path / "out_corpus")
+    stats_file = str(tmp_path / "stats.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "corpus_job.py"),
+         pages_dir, out, "--stats-file", stats_file, "--cpus", "4",
+         "--quality-mix", "1000,500,125", "--dsir-target", target_dir],
+        capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    stats = json.load(open(stats_file))
+    assert 0 < stats["mix_kept"] <= stats["mix_scored"]
+    assert stats["mix_scored"] == stats["admitted"]
+    assert 0 < stats["dsir_kept"] <= stats["mix_kept"]
+    got = spark.read.parquet(out)
+    # tier audit columns ride the output; only selected rows land
+    assert {"bucket", "ppl"} <= set(got.columns)
+    assert got.count() == stats["dsir_kept"] == stats["clean_docs"]
+    assert set(r["bucket"] for r in got.select("bucket")
+               .distinct().collect()) <= {"head", "middle", "tail"}
