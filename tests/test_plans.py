@@ -277,3 +277,42 @@ def test_span_dedup_owner_exchange_is_narrow(spark):
     # partial aggregation before the owner exchange
     first_agg = plan.split("Exchange hashpartitioning(_h#")[0]
     assert "partial_min" in first_agg or "HashAggregate" in first_agg
+
+
+def test_c4_and_chunking_are_shuffle_free_codegen(spark):
+    """The per-document hygiene projections (C4 line filter,
+    fixed-context chunking) must stay embarrassingly parallel: zero
+    exchanges, zero Python nodes, one Generate per split."""
+    from cdx_writer_spark.functions import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (textstats.c4_line_filter(docs),
+               textstats.chunk_documents(docs, chunk_tokens=32,
+                                         stride=24)):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert plan.count("Generate") == 1
+
+
+def test_dsir_bucket_tables_broadcast_no_python(spark):
+    """DSIR's distribution tables are n_buckets-row aggregates that
+    must reach the scoring join as broadcasts (never a shuffle of the
+    corpus against them beyond the instance aggregation), with zero
+    Python anywhere."""
+    from cdx_writer_spark.functions import lm
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(lm.dsir_importance(docs, F.col("doc_id") % 7 == 0))
+    assert "Python" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # bucket table + totals
+
+
+def test_quality_mix_is_pure_projection(spark):
+    from cdx_writer_spark.functions import lm
+
+    scored = spark.createDataFrame(
+        [(1, "head"), (2, "tail")], "doc_id long, bucket string")
+    plan = _plan(lm.quality_mix(scored))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
