@@ -69,6 +69,11 @@ def main() -> None:
                    help="DSIR selection on the CLEAN corpus: keep the "
                    "top importance-weight quartile against this "
                    "(doc_id, text) target table")
+    p.add_argument("--table-format", default="auto",
+                   choices=["auto", "parquet", "iceberg"],
+                   help="input/output table format: parquet paths "
+                   "(sandbox default) or Iceberg catalog identifiers "
+                   "(cluster); auto infers from the reference shape")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = p.parse_args()
@@ -88,10 +93,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    from cdx_writer_spark import io as table_io
     from cdx_writer_spark.functions import (decontam, dedup, extract,
                                             pii, textstats)
 
-    pages = spark.read.parquet(args.pages)
+    pages = table_io.load_table(spark, args.pages, args.table_format)
     n_pages = pages.count()
     ext = extract.extract_text(pages).filter(F.col("text").isNotNull())
     gq = textstats.gopher_quality_stats(ext, min_words=args.min_words)
@@ -104,7 +110,8 @@ def main() -> None:
     n_extracted = ext.count()
     n_decontaminated = 0
     if args.decontaminate_against:
-        eval_docs = spark.read.parquet(args.decontaminate_against)
+        eval_docs = table_io.load_table(
+            spark, args.decontaminate_against, args.table_format)
         banned = decontam.banned_ngram_digests(eval_docs, n=13)
         flags = decontam.decontaminate(passing, banned, n=13)
         survivors = passing.join(
@@ -155,7 +162,8 @@ def main() -> None:
             # the target table rides the same frame under negated
             # sentinel ids: it informs the distributions but cannot
             # occupy selection-quartile slots (rank_filter)
-            target = (spark.read.parquet(args.dsir_target)
+            target = (table_io.load_table(
+                spark, args.dsir_target, args.table_format)
                       .select((-F.col("doc_id") - 1).alias("doc_id"),
                               "text"))
             pool = scored_docs.join(
@@ -166,8 +174,9 @@ def main() -> None:
             out = out.join(
                 sel.filter("selected").select("doc_id"), "doc_id")
             mix_stats["dsir_kept"] = out.count()
-    out.write.mode("error").parquet(args.out)
-    agg = spark.read.parquet(args.out).agg(
+    table_io.save_table(out, args.out, args.table_format)
+    agg = table_io.load_table(spark, args.out,
+                              args.table_format).agg(
         F.count("*").alias("docs"),
         F.sum("n_spans").alias("spans_total"),
         F.sum("n_kept").alias("spans_kept")).first()

@@ -91,7 +91,8 @@ def main() -> None:
     from cdx_writer_spark.frontier import loop, webgraph
 
     if args.pages_table:
-        web = spark.read.parquet(args.pages_table)
+        from cdx_writer_spark import io as table_io
+        web = table_io.load_table(spark, args.pages_table)
         n_pages = web.count()
     else:
         web = webgraph.pages(spark, args.pages, n_partitions=args.cpus)
