@@ -346,6 +346,49 @@ def q_frontier_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("budget_per_round").cast("long").alias("budget_per_round"))
 
 
+def q_frontier_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction — the fetch→frontier edge stage — over HTML
+    with PLANTED anchors (absolute, root-relative, relative,
+    parent-relative, protocol-relative, fragment, mailto, uppercase
+    <A HREF>, all from doc_id arithmetic).  The engine runs the
+    generic regexp + resolution CASE + bounded ../ collapse; the
+    oracle re-derives every resolved URL ARITHMETICALLY (the ../ case
+    is computed as '/up/…' directly, so a collapse bug could not
+    hash-match)."""
+    from cdx_writer_spark.frontier import links
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = (d % 37).cast("string")
+    base = F.concat(F.lit("http://site"), h,
+                    F.lit(".example.com/dir/page"), ds, F.lit(".html"))
+
+    def a(href: object) -> object:
+        return F.concat(F.lit('<a href="'), href, F.lit('">x</a>'))
+
+    anchors = F.concat(
+        a(F.concat(F.lit("http://ext"), (d % 5).cast("string"),
+                   F.lit(".example.org/abs/"), ds)),
+        a(F.concat(F.lit("/root/"), ds)),
+        a(F.concat(F.lit("rel/"), ds)),
+        a(F.concat(F.lit("../up/"), ds)),
+        F.when(d % 2 == 0,
+               a(F.concat(F.lit("//cdn.example.net/c/"), ds)))
+        .otherwise(F.lit("")),
+        F.lit('<a href="#frag">x</a>'),
+        F.when(d % 3 == 0, F.lit('<a href="mailto:a@b.example">x</a>'))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(
+            F.lit('<A HREF="HTTPS://UP.example.com/U'), ds,
+            F.lit('">x</A>'))).otherwise(F.lit("")))
+    pages = docs.select(
+        "doc_id", base.alias("url"),
+        F.concat(F.lit("<html><body>"), anchors,
+                 F.lit("</body></html>")).alias("html"))
+    return links.extract_links(pages)
+
+
 def q_cdx_checksum_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-field digest-header fast path (cdx_writer.py:449-453): the
     'sha1:' strip is native; payload bytes never reach Python."""
@@ -1213,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_topk": q_frontier_topk,
         "frontier_seen_split": q_frontier_seen_split,
         "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
+        "frontier_links": q_frontier_links,
         "frontier_crawl": q_frontier_crawl,
         "agg_pricing": q_agg_pricing,
         "join_customer_orders": q_join_customer_orders,
@@ -2609,6 +2653,38 @@ def oracle_sql() -> dict[str, str]:
         # group selection (cdxbot group on h%3=0 hosts), longest-match
         # with allow-beats-equal-disallow, * wildcard, $ anchor,
         # crawl-delay -> floor(60/delay) budget
+        # outlink extraction re-derived ARITHMETICALLY: every planted
+        # anchor's resolved URL is computed straight from doc_id (the
+        # parent-relative case emits '/up/…' directly — no collapse
+        # regex in the oracle, so an engine collapse bug cannot match)
+        "frontier_links": (
+            "WITH raw AS (SELECT doc_id, unnest("
+            "['http://ext' || (doc_id % 5) || '.example.org/abs/' "
+            "|| doc_id, "
+            "'/root/' || doc_id, 'rel/' || doc_id, '../up/' || doc_id]"
+            " || CASE WHEN doc_id % 2 = 0 THEN "
+            "['//cdn.example.net/c/' || doc_id] "
+            "ELSE []::VARCHAR[] END "
+            "|| ['#frag'] "
+            "|| CASE WHEN doc_id % 3 = 0 THEN ['mailto:a@b.example'] "
+            "ELSE []::VARCHAR[] END "
+            "|| CASE WHEN doc_id % 4 = 0 THEN "
+            "['HTTPS://UP.example.com/U' || doc_id] "
+            "ELSE []::VARCHAR[] END) AS v FROM documents), "
+            "res AS (SELECT doc_id, CASE "
+            "WHEN lower(v) LIKE 'http://%' OR lower(v) LIKE "
+            "'https://%' THEN v "
+            "WHEN v LIKE '//%' THEN 'http:' || v "
+            "WHEN v LIKE '../%' THEN 'http://site' || (doc_id % 37) "
+            "|| '.example.com/' || substr(v, 4) "
+            "WHEN v LIKE '/%' THEN 'http://site' || (doc_id % 37) "
+            "|| '.example.com' || v "
+            "WHEN v LIKE '#%' OR lower(v) LIKE 'javascript:%' "
+            "OR lower(v) LIKE 'mailto:%' THEN NULL "
+            "ELSE 'http://site' || (doc_id % 37) "
+            "|| '.example.com/dir/' || v END AS link FROM raw) "
+            "SELECT DISTINCT doc_id, link FROM res "
+            "WHERE link IS NOT NULL"),
         "frontier_robots": (
             "WITH c AS (SELECT doc_id, doc_id % 37 AS h, "
             "doc_id % 6 AS v, "

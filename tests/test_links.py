@@ -1,0 +1,76 @@
+"""Outlink extraction semantics: resolution cases, drop rules, the
+bounded ../ collapse, and binary-html decode (the oracle-parity sweep
+covers the planted corpus; these pin the resolver's edges)."""
+
+from __future__ import annotations
+
+from cdx_writer_spark.frontier import links
+
+
+def _links(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, html string")
+    out = links.extract_links(df)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add(r["link"])
+    return got
+
+
+def test_resolution_cases(spark):
+    html = (
+        '<a href="https://abs.example/x">a</a>'
+        '<a href="/rooted">a</a>'
+        '<a href="sub/page">a</a>'
+        '<a href="../parent">a</a>'
+        '<a href="//cdn.example/y">a</a>'
+        '<a href="#frag">a</a>'
+        '<a href="javascript:void(0)">a</a>'
+        '<a href="MAILTO:x@y">a</a>'
+        '<A HREF="http://UPPER.example/Z">a</A>'
+    )
+    got = _links(spark, [(1, "http://h.example.com/a/b/page.html",
+                          html)])
+    assert got[1] == {
+        "https://abs.example/x",
+        "http://h.example.com/rooted",
+        "http://h.example.com/a/b/sub/page",
+        "http://h.example.com/a/parent",
+        "http://cdn.example/y",
+        "http://UPPER.example/Z",
+    }
+
+
+def test_base_without_path_and_https_scheme(spark):
+    got = _links(spark, [
+        (1, "https://h.example.com", '<a href="rel">a</a>'
+                                     '<a href="//c.example/z">a</a>')])
+    assert got[1] == {"https://h.example.com/rel",
+                      "https://c.example/z"}
+
+
+def test_collapse_is_bounded_at_three_levels(spark):
+    deep = '<a href="../../../../four">a</a>'
+    got = _links(spark, [(1, "http://h.example.com/a/b/c/d/e.html",
+                          deep)])
+    (link,) = got[1]
+    # three levels collapse; the fourth leaves its residue — a
+    # distinct-but-safe frontier key (documented simplification)
+    assert link == "http://h.example.com/a/../four"
+
+
+def test_binary_html_and_single_quotes_are_out_of_subset(spark):
+    df = spark.createDataFrame(
+        [(1, "http://h.example.com/",
+          "<a href=\"/ok\">a</a><a href='/single'>a</a>"
+          .encode("latin-1"))],
+        "doc_id long, url string, html binary")
+    got = {r["link"] for r in links.extract_links(df).collect()}
+    assert got == {"http://h.example.com/ok"}  # single-quoted skipped
+
+
+def test_duplicate_links_dedup(spark):
+    got = _links(spark, [
+        (1, "http://h.example.com/", '<a href="/x">a</a>'
+                                     '<a href="/x">b</a>')])
+    assert got[1] == {"http://h.example.com/x"}
