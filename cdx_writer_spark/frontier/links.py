@@ -22,8 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: double-quoted href values in <a> tags, case-insensitive
-HREF_PATTERN = r'(?i)<a[ \t\n\r][^>]*href="([^"]*)"'
+#: double-quoted href values in <a> tags, case-insensitive.  The
+#: attribute must start at a whitespace boundary (directly after the
+#: tag name or after an earlier attribute), so a lone ``data-href``
+#: cannot false-positive; a real ``href`` after other attributes
+#: still matches via backtracking into the optional prefix group.
+HREF_PATTERN = (r'(?i)<a[ \t\n\r](?:[^>]*[ \t\n\r])?href="([^"]*)"')
 
 #: how many /seg/../ collapse passes the resolver applies
 COLLAPSE_PASSES = 3
@@ -68,14 +72,14 @@ def extract_links(pages: DataFrame, id_col: str = "doc_id",
     if dict(pages.dtypes).get(html_col) == "binary":
         html = F.decode(html, "ISO-8859-1")
     hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), 1)
-    out = pages.select(
-        F.col(id_col), F.col(base_col).alias("_base"),
-        F.explode(hrefs).alias("_href"))
-    return (
-        out.select(
-            id_col,
-            resolve_link_col(F.col("_href"), F.col("_base"))
-            .alias("link"))
-        .filter(F.col("link").isNotNull())
-        .distinct()
-    )
+    # resolve + drop + dedup INSIDE the per-row array, then explode:
+    # a global .distinct() would hash-exchange the full edge set, and
+    # per-document dedup is the global dedup here (doc_id is in the
+    # key); cross-document duplicate targets are the URL-seen
+    # filter's job, not this operator's
+    base = F.col(base_col)
+    resolved = F.array_distinct(F.filter(
+        F.transform(hrefs, lambda v: resolve_link_col(v, base)),
+        lambda x: x.isNotNull()))
+    return pages.select(
+        F.col(id_col), F.explode(resolved).alias("link"))

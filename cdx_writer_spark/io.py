@@ -23,13 +23,21 @@ FORMATS = ("auto", "parquet", "iceberg")
 
 
 def resolve_format(ref: str, fmt: str | None = None) -> str:
-    """Resolve ``fmt`` (or the SPARK_GRAFT_TABLE_FORMAT env default)
-    to a concrete format for ``ref``."""
-    f = (fmt or os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "auto")
-         ).lower()
+    """Resolve to a concrete format for ``ref``.  Precedence: an
+    explicit non-auto ``fmt`` wins; ``auto`` (or None) consults the
+    SPARK_GRAFT_TABLE_FORMAT env default; a non-auto env value wins
+    over inference — so jobs that pass their ``--table-format auto``
+    argparse default straight through still honor the env switch."""
+    f = (fmt or "auto").lower()
     if f not in FORMATS:
         raise ValueError(f"unknown table format {f!r}; "
                          f"expected one of {FORMATS}")
+    if f == "auto":
+        f = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "auto").lower()
+        if f not in FORMATS:
+            raise ValueError(f"unknown table format {f!r} (from "
+                             f"SPARK_GRAFT_TABLE_FORMAT); "
+                             f"expected one of {FORMATS}")
     if f != "auto":
         return f
     if "/" in ref or os.sep in ref or ref.endswith(".parquet"):

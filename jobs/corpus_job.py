@@ -134,14 +134,23 @@ def main() -> None:
     out = clean.select("doc_id", *passthrough, "clean_text", "n_spans",
                        "n_kept")
     mix_stats: dict = {}
+    n_clean = None
+    caches: list = []
+
+    def _stage(df):
+        # each selection stage materializes once; its counter counts
+        # and the final write read the cache instead of re-running
+        # the LM/DSIR subtrees (2-3x the costliest stages otherwise)
+        df = df.persist()
+        caches.append(df)
+        return df
+
     if args.quality_mix or args.dsir_target:
         # model-based selection runs on the CLEAN text (the corpus a
-        # model would actually train on), so materialize it once —
-        # the LM/DSIR passes re-read it instead of re-running the
-        # whole hygiene pipeline per training/scoring consumer
+        # model would actually train on)
         from cdx_writer_spark.functions import lm
 
-        out = clean_cached = out.persist()
+        out = _stage(out)
         n_clean = out.count()
         scored_docs = out.select("doc_id",
                                  F.col("clean_text").alias("text"))
@@ -150,14 +159,21 @@ def main() -> None:
             tiers = lm.bigram_lm_scores(
                 scored_docs,
                 F.col("doc_id") % args.lm_train_mod != 0)
-            mixed = lm.quality_mix(
-                tiers, {"head": h, "middle": m, "tail": t})
-            out = out.join(
-                mixed.select("doc_id", "bucket", "ppl", "sampled"),
-                "doc_id")
-            mix_stats["mix_kept"] = out.filter("sampled").count()
+            # LEFT join: documents too short to score under the LM
+            # (< 2 tokens) are not silently deleted — they tier as
+            # 'tail' (and are counted), so rate 1000,1000,1000 really
+            # does keep everything
+            labeled = out.join(
+                tiers.select("doc_id", "bucket", "ppl"), "doc_id",
+                "left").withColumn(
+                    "bucket", F.coalesce("bucket", F.lit("tail")))
+            mixed = _stage(lm.quality_mix(
+                labeled, {"head": h, "middle": m, "tail": t}))
             mix_stats["mix_scored"] = n_clean
-            out = out.filter("sampled").drop("sampled")
+            mix_stats["mix_unscored"] = mixed.filter(
+                F.col("ppl").isNull()).count()
+            out = mixed.filter("sampled").drop("sampled", "coin")
+            mix_stats["mix_kept"] = out.count()
         if args.dsir_target:
             # the target table rides the same frame under negated
             # sentinel ids: it informs the distributions but cannot
@@ -171,8 +187,8 @@ def main() -> None:
             sel = lm.dsir_importance(
                 pool, F.col("doc_id") < 0,
                 rank_filter=F.col("doc_id") >= 0)
-            out = out.join(
-                sel.filter("selected").select("doc_id"), "doc_id")
+            out = _stage(out.join(
+                sel.filter("selected").select("doc_id"), "doc_id"))
             mix_stats["dsir_kept"] = out.count()
     table_io.save_table(out, args.out, args.table_format)
     agg = table_io.load_table(spark, args.out,
@@ -181,17 +197,22 @@ def main() -> None:
         F.sum("n_spans").alias("spans_total"),
         F.sum("n_kept").alias("spans_kept")).first()
     passing.unpersist()
-    if args.quality_mix or args.dsir_target:
-        clean_cached.unpersist()
+    for c in caches:
+        c.unpersist()
+    # clean_docs keeps ONE meaning — the span-dedup'd clean corpus
+    # size; deliberate downsampling is reported separately as
+    # selected_docs so per-stage losses stay attributable
     stats = {
         "pages": n_pages,
         "extracted": n_extracted,
         "admitted": n_admitted,
         "decontaminated": n_decontaminated,
-        "clean_docs": agg["docs"],
+        "clean_docs": n_clean if n_clean is not None else agg["docs"],
         "spans_total": int(agg["spans_total"] or 0),
         "spans_kept": int(agg["spans_kept"] or 0),
     }
+    if n_clean is not None:
+        stats["selected_docs"] = agg["docs"]
     stats.update(mix_stats)
     print(json.dumps(stats))
     if args.stats_file:

@@ -46,6 +46,11 @@ def main() -> None:
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--pages", type=int, default=60_000,
                    help="synthetic webgraph size (ignored with --pages-table)")
+    p.add_argument("--table-format", default="auto",
+                   choices=["auto", "parquet", "iceberg"],
+                   help="--pages-table format: parquet path or "
+                   "Iceberg catalog identifier; auto infers (env "
+                   "default SPARK_GRAFT_TABLE_FORMAT)")
     p.add_argument("--pages-table", default=None,
                    help="parquet/Iceberg pages table path (overrides --pages)")
     p.add_argument("--seeds", type=int, default=200)
@@ -92,7 +97,8 @@ def main() -> None:
 
     if args.pages_table:
         from cdx_writer_spark import io as table_io
-        web = table_io.load_table(spark, args.pages_table)
+        web = table_io.load_table(spark, args.pages_table,
+                                  args.table_format)
         n_pages = web.count()
     else:
         web = webgraph.pages(spark, args.pages, n_partitions=args.cpus)

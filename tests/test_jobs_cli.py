@@ -204,10 +204,13 @@ def test_corpus_job_selection_flags(spark, tmp_path):
     stats = json.load(open(stats_file))
     assert 0 < stats["mix_kept"] <= stats["mix_scored"]
     assert stats["mix_scored"] == stats["admitted"]
+    assert stats["mix_unscored"] >= 0
     assert 0 < stats["dsir_kept"] <= stats["mix_kept"]
+    # clean_docs keeps its hygiene meaning; downsampling is separate
+    assert stats["clean_docs"] == stats["admitted"]
     got = spark.read.parquet(out)
     # tier audit columns ride the output; only selected rows land
     assert {"bucket", "ppl"} <= set(got.columns)
-    assert got.count() == stats["dsir_kept"] == stats["clean_docs"]
+    assert got.count() == stats["dsir_kept"] == stats["selected_docs"]
     assert set(r["bucket"] for r in got.select("bucket")
                .distinct().collect()) <= {"head", "middle", "tail"}

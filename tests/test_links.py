@@ -74,3 +74,15 @@ def test_duplicate_links_dedup(spark):
         (1, "http://h.example.com/", '<a href="/x">a</a>'
                                      '<a href="/x">b</a>')])
     assert got[1] == {"http://h.example.com/x"}
+
+
+def test_data_href_is_not_an_outlink(spark):
+    """href must start at an attribute boundary: a lone data-href is
+    not a link; a real href after other attributes still matches."""
+    got = _links(spark, [
+        (1, "http://h.example.com/",
+         '<a class="btn" data-href="/spa-route">a</a>'),
+        (2, "http://h.example.com/",
+         '<a data-href="/x" href="/real">a</a>')])
+    assert 1 not in got
+    assert got[2] == {"http://h.example.com/real"}

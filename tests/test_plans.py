@@ -316,3 +316,16 @@ def test_quality_mix_is_pure_projection(spark):
     plan = _plan(lm.quality_mix(scored))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_link_extraction_is_shuffle_free(spark):
+    """Per-document dedup happens inside the row's array (explode of
+    array_distinct), never via a global distinct exchange."""
+    from cdx_writer_spark.frontier import links
+
+    pages = spark.createDataFrame(
+        [(1, "http://h.example.com/", '<a href="/x">a</a>')],
+        "doc_id long, url string, html string")
+    plan = _plan(links.extract_links(pages))
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -33,6 +33,12 @@ def test_explicit_format_wins():
 def test_env_default(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
     assert table_io.resolve_format("/a/b.parquet") == "iceberg"
+    # the env must also win when a job passes its argparse default
+    # 'auto' through explicitly (corpus_job does)
+    assert table_io.resolve_format("/a/b.parquet", "auto") == "iceberg"
+    # ...but an explicit non-auto fmt beats the env
+    assert table_io.resolve_format("/a/b.parquet", "parquet") \
+        == "parquet"
     monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "bogus")
     with pytest.raises(ValueError, match="unknown table format"):
         table_io.resolve_format("x")
