@@ -97,6 +97,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "quality_perplexity": lambda: entrymod.q_quality_perplexity(
             spark, sf_dir),
         "dsir_select": lambda: entrymod.q_dsir_select(spark, sf_dir),
+        "frontier_links": lambda: entrymod.q_frontier_links(
+            spark, sf_dir),
         "semantic_dedup": lambda: entrymod.q_semantic_dedup(
             spark, sf_dir),
         "extract_text": lambda: extract.extract_text(
