@@ -667,6 +667,19 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("doc_id") % 5 != 0)
 
 
+def q_corpus_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog cardinality sketch over the document
+    texts — the one-pass distinct counter a 10^10-URL crawl uses
+    where exact countDistinct would shuffle the key set.  Registers
+    come from md5 (bucket = top 8 bits of a 60-bit hash, rank via
+    the exact length(bin(w)) identity) and the harmonic sum is an
+    exact scaled BIGINT, so the oracle reproduces the register state
+    and the estimate bit-for-bit."""
+    from cdx_writer_spark.functions import sketch
+
+    return sketch.hll_count(_docs(spark, sf_dir), "text")
+
+
 def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-context training-example chunking: 32-token windows every
     24 tokens (8-token overlap), trailing partials kept — the oracle
@@ -1231,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_perplexity": q_quality_perplexity,
         "corpus_chunks": q_corpus_chunks,
         "corpus_mix": q_corpus_mix,
+        "corpus_hll": q_corpus_hll,
         "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
         "text_tfidf": q_text_tfidf,
@@ -1425,13 +1439,19 @@ _PPL_CTES = (
     "AS bucket FROM ag)")
 
 
-def _HEX8_SQL(expr: str) -> str:
-    """BIGINT value of an 8-hex-digit string expression (DuckDB has no
-    conv(); unrolled nibble decode, the COVERAGE.md strpos pattern)."""
+def _HEXN_SQL(expr: str, n: int) -> str:
+    """BIGINT value of an ``n``-hex-digit string expression (DuckDB
+    has no conv(); unrolled nibble decode, the COVERAGE.md strpos
+    pattern).  n <= 15 keeps the value inside a signed BIGINT."""
+    assert n <= 15
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr(_h, {i + 1}, 1)) - 1) "
-        f"* {16 ** (7 - i)}" for i in range(8))
+        f"* {16 ** (n - 1 - i)}" for i in range(n))
     return f"(SELECT {terms} FROM (SELECT {expr} AS _h))"
+
+
+def _HEX8_SQL(expr: str) -> str:
+    return _HEXN_SQL(expr, 8)
 
 
 # pages → extraction → Gopher admission, ending in an ``adm(doc_id,
@@ -2319,6 +2339,37 @@ def oracle_sql() -> dict[str, str]:
             "ntile(4) OVER (ORDER BY "
             "CAST(logw_q AS DOUBLE) / n_feats DESC, doc_id ASC) = 1 "
             "AS selected FROM ag"),
+        # portable HLL re-derived register-for-register: same md5
+        # 60-bit hash (unrolled 15-nibble decode), same exact-integer
+        # bucket/rank arithmetic (length(bin(w))), same scaled BIGINT
+        # harmonic sum and bias/linear-counting estimate
+        "corpus_hll": (
+            "WITH hx AS (SELECT "
+            + _HEXN_SQL("substr(md5(text), 1, 15)", 15)
+            + " AS h FROM documents WHERE text IS NOT NULL), "
+            "reg AS (SELECT "
+            "(h - (h % 4503599627370496)) // 4503599627370496 "
+            "AS bucket, "
+            "least(CASE WHEN h % 4503599627370496 = 0 THEN 53 "
+            "ELSE 53 - length(bin(h % 4503599627370496)) END, 50) "
+            "AS rank FROM hx), "
+            "mx AS (SELECT bucket, MAX(rank) AS r FROM reg "
+            "GROUP BY 1), "
+            "fd AS (SELECT count(*) AS nz, "
+            "SUM(CAST(pow(2.0, 50 - r) AS BIGINT)) AS ps FROM mx) "
+            "SELECT CAST(256 AS BIGINT) AS m, "
+            "CAST(nz AS BIGINT) AS nonzero_registers, "
+            "CAST(ps + (256 - nz) * 1125899906842624 AS BIGINT) "
+            "AS sum_scaled, "
+            "round(CASE WHEN (256 - nz) > 0 AND "
+            "(0.7213/(1.0 + 1.079/256) * 256 * 256 "
+            "* 1125899906842624.0 "
+            "/ (ps + (256 - nz) * 1125899906842624)) <= 640.0 "
+            "THEN 256.0 * ln(256.0 / (256 - nz)) "
+            "ELSE 0.7213/(1.0 + 1.079/256) * 256 * 256 "
+            "* 1125899906842624.0 "
+            "/ (ps + (256 - nz) * 1125899906842624) END, 2) "
+            "AS estimate FROM fd"),
         # fixed-context chunking re-derived: same 32/24 window starts,
         # same trailing-partial windows, same re-joined text
         "corpus_chunks": (

@@ -349,3 +349,38 @@ def test_semdedup_stride_guard(spark):
         [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no centroids"):
         similarity.semdedup(emb, centroid_stride=50)
+
+
+# --- HyperLogLog sketch ---------------------------------------------------
+
+def test_hll_accuracy_and_exactness(spark):
+    from cdx_writer_spark.functions import sketch
+
+    docs = spark.range(20000).selectExpr(
+        "concat('value-', CAST(id % 5000 AS STRING)) AS v")
+    row = sketch.hll_count(docs, "v").collect()[0]
+    assert row["m"] == 256
+    # 5000 distinct, 256 registers: ~6.5% standard error; 3 sigma gate
+    assert abs(row["estimate"] - 5000) / 5000 < 0.2
+    # register state is an exact function of the value SET
+    again = sketch.hll_count(docs.repartition(13), "v").collect()[0]
+    assert row.asDict() == again.asDict()
+
+
+def test_hll_small_range_linear_counting(spark):
+    from cdx_writer_spark.functions import sketch
+
+    docs = spark.range(10).selectExpr("CAST(id AS STRING) AS v")
+    row = sketch.hll_count(docs, "v").collect()[0]
+    # with 10 distinct values linear counting is near-exact
+    assert abs(row["estimate"] - 10) <= 1
+    assert row["nonzero_registers"] <= 10
+
+
+def test_hll_ignores_nulls_and_duplicates(spark):
+    from cdx_writer_spark.functions import sketch
+
+    docs = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "v string")
+    row = sketch.hll_count(docs, "v").collect()[0]
+    assert row["nonzero_registers"] == 2
