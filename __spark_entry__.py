@@ -349,12 +349,14 @@ def q_frontier_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frontier_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction — the fetch→frontier edge stage — over HTML
     with PLANTED anchors (absolute, root-relative, relative,
-    parent-relative, protocol-relative, fragment, mailto, uppercase
-    <A HREF>, all from doc_id arithmetic).  The engine runs the
-    generic regexp + resolution CASE + bounded ../ collapse; the
-    oracle re-derives every resolved URL ARITHMETICALLY (the ../ case
-    is computed as '/up/…' directly, so a collapse bug could not
-    hash-match)."""
+    parent-relative, protocol-relative, single-quoted, unquoted,
+    fragment, mailto/data:/tel: scheme drops, uppercase <A HREF>, a
+    <base href> override on every 5th doc — all from doc_id
+    arithmetic).  The engine runs the generic regexps + resolution
+    CASE + bounded ../ collapse; the oracle re-derives every resolved
+    URL ARITHMETICALLY (the ../ case is computed as '/up/…' directly
+    and the base override as a CASE on doc_id, so a collapse or
+    base-resolution bug could not hash-match)."""
     from cdx_writer_spark.frontier import links
 
     docs = _docs(spark, sf_dir)
@@ -367,16 +369,33 @@ def q_frontier_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     def a(href: object) -> object:
         return F.concat(F.lit('<a href="'), href, F.lit('">x</a>'))
 
+    def a_sq(href: object) -> object:
+        return F.concat(F.lit("<a href='"), href, F.lit("'>x</a>"))
+
+    def a_uq(href: object) -> object:
+        return F.concat(F.lit("<a href="), href, F.lit(">x</a>"))
+
+    # every 5th doc carries a <base href> that overrides the
+    # resolution base for its relative/root-relative anchors
+    base_tag = F.when(d % 5 == 0, F.concat(
+        F.lit('<base href="http://base'), (d % 7).cast("string"),
+        F.lit('.example.net/bdir/">'))).otherwise(F.lit(""))
     anchors = F.concat(
         a(F.concat(F.lit("http://ext"), (d % 5).cast("string"),
                    F.lit(".example.org/abs/"), ds)),
         a(F.concat(F.lit("/root/"), ds)),
         a(F.concat(F.lit("rel/"), ds)),
         a(F.concat(F.lit("../up/"), ds)),
+        a_sq(F.concat(F.lit("srel/"), ds)),
+        a_uq(F.concat(F.lit("/u/"), ds)),
         F.when(d % 2 == 0,
                a(F.concat(F.lit("//cdn.example.net/c/"), ds)))
         .otherwise(F.lit("")),
         F.lit('<a href="#frag">x</a>'),
+        F.lit('<a href="tel:+15551234">x</a>'),
+        F.when(d % 2 == 1,
+               F.lit('<a href="data:image/png;base64,AAAA">x</a>'))
+        .otherwise(F.lit("")),
         F.when(d % 3 == 0, F.lit('<a href="mailto:a@b.example">x</a>'))
         .otherwise(F.lit("")),
         F.when(d % 4 == 0, F.concat(
@@ -384,7 +403,8 @@ def q_frontier_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('">x</A>'))).otherwise(F.lit("")))
     pages = docs.select(
         "doc_id", base.alias("url"),
-        F.concat(F.lit("<html><body>"), anchors,
+        F.concat(F.lit("<html><head>"), base_tag,
+                 F.lit("</head><body>"), anchors,
                  F.lit("</body></html>")).alias("html"))
     return links.extract_links(pages)
 
@@ -2707,16 +2727,30 @@ def oracle_sql() -> dict[str, str]:
         # outlink extraction re-derived ARITHMETICALLY: every planted
         # anchor's resolved URL is computed straight from doc_id (the
         # parent-relative case emits '/up/…' directly — no collapse
-        # regex in the oracle, so an engine collapse bug cannot match)
+        # regex in the oracle — and the every-5th-doc <base href>
+        # override is a CASE on doc_id, so a collapse or
+        # base-resolution bug in the engine cannot hash-match).
+        # Single-quoted ('srel/…') and unquoted ('/u/…') anchors ride
+        # the same resolution; tel:/data:/mailto: are never emitted
+        # (the engine's generic scheme guard must drop them).
         "frontier_links": (
-            "WITH raw AS (SELECT doc_id, unnest("
+            "WITH raw AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "'http://base' || (doc_id % 7) || '.example.net' "
+            "ELSE 'http://site' || (doc_id % 37) || '.example.com' "
+            "END AS org, "
+            "CASE WHEN doc_id % 5 = 0 THEN '/bdir/' ELSE '/dir/' "
+            "END AS dir, unnest("
             "['http://ext' || (doc_id % 5) || '.example.org/abs/' "
             "|| doc_id, "
-            "'/root/' || doc_id, 'rel/' || doc_id, '../up/' || doc_id]"
+            "'/root/' || doc_id, 'rel/' || doc_id, '../up/' || doc_id,"
+            " 'srel/' || doc_id, '/u/' || doc_id]"
             " || CASE WHEN doc_id % 2 = 0 THEN "
             "['//cdn.example.net/c/' || doc_id] "
             "ELSE []::VARCHAR[] END "
-            "|| ['#frag'] "
+            "|| ['#frag', 'tel:+15551234'] "
+            "|| CASE WHEN doc_id % 2 = 1 THEN "
+            "['data:image/png;base64,AAAA'] ELSE []::VARCHAR[] END "
             "|| CASE WHEN doc_id % 3 = 0 THEN ['mailto:a@b.example'] "
             "ELSE []::VARCHAR[] END "
             "|| CASE WHEN doc_id % 4 = 0 THEN "
@@ -2726,14 +2760,11 @@ def oracle_sql() -> dict[str, str]:
             "WHEN lower(v) LIKE 'http://%' OR lower(v) LIKE "
             "'https://%' THEN v "
             "WHEN v LIKE '//%' THEN 'http:' || v "
-            "WHEN v LIKE '../%' THEN 'http://site' || (doc_id % 37) "
-            "|| '.example.com/' || substr(v, 4) "
-            "WHEN v LIKE '/%' THEN 'http://site' || (doc_id % 37) "
-            "|| '.example.com' || v "
-            "WHEN v LIKE '#%' OR lower(v) LIKE 'javascript:%' "
-            "OR lower(v) LIKE 'mailto:%' THEN NULL "
-            "ELSE 'http://site' || (doc_id % 37) "
-            "|| '.example.com/dir/' || v END AS link FROM raw) "
+            "WHEN v LIKE '../%' THEN org || '/' || substr(v, 4) "
+            "WHEN v LIKE '/%' THEN org || v "
+            "WHEN v LIKE '#%' OR regexp_matches(v, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL "
+            "ELSE org || dir || v END AS link FROM raw) "
             "SELECT DISTINCT doc_id, link FROM res "
             "WHERE link IS NOT NULL"),
         "frontier_robots": (

@@ -4,17 +4,27 @@ the page URL, producing the (src, link) edges the scheduler enqueues.
 The repo's crawl loop consumes a webgraph's ``outlinks`` column; this
 operator is how that column comes into existence from REAL page bytes.
 
-All-native Catalyst (one ``regexp_extract_all`` + a resolution CASE
-per link; no Python, no shuffle — embarrassingly parallel at any
-scale), with the expression kept inside the Java/RE2/Python-common
-regex subset so the DuckDB oracle executes the identical pattern.
+All-native Catalyst (three ``regexp_extract_all`` projections — one
+per quoting form — + a resolution CASE per link; no Python, no
+shuffle — embarrassingly parallel at any scale), with the expressions
+kept inside the Java/RE2/Python-common regex subset so the DuckDB
+oracle executes identical patterns where it needs them.
+
+Covered href forms: double-quoted, single-quoted, and unquoted
+attribute values; ``http(s)``/protocol-relative/root-relative/relative
+targets.  A ``<base href>`` element overrides the resolution base when
+its value is an absolute http(s) URL (first double-quoted match wins,
+else first single-quoted).  Dropped targets: ``#fragment`` and any
+explicit non-http scheme (``javascript:``, ``mailto:``, ``data:``,
+``tel:``, … — one generic RFC-3986 scheme guard, so no scheme ever
+falls through to the relative branch and mints a garbage frontier
+URL).
 
 Documented simplifications (each a deliberate subset, mirrored by the
-oracle): double-quoted href values only; ``http(s)``/protocol-
-relative/root-relative/relative targets (``#fragment``,
-``javascript:``, ``mailto:`` dropped); ``../`` collapse bounded at 3
-levels (deeper traversals keep their residue — a crawler treats those
-URLs as distinct keys, which is safe, just less normalized).
+oracle): a relative ``<base href>`` falls back to the page URL;
+``../`` collapse bounded at 3 levels (deeper traversals keep their
+residue — a crawler treats those URLs as distinct keys, which is
+safe, just less normalized).
 """
 
 from __future__ import annotations
@@ -22,21 +32,54 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: double-quoted href values in <a> tags, case-insensitive.  The
-#: attribute must start at a whitespace boundary (directly after the
-#: tag name or after an earlier attribute), so a lone ``data-href``
-#: cannot false-positive; a real ``href`` after other attributes
-#: still matches via backtracking into the optional prefix group.
-HREF_PATTERN = (r'(?i)<a[ \t\n\r](?:[^>]*[ \t\n\r])?href="([^"]*)"')
+#: href values in <a> tags, case-insensitive, one pattern per quoting
+#: form.  The attribute must start at a whitespace boundary (directly
+#: after the tag name or after an earlier attribute), so a lone
+#: ``data-href`` cannot false-positive; a real ``href`` after other
+#: attributes still matches via backtracking into the optional prefix
+#: group.  The unquoted form excludes quote characters at the value
+#: start so it can never shadow the quoted patterns, and terminates at
+#: whitespace or ``>`` per the HTML attribute grammar.
+_A_PREFIX = r'(?i)<a[ \t\n\r](?:[^>]*[ \t\n\r])?href='
+HREF_PATTERNS = (
+    _A_PREFIX + r'"([^"]*)"',
+    _A_PREFIX + r"'([^']*)'",
+    _A_PREFIX + r'''([^"' \t\n\r>][^ \t\n\r>]*)''',
+)
+#: backwards-compatible alias (double-quoted form)
+HREF_PATTERN = HREF_PATTERNS[0]
+
+#: first <base href> value, same boundary rules (quoted forms only —
+#: an unquoted base href is vanishingly rare and ambiguous)
+_BASE_PREFIX = r'(?i)<base[ \t\n\r](?:[^>]*[ \t\n\r])?href='
+BASE_PATTERNS = (
+    _BASE_PREFIX + r'"([^"]*)"',
+    _BASE_PREFIX + r"'([^']*)'",
+)
 
 #: how many /seg/../ collapse passes the resolver applies
 COLLAPSE_PASSES = 3
 
+#: an explicit RFC-3986 scheme prefix (applied to the lowercased
+#: value): anything matching this that is not http(s) is not a web
+#: outlink — resolving it relatively would emit garbage like
+#: http://host/dir/data:image/png;base64,...
+_SCHEME_RE = r"^[a-z][a-z0-9+.-]*:"
+
+
+def effective_base_col(html: Column, url: Column) -> Column:
+    """The resolution base for a page: its first absolute-http(s)
+    ``<base href>`` value when present, else the page URL."""
+    dq = F.regexp_extract(html, BASE_PATTERNS[0], 1)
+    sq = F.regexp_extract(html, BASE_PATTERNS[1], 1)
+    b = F.when(dq != "", dq).otherwise(sq)
+    return F.when(F.lower(b).rlike(r"^https?://"), b).otherwise(url)
+
 
 def resolve_link_col(v: Column, base: Column) -> Column:
     """Resolve one href value against ``base`` (an absolute http(s)
-    URL); NULL for dropped targets (fragments, javascript:,
-    mailto:)."""
+    URL); NULL for dropped targets (fragments and any explicit
+    non-http scheme: javascript:, mailto:, data:, tel:, ...)."""
     origin = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
     # directory of the base path: everything through the last '/'
     # after the origin ('' when the base has no path -> '/')
@@ -50,8 +93,7 @@ def resolve_link_col(v: Column, base: Column) -> Column:
         .when(v.startswith("//"),
               F.concat(F.regexp_extract(base, r"^(https?:)", 1), v))
         .when(v.startswith("/"), F.concat(origin, v))
-        .when(v.startswith("#") | low.startswith("javascript:")
-              | low.startswith("mailto:"), F.lit(None))
+        .when(v.startswith("#") | low.rlike(_SCHEME_RE), F.lit(None))
         .otherwise(F.concat(origin, dirpath, v))
     )
     for _ in range(COLLAPSE_PASSES):
@@ -71,13 +113,14 @@ def extract_links(pages: DataFrame, id_col: str = "doc_id",
     html = F.col(html_col)
     if dict(pages.dtypes).get(html_col) == "binary":
         html = F.decode(html, "ISO-8859-1")
-    hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), 1)
+    hrefs = F.concat(*[F.regexp_extract_all(html, F.lit(p), 1)
+                       for p in HREF_PATTERNS])
     # resolve + drop + dedup INSIDE the per-row array, then explode:
     # a global .distinct() would hash-exchange the full edge set, and
     # per-document dedup is the global dedup here (doc_id is in the
     # key); cross-document duplicate targets are the URL-seen
     # filter's job, not this operator's
-    base = F.col(base_col)
+    base = effective_base_col(html, F.col(base_col))
     resolved = F.array_distinct(F.filter(
         F.transform(hrefs, lambda v: resolve_link_col(v, base)),
         lambda x: x.isNotNull()))

@@ -154,7 +154,11 @@ def decode_png(data: bytes):
     try:
         dec = zlib.decompressobj()
         raw = dec.decompress(b"".join(idat), expected)
-        if dec.decompress(b"", 1):
+        # leftover compressed input lives in unconsumed_tail per the
+        # zlib contract; probing decompress(b"", 1) alone relies on
+        # undocumented CPython behavior at block boundaries
+        if dec.unconsumed_tail or dec.decompress(
+                dec.unconsumed_tail or b"", 1):
             raise PngError("IDAT larger than the image geometry")
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from None

@@ -71,8 +71,10 @@ def hll_count(df: DataFrame, col: str) -> DataFrame:
     # (pyspark's shiftleft only takes a literal bit count)
     folded = regs.agg(
         F.count(F.lit(1)).alias("nonzero_registers"),
-        F.sum(F.pow(F.lit(2.0), (F.lit(RANK_CAP) - F.col("r"))
-                    .cast("double")).cast("long"))
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), (F.lit(RANK_CAP) - F.col("r"))
+                        .cast("double")).cast("long")),
+            F.lit(0).cast("long"))
         .alias("present_sum"))
     alpha = 0.7213 / (1.0 + 1.079 / M)
     total = (F.col("present_sum")

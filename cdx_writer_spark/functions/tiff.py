@@ -40,6 +40,10 @@ def _read_ifd_values(data: bytes, endian: str, vtype: int, count: int,
     size = _TYPE_SIZES.get(vtype)
     if size is None:
         raise TiffError(f"unsupported tag value type {vtype}")
+    if count < 1:
+        # a required tag declaring count=0 would otherwise surface as
+        # an IndexError in one() instead of the typed per-row error
+        raise TiffError("tag declares zero values")
     total = size * count
     if total <= 4:
         buf = raw[:total]
@@ -82,7 +86,7 @@ def decode_tiff(data: bytes):
 
     def one(tag: int, default: int | None = None) -> int:
         vals = tags.get(tag)
-        if vals is None:
+        if not vals:
             if default is None:
                 raise TiffError(f"missing required tag {tag}")
             return default

@@ -59,14 +59,66 @@ def test_collapse_is_bounded_at_three_levels(spark):
     assert link == "http://h.example.com/a/../four"
 
 
-def test_binary_html_and_single_quotes_are_out_of_subset(spark):
+def test_binary_html_and_quote_forms(spark):
     df = spark.createDataFrame(
         [(1, "http://h.example.com/",
           "<a href=\"/ok\">a</a><a href='/single'>a</a>"
+          "<a href=/bare>a</a><a href=rel.html>a</a>"
           .encode("latin-1"))],
         "doc_id long, url string, html binary")
     got = {r["link"] for r in links.extract_links(df).collect()}
-    assert got == {"http://h.example.com/ok"}  # single-quoted skipped
+    assert got == {"http://h.example.com/ok",
+                   "http://h.example.com/single",
+                   "http://h.example.com/bare",
+                   "http://h.example.com/rel.html"}
+
+
+def test_unquoted_href_terminates_at_whitespace_or_gt(spark):
+    got = _links(spark, [
+        (1, "http://h.example.com/",
+         '<a href=/x class="b">a</a><a href=/y>a</a>')])
+    assert got[1] == {"http://h.example.com/x",
+                      "http://h.example.com/y"}
+
+
+def test_generic_scheme_guard_drops_non_http_targets(spark):
+    """Any explicit non-http scheme is dropped instead of falling
+    through to the relative branch and minting a garbage URL."""
+    html = ('<a href="data:image/png;base64,AAAA">a</a>'
+            '<a href="tel:+15551234">a</a>'
+            '<a href="ftp://files.example/x">a</a>'
+            '<a href="file:///etc/passwd">a</a>'
+            '<a href="a:b">a</a>'          # ambiguous -> scheme
+            '<a href="rel/a:b">a</a>')     # colon after '/': relative
+    got = _links(spark, [(1, "http://h.example.com/d/p.html", html)])
+    assert got[1] == {"http://h.example.com/d/rel/a:b"}
+
+
+def test_base_href_overrides_resolution_base(spark):
+    html = ('<base href="http://bh.example.org/bdir/">'
+            '<a href="rel/x">a</a><a href="/rooted">a</a>'
+            '<a href="//cdn.example/y">a</a>'
+            '<a href="http://abs.example/z">a</a>')
+    got = _links(spark, [(1, "https://h.example.com/a/p.html", html)])
+    assert got[1] == {
+        "http://bh.example.org/bdir/rel/x",
+        "http://bh.example.org/rooted",
+        # protocol-relative picks up the BASE's scheme
+        "http://cdn.example/y",
+        "http://abs.example/z",
+    }
+
+
+def test_relative_or_singlequoted_base_href(spark):
+    # relative <base href> falls back to the page URL (documented
+    # subset); a single-quoted absolute base is honored
+    got = _links(spark, [
+        (1, "http://h.example.com/a/p.html",
+         '<base href="/only/path/"><a href="rel">a</a>'),
+        (2, "http://h.example.com/a/p.html",
+         "<base href='https://b.example/q/'><a href=\"rel\">a</a>")])
+    assert got[1] == {"http://h.example.com/a/rel"}
+    assert got[2] == {"https://b.example/q/rel"}
 
 
 def test_duplicate_links_dedup(spark):

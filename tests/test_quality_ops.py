@@ -384,3 +384,18 @@ def test_hll_ignores_nulls_and_duplicates(spark):
         [("a",), ("a",), (None,), ("b",)], "v string")
     row = sketch.hll_count(docs, "v").collect()[0]
     assert row["nonzero_registers"] == 2
+
+
+def test_hll_empty_and_all_null_input_estimates_zero(spark):
+    """256 empty registers = linear counting at zero, not a NULL
+    propagating out of an empty SUM."""
+    from cdx_writer_spark.functions import sketch
+    from cdx_writer_spark.functions.sketch import M, RANK_CAP
+
+    for docs in (spark.createDataFrame([], "v string"),
+                 spark.createDataFrame([(None,), (None,)],
+                                       "v string")):
+        row = sketch.hll_count(docs, "v").collect()[0]
+        assert row["nonzero_registers"] == 0
+        assert row["sum_scaled"] == M * (1 << RANK_CAP)
+        assert row["estimate"] == 0.0

@@ -76,6 +76,20 @@ def test_malformed_and_unsupported_raise():
         decode_tiff(bytes(big))
 
 
+def test_required_tag_with_zero_count_raises_typed_error():
+    """A hostile IFD declaring count=0 on a required tag (e.g.
+    ImageWidth) must surface as TiffError — the mapInPandas kernels
+    catch only TiffError, so an IndexError would abort the whole
+    batch instead of producing a per-row decode_error."""
+    good = encode_tiff(2, 2, 3, bytes(range(12)))
+    evil = bytearray(good)
+    # II layout: entries start at 10; ImageWidth (256) is entry 0;
+    # its count field is at +4 within the 12-byte entry
+    struct.pack_into("<I", evil, 10 + 4, 0)
+    with pytest.raises(TiffError):
+        decode_tiff(bytes(evil))
+
+
 def test_synth_variety_and_determinism():
     shapes = set()
     for i in range(12):
