@@ -78,12 +78,16 @@ class CrawlConfig:
     # enough, and falls back to shuffle join (surt-bucketed co-location
     # at real scale) otherwise.
     broadcast_fetch: bool = False
-    # Bloom probe strategy (seen.flag_maybe_seen): 'native' (Catalyst
-    # expression over broadcast filter words — zero Python, the
-    # default), 'pandas' (broadcast blobs + vectorized UDF), 'cogroup'
-    # (per-pid shuffle, the 10^10-key path where filter state is too
-    # big to broadcast).
-    probe_strategy: str = "native"
+    # Bloom probe strategy (seen.flag_maybe_seen): 'auto' (default)
+    # size-gates on the configured filter geometry — 'native'
+    # (Catalyst expression over broadcast filter words, zero Python)
+    # while total filter state fits seen.NATIVE_BROADCAST_MAX_BYTES,
+    # else 'cogroup' (per-pid shuffle, each task holds one blob: the
+    # 10^10-key path where ~12 GB of filter state must never be
+    # broadcast).  Explicit 'native'/'pandas'/'cogroup' force a
+    # strategy.  Resolution is pure driver-side arithmetic (the loop
+    # passes seen.filter_state_bytes) — no extra job per round.
+    probe_strategy: str = "auto"
     # Bloom FOLD strategy (seen.update_filters): 'native' explodes the
     # k probe positions JVM-side and bit_or-aggregates words (Python
     # sees only the n_partitions final blob serializations); 'pandas'
@@ -301,7 +305,11 @@ def run_round(spark: SparkSession, web: DataFrame, state_dir: str,
         discovered, filters, cfg.n_partitions,
         strategy=cfg.probe_strategy,
         cleanup=bloom_cleanup, static_k=expected_k,
-        kind=cfg.filter_kind).persist()
+        kind=cfg.filter_kind,
+        # configured geometry -> 'auto' resolves with zero Spark jobs
+        state_bytes=seenmod.filter_state_bytes(
+            cfg.filter_kind, cfg.filter_capacity, cfg.filter_fpr,
+            cfg.n_partitions)).persist()
     definitely_new = flagged.filter(~F.col("maybe_seen"))
     verified_new = (
         flagged.filter(F.col("maybe_seen"))

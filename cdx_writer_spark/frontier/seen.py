@@ -45,6 +45,18 @@ DEFAULT_PARTITIONS = 16
 DEFAULT_CAPACITY = 250_000   # per-partition sizing hint for new blobs
 DEFAULT_FPR = 0.01
 
+#: size gate for the native (broadcast) probe, mirroring dedup.py's
+#: VERIFY_BROADCAST_MAX_PAIRS: strategy='auto' broadcasts the filter
+#: word arrays only while total filter state fits this budget, and
+#: falls back to the per-pid cogroup past it.  The repo's documented
+#: 10^10-key sizing (4096 partitions x ~2.9 MB ≈ 12 GB of filter
+#: state) must NEVER be broadcast — that is an executor/driver OOM —
+#: and with this gate the default config picks cogroup there without
+#: any manual CrawlConfig choice.  256 MiB is conservative against
+#: Spark's broadcast memory accounting (the words are also pinned on
+#: every executor).
+NATIVE_BROADCAST_MAX_BYTES = 256 << 20
+
 _CAND_COLS = ["surt_key", "url", "host", "host_rank", "depth"]
 _FLAG_SCHEMA = ("surt_key string, url string, host string, "
                 "host_rank double, depth int, maybe_seen boolean")
@@ -70,6 +82,26 @@ def _sized_filter(kind: str, capacity: int, fpr: float):
     if kind == "cuckoo":
         return CuckooFilter.sized_for(capacity)
     return BloomFilter.sized_for(capacity, fpr)
+
+
+def filter_state_bytes(kind: str, capacity: int, fpr: float,
+                       n_partitions: int) -> int:
+    """Total probe-side filter state in bytes — pure driver-side
+    arithmetic on the configured geometry (NO Spark job): what the
+    native strategy would broadcast (one int64 word array per
+    partition).  Callers that size their filters (the crawl loop)
+    pass this to ``flag_maybe_seen`` so 'auto' resolution is free."""
+    return len(_sized_filter(kind, capacity, fpr).to_longs()) \
+        * 8 * n_partitions
+
+
+def resolve_probe_strategy(state_bytes: int,
+                           max_broadcast_bytes: int =
+                           NATIVE_BROADCAST_MAX_BYTES) -> str:
+    """'native' while the filter words fit the broadcast budget, else
+    the per-pid 'cogroup' (each task holds exactly one blob)."""
+    return ("native" if state_bytes <= max_broadcast_bytes
+            else "cogroup")
 
 
 def _native_cuckoo_probe_col(h1, h2, bits_longs, n_bits):
@@ -217,15 +249,25 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
                     n_partitions: int = DEFAULT_PARTITIONS,
                     broadcast_probe: bool | None = None,
                     cleanup: list | None = None,
-                    strategy: str = "native",
+                    strategy: str = "auto",
                     static_k: int | None = None,
-                    kind: str = "bloom") -> DataFrame:
+                    kind: str = "bloom",
+                    state_bytes: int | None = None) -> DataFrame:
     """Candidates + ``maybe_seen`` flag from the per-partition Bloom
     probe.  Input needs _CAND_COLS; hashes are computed here.
 
+    ``strategy='auto'`` (default) SIZE-GATES the physical choice:
+    'native' while total filter state fits
+    ``NATIVE_BROADCAST_MAX_BYTES``, else 'cogroup' — so the default
+    survives the 10^10-key sizing (≈12 GB of blobs) without a manual
+    config choice.  ``state_bytes`` makes the resolution free: the
+    crawl loop passes :func:`filter_state_bytes` (pure driver-side
+    arithmetic); without it one tiny n_partitions-row aggregate reads
+    the actual geometry.
+
     Three physical strategies, same semantics (tested equal):
 
-    * ``strategy='native'`` (default): broadcast-join the tiny filters
+    * ``strategy='native'``: broadcast-join the tiny filters
       table (pid → bits_longs words) onto the candidates and evaluate
       the probe as a pure Catalyst expression — zero shuffle of the
       candidates, ZERO Python (the probe was the crawl round's main
@@ -251,6 +293,14 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
     """
     if broadcast_probe is not None:
         strategy = "pandas" if broadcast_probe else "cogroup"
+    if strategy == "auto":
+        if state_bytes is None:
+            # n_partitions rows; n_bits/8 is each row's word-array
+            # payload — the exact quantity the native path broadcasts
+            row = filters.agg(
+                (F.sum("n_bits") / 8).alias("b")).first()
+            state_bytes = int(row["b"] or 0)
+        strategy = resolve_probe_strategy(state_bytes)
     cand = with_hash_cols(candidates.select(*_CAND_COLS), n_partitions)
 
     if strategy == "native" and kind == "cuckoo":
@@ -374,8 +424,9 @@ def flag_maybe_seen(candidates: DataFrame, filters: DataFrame,
 def split_new(candidates: DataFrame, filters: DataFrame, seen: DataFrame,
               n_partitions: int = DEFAULT_PARTITIONS,
               broadcast_probe: bool | None = None,
-              strategy: str = "native",
-              kind: str = "bloom") -> DataFrame:
+              strategy: str = "auto",
+              kind: str = "bloom",
+              state_bytes: int | None = None) -> DataFrame:
     """Exactly-new candidates: filter-definite-new ∪ (filter-maybe-seen
     ⟕̸ exact seen table).  ``seen`` has column ``surt_key``.  The
     output is EXACT for either filter ``kind`` (bloom or cuckoo):
@@ -384,7 +435,7 @@ def split_new(candidates: DataFrame, filters: DataFrame, seen: DataFrame,
     is byte-identical across filter families, which is tested."""
     flagged = flag_maybe_seen(candidates, filters, n_partitions,
                               broadcast_probe, strategy=strategy,
-                              kind=kind)
+                              kind=kind, state_bytes=state_bytes)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     verified_new = (
         flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
