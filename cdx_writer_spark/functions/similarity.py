@@ -462,10 +462,42 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     return inter.unionByName(intra).select("id_a", "id_b", "cosine")
 
 
+#: default centroid-sampling rate for semdedup's derived codebook:
+#: Abbas et al. 2023 cluster with ~0.1% of N centroids, which keeps
+#: the EXPECTED cell size near 1/rate (~1000) at ANY corpus size —
+#: the property a fixed-count codebook lacks (fixed cells ⇒ cell
+#: size grows linearly with the corpus ⇒ the within-cell self-join
+#: goes quadratic at 100 TB).
+SEMDEDUP_CELLS_FRAC = 0.001
+
+
+def semdedup_codebook(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      cells_frac: float = SEMDEDUP_CELLS_FRAC
+                      ) -> DataFrame:
+    """Corpus-tracking default codebook: hash-sample ``cells_frac``
+    of the vectors as centroids.  Sampling by RATE
+    (``pmod(xxhash64(id), round(1/frac)) == 0``) rather than by a
+    fixed count or an id-stride needs NO count job, is independent of
+    id density/range, and automatically grows the codebook with the
+    corpus — expected cell size stays ~``1/cells_frac`` whether N is
+    10^5 or 10^10.  For production-quality cells pass a trained
+    :func:`kmeans_codebook` instead; this is the scale-safe zero-cost
+    default."""
+    stride = max(1, int(round(1.0 / cells_frac)))
+    return emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")),
+               F.lit(stride)) == 0).select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).alias("cvec"))
+
+
 def semdedup(emb: DataFrame, threshold: float = 0.95,
-             centroid_stride: int = 37, id_col: str = "vec_id",
+             centroid_stride: int | None = None,
+             id_col: str = "vec_id",
              vec_col: str = "embedding",
-             codebook: DataFrame | None = None) -> DataFrame:
+             codebook: DataFrame | None = None,
+             cells_frac: float = SEMDEDUP_CELLS_FRAC) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     semantic deduplication — assign every embedding to its nearest
     centroid cell, build the within-cell cosine ≥ ``threshold`` pair
@@ -482,20 +514,40 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
     map-only stage as ``ivf_topk`` (no shuffle, no Python, no driver
     centroid literals); the within-cell self-join is the algorithm's
     published cost model — pairwise cosine confined to a cell, the
-    codebook sized with the corpus (the paper uses ~0.1% of N
+    codebook sized WITH the corpus (the paper uses ~0.1% of N
     clusters) so cells stay bounded and no all-pairs join ever
     materializes (a skewed cell is a mis-sized codebook, not a plan
     problem).  The component step runs on the NEAR-DUP PAIRS only
     (two int64 columns, O(log n) star rounds — see
     dedup.connected_components), not the corpus.
+
+    Codebook selection: ``codebook`` (a trained ``(cid, cvec)``
+    frame, e.g. :func:`kmeans_codebook`) wins; else an explicit
+    ``centroid_stride`` keeps the legacy id-modulo sampling (fixed
+    cell COUNT — oracle-replicable, but cells grow linearly with the
+    corpus, so reserve it for bounded inputs); else the DEFAULT is
+    :func:`semdedup_codebook` — rate-based hash sampling whose cell
+    sizes stay ~``1/cells_frac`` at any N, with a lowest-ids fallback
+    when the corpus is too small for the rate to sample anything.
     """
-    cents = codebook if codebook is not None else (
-        emb.filter(F.col(id_col) % centroid_stride == 0).select(
-            F.col(id_col).cast("long").alias("cid"),
-            F.col(vec_col).alias("cvec")))
+    if codebook is not None:
+        cents = codebook
+    elif centroid_stride is not None:
+        cents = emb.filter(F.col(id_col) % centroid_stride == 0) \
+            .select(F.col(id_col).cast("long").alias("cid"),
+                    F.col(vec_col).alias("cvec"))
+    else:
+        cents = semdedup_codebook(emb, id_col, vec_col, cells_frac)
+        if cents.limit(1).count() == 0:
+            # corpus smaller than ~1/cells_frac rows: any handful of
+            # centroids is fine at this size, and the orderBy/limit
+            # only ever runs on such tiny inputs
+            cents = emb.orderBy(F.col(id_col)).limit(8).select(
+                F.col(id_col).cast("long").alias("cid"),
+                F.col(vec_col).alias("cvec"))
     if cents.limit(1).count() == 0:
         raise ValueError("no centroids: stride larger than id range "
-                         "(or empty codebook)")
+                         "(or empty codebook/corpus)")
     from .dedup import _persist_candidates
 
     cb = _codebook_row(cents)

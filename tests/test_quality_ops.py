@@ -351,6 +351,54 @@ def test_semdedup_stride_guard(spark):
         similarity.semdedup(emb, centroid_stride=50)
 
 
+def test_semdedup_default_codebook_tracks_corpus_size(spark):
+    """The DEFAULT codebook must grow with the corpus so expected
+    cell size stays ~1/cells_frac at any N (round-4 VERDICT ask #2):
+    10x the vectors -> ~10x the centroids, and the max assigned-cell
+    size does not scale with N."""
+    import pyspark.sql.functions as F
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.cos(F.col("id") * 0.7),
+                    F.sin(F.col("id") * 0.7),
+                    (F.col("id") % 13).cast("double") / 13.0)
+            .alias("embedding"))
+
+    def cell_profile(n, frac):
+        emb = corpus(n)
+        cents = similarity.semdedup_codebook(emb, cells_frac=frac)
+        n_cells = cents.count()
+        cb = similarity._codebook_row(cents)
+        sizes = (emb.crossJoin(F.broadcast(cb))
+                 .select(similarity._nearest_cells(
+                     F.col("embedding"), 1)[0].alias("cell"))
+                 .groupBy("cell").count())
+        mx = sizes.agg(F.max("count")).first()[0]
+        return n_cells, mx
+
+    # frac=1/50 keeps the unit test fast; the scaling law is
+    # rate-based sampling, identical at the 0.001 default
+    c_small, mx_small = cell_profile(5_000, 1 / 50)
+    c_big, mx_big = cell_profile(50_000, 1 / 50)
+    # codebook grows ~linearly with N (hash sampling: +-5 sigma slack)
+    assert 0.5 * 10 * c_small < c_big < 2.0 * 10 * c_small
+    # cell size is bounded by geometry, not by N: 10x the corpus must
+    # not approach 10x the max cell
+    assert mx_big < 4 * mx_small
+
+    # end-to-end default path on a small corpus (fallback codebook):
+    # runs, keeps exact clones deduplicated
+    emb = corpus(300).unionByName(
+        corpus(300).select((F.col("vec_id") + 1000).alias("vec_id"),
+                           "embedding"))
+    out = similarity.semdedup(emb, threshold=0.9999)
+    dropped = out.filter(~F.col("kept")).count()
+    assert out.count() == 600
+    assert dropped >= 290  # clones collapse onto their base
+
+
 # --- HyperLogLog sketch ---------------------------------------------------
 
 def test_hll_accuracy_and_exactness(spark):
