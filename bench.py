@@ -147,17 +147,33 @@ def main() -> None:
 
     from cdx_writer_spark.functions.dedup import release_candidate_caches
 
+    # noise control (round-4 VERDICT ask #4): every query runs REPS
+    # warm repetitions and reports the BEST — single-pass numbers on
+    # this co-tenant box have twice mis-flagged phantom regressions
+    # (+28-40% r3, +62% r4) that same-epoch A/Bs showed were
+    # box noise.  All reps are recorded under "reps" so the artifact
+    # carries its own spread.
+    reps_n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name, build in builders.items():
-        t0 = time.monotonic()
-        df = build()
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.monotonic() - t0
-        timings[name] = round(elapsed, 3)
+        rep_times: list[float] = []
+        df = None
+        for _ in range(reps_n):
+            t0 = time.monotonic()
+            df = build()
+            df.write.format("noop").mode("overwrite").save()
+            rep_times.append(round(time.monotonic() - t0, 3))
+            # the near-dup ops cache their candidate frames; release
+            # BETWEEN reps too, so every rep measures the same
+            # cold-cache plan (and a 26-query session doesn't
+            # accumulate dead cached partitions)
+            release_candidate_caches()
+        timings[name] = min(rep_times)
+        reps[name] = rep_times
         rows[name] = df.count()
-        # the near-dup ops cache their candidate frames; release so a
-        # 14-query session doesn't accumulate dead cached partitions
         release_candidate_caches()
 
     # frontier crawl rounds — the north rule's scheduling path (URL-seen
@@ -171,21 +187,25 @@ def main() -> None:
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_PAGES",
                                  "1000000"))
     n_hosts = max(37, n_pages // 50)
-    state = tempfile.mkdtemp(prefix="bench_frontier_")
-    shutil.rmtree(state, ignore_errors=True)
     web = webgraph.pages(spark, n_pages, n_partitions=CPUS,
                          n_hosts=n_hosts)
     rules = webgraph.robots_rules(spark, n_hosts)
     seeds = webgraph.seeds(spark, n_pages // 20, n_pages,
                            n_hosts=n_hosts)
-    t0 = time.monotonic()
-    summaries = frontier_loop.run_crawl(
-        spark, web, state, 2, seeds=seeds, rules=rules,
-        cfg=frontier_loop.CrawlConfig(n_partitions=64))
-    elapsed = time.monotonic() - t0
-    timings["frontier_rounds"] = round(elapsed, 3)
+    rep_times = []
+    summaries = None
+    for _ in range(reps_n):
+        state = tempfile.mkdtemp(prefix="bench_frontier_")
+        shutil.rmtree(state, ignore_errors=True)
+        t0 = time.monotonic()
+        summaries = frontier_loop.run_crawl(
+            spark, web, state, 2, seeds=seeds, rules=rules,
+            cfg=frontier_loop.CrawlConfig(n_partitions=64))
+        rep_times.append(round(time.monotonic() - t0, 3))
+        shutil.rmtree(state, ignore_errors=True)
+    timings["frontier_rounds"] = min(rep_times)
+    reps["frontier_rounds"] = rep_times
     rows["frontier_rounds"] = sum(s["scheduled"] for s in summaries)
-    shutil.rmtree(state, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     cdx_rate = (round(rows["cdx_full_sorted"] / timings["cdx_full_sorted"])
@@ -204,6 +224,8 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "rows": rows,
+        "bench_reps": reps_n,
+        "reps": reps,
         "cdx_rows_per_sec": cdx_rate,
         "frontier_urls_per_sec": frontier_rate,
     }))
