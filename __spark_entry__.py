@@ -1230,7 +1230,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate (round-4 VERDICT ask #5): a capped
+    # driver run samples from the FRONT, so the 15 queries with no
+    # r04 CORRECTNESS row lead — the 5 never-driver-sampled ones
+    # first, then the 10 whose last driver row is r03.
     return {
+        "bmp_decode": q_bmp_decode,
+        "tiff_decode": q_tiff_decode,
+        "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
+        "frontier_links": q_frontier_links,
+        "events_sessions": q_events_sessions,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "frontier_robots": q_frontier_robots,
+        "frontier_topk": q_frontier_topk,
+        "frontier_seen_split": q_frontier_seen_split,
+        "frontier_crawl": q_frontier_crawl,
+        "agg_pricing": q_agg_pricing,
+        "join_customer_orders": q_join_customer_orders,
+        "events_windows": q_events_windows,
         "cdx_lines": q_cdx_lines,
         "cdx_lines_all": q_cdx_lines_all,
         "cdx_screenshot": q_cdx_screenshot,
@@ -1281,21 +1300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "avi_frames": q_avi_frames,
         "jpeg_decode": q_jpeg_decode,
-        "bmp_decode": q_bmp_decode,
-        "tiff_decode": q_tiff_decode,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "frontier_robots": q_frontier_robots,
-        "frontier_topk": q_frontier_topk,
-        "frontier_seen_split": q_frontier_seen_split,
-        "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
-        "frontier_links": q_frontier_links,
-        "frontier_crawl": q_frontier_crawl,
-        "agg_pricing": q_agg_pricing,
-        "join_customer_orders": q_join_customer_orders,
-        "events_windows": q_events_windows,
-        "events_sessions": q_events_sessions,
     }
 
 
