@@ -473,8 +473,18 @@ def run_crawl(spark: SparkSession, web: DataFrame, state_dir: str,
     return out
 
 
+#: per-fold key budget for rebuild_filters: a round's delta larger
+#: than this is split into disjoint hash chunks before folding, so one
+#: pathological round (a huge seed injection) cannot produce a single
+#: oversized collect_list/add_many fold.  5M keys x k~7 positions /
+#: n_partitions stays comfortably inside a task at any sane config.
+REBUILD_MAX_FOLD_KEYS = 5_000_000
+
+
 def rebuild_filters(spark: SparkSession, state_dir: str,
-                    cfg: CrawlConfig = CrawlConfig()) -> None:
+                    cfg: CrawlConfig = CrawlConfig(),
+                    max_fold_keys: int = REBUILD_MAX_FOLD_KEYS
+                    ) -> None:
     """Recovery path for an incompatible filters checkpoint (the
     fail-fast in :func:`run_round` / ``bloom.from_bytes``): re-derive
     the latest committed round's Bloom filters from the EXACT
@@ -497,9 +507,16 @@ def rebuild_filters(spark: SparkSession, state_dir: str,
     by the whole crawl — folding the cumulative table in one pass
     would materialize every position of a large crawl in single
     aggregation rows and OOM a task at exactly the state size that
-    needs recovery.  Each step materializes to a scratch dir so the
-    next fold reads a bounded parquet base instead of stacking
-    lineage."""
+    needs recovery.  A single round whose delta exceeds
+    ``max_fold_keys`` (a huge seed injection) is further split into
+    disjoint ``pmod(xxhash64(key), n_chunks)`` chunks, so EVERY fold
+    is bounded — for Bloom the bit-OR makes the chunked result
+    byte-identical to the unchunked one (tested); for cuckoo the key
+    SET is identical (probe semantics unchanged — no false negatives)
+    though eviction order, and hence exact blob bytes, may differ.
+    Each step materializes to a scratch dir so the next fold reads a
+    bounded parquet base instead of stacking lineage."""
+    import math
     import shutil
 
     rnd = latest_round(state_dir)
@@ -516,14 +533,20 @@ def rebuild_filters(spark: SparkSession, state_dir: str,
         if not os.path.isdir(seen_dir):
             continue
         keys = spark.read.parquet(seen_dir).select("surt_key")
-        folded = seenmod.update_filters(
-            keys, filters, cfg.n_partitions, cfg.filter_capacity,
-            cfg.filter_fpr, strategy=cfg.fold_strategy,
-            kind=cfg.filter_kind)
-        tmp = os.path.join(scratch, f"step_{step:05d}")
-        folded.write.mode("overwrite").parquet(tmp)
-        filters = spark.read.parquet(tmp)
-        step += 1
+        # one count job per round — recovery path, not the hot loop
+        n_chunks = max(1, math.ceil(keys.count() / max_fold_keys))
+        for c in range(n_chunks):
+            chunk = keys if n_chunks == 1 else keys.filter(
+                F.pmod(F.xxhash64("surt_key"),
+                       F.lit(n_chunks)) == c)
+            folded = seenmod.update_filters(
+                chunk, filters, cfg.n_partitions, cfg.filter_capacity,
+                cfg.filter_fpr, strategy=cfg.fold_strategy,
+                kind=cfg.filter_kind)
+            tmp = os.path.join(scratch, f"step_{step:05d}")
+            folded.write.mode("overwrite").parquet(tmp)
+            filters = spark.read.parquet(tmp)
+            step += 1
     filters.write.mode("overwrite").parquet(
         os.path.join(_round_dir(state_dir, rnd), "filters"))
     shutil.rmtree(scratch, ignore_errors=True)

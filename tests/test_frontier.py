@@ -426,3 +426,18 @@ def test_rebuild_filters_recovers_incompatible_checkpoint(spark, tmp_path):
     a = [tuple(r) for r in loop.crawl_order(spark, s1).collect()]
     b = [tuple(r) for r in loop.crawl_order(spark, s2).collect()]
     assert a == b
+
+    # one artificially huge round (delta >> max_fold_keys): the
+    # chunked rebuild must bound every fold AND stay byte-identical
+    # to the single-fold rebuild (Bloom bit-OR is chunk-invariant)
+    fdir2 = os.path.join(
+        loop._round_dir(s2, loop.latest_round(s2)), "filters")
+    loop.rebuild_filters(spark, s2, max_fold_keys=40)
+    chunked = {r.partition_id: (bytes(r.filter_blob),
+                                list(r.bits_longs), r.n_items)
+               for r in spark.read.parquet(fdir2).collect()}
+    loop.rebuild_filters(spark, s2, max_fold_keys=10**9)
+    single = {r.partition_id: (bytes(r.filter_blob),
+                               list(r.bits_longs), r.n_items)
+              for r in spark.read.parquet(fdir2).collect()}
+    assert chunked == single
