@@ -129,13 +129,20 @@ state_base = os.environ.get(
     "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
 state = f"{state_base}/scaling_crawl_{cpus}"
 shutil.rmtree(state, ignore_errors=True)
-cfg = loop.CrawlConfig(n_partitions=64)
+_salt = os.environ.get("SPARK_GRAFT_SALT_THRESHOLD")
+cfg = loop.CrawlConfig(n_partitions=64,
+                       salt_threshold=int(_salt) if _salt else None)
 n_hosts = max(37, n_pages // 50)   # enough hosts that per-host
                                    # politeness budgets don't cap volume
+# SPARK_GRAFT_HOST_SKEW=1.1 runs the Zipf-host skew-stress graph
+# (hot-host schedule evidence); unset = the uniform default
+_skew = os.environ.get("SPARK_GRAFT_HOST_SKEW")
+host_skew = float(_skew) if _skew else None
 web = webgraph.pages(spark, n_pages, n_partitions=4 * cpus,
-                     n_hosts=n_hosts)
+                     n_hosts=n_hosts, host_skew=host_skew)
 rules = webgraph.robots_rules(spark, n_hosts)
-seeds = webgraph.seeds(spark, n_pages // 20, n_pages, n_hosts=n_hosts)
+seeds = webgraph.seeds(spark, n_pages // 20, n_pages, n_hosts=n_hosts,
+                       host_skew=host_skew)
 t0 = time.monotonic()
 summaries = loop.run_crawl(spark, web, state, 3, seeds=seeds,
                            rules=rules, cfg=cfg)
