@@ -1222,6 +1222,35 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (functions/relational.py): every 'view'
+    event gains the latest preceding 'purchase' by the same user —
+    the time-series most-recent-fact join Spark lacks as a primitive.
+    The engine runs the union-tag single-window composition (one hash
+    exchange, no row multiplication); the oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — zero shared algorithm, so a frame/tie bug on
+    either side hash-mismatches.  Timestamps compare as exact epoch
+    microseconds (the events_sessions convention)."""
+    from cdx_writer_spark.functions import relational
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").alias("us"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"),
+        F.round("value", 4).alias("p_value"), "us")
+    out = relational.asof_join(views, purchases, on="user_id",
+                               left_ts="us", right_ts="us")
+    return out.select(
+        "user_id", "event_id", "us",
+        F.col("us_r").alias("purchase_us"),
+        F.col("p_event_id_r").alias("purchase_event_id"),
+        F.col("p_value_r").alias("purchase_value"))
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1240,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
         "frontier_links": q_frontier_links,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -2897,4 +2927,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(us) - min(us) AS BIGINT) AS duration_us, "
             "round(CAST(sum(value) AS DOUBLE), 4) AS sum_value "
             "FROM sess GROUP BY user_id, session_id"),
+        # as-of join: DuckDB's NATIVE ASOF LEFT JOIN (backward,
+        # inclusive) — independent of the engine's union-tag window
+        "events_asof": (
+            "WITH e AS (SELECT user_id, event_id, event_type, value, "
+            "epoch_us(ts) AS us FROM events), "
+            "l AS (SELECT user_id, event_id, us FROM e "
+            "WHERE event_type = 'view'), "
+            "r AS (SELECT user_id, event_id AS p_event_id, "
+            "round(value, 4) AS p_value, us FROM e "
+            "WHERE event_type = 'purchase') "
+            "SELECT l.user_id, l.event_id, l.us, "
+            "r.us AS purchase_us, "
+            "r.p_event_id AS purchase_event_id, "
+            "r.p_value AS purchase_value "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.us >= r.us"),
     }

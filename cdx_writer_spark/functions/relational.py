@@ -1,0 +1,93 @@
+"""Relational operators Spark's DataFrame API lacks as primitives,
+built as compositions of built-in ops (never UDFs, never range-join
+explosions).
+
+Currently: the **as-of join** — for each left row, the single latest
+right row with ``right_ts <= left_ts`` on the same key (the
+time-series "most recent fact" join every event/feature pipeline
+needs; DuckDB/kdb/pandas ``merge_asof`` semantics, backward
+direction, inclusive).
+
+Scale shape: the naive formulations are a non-equi range join (a
+Catalyst BroadcastNestedLoop/cartesian at worst) or a per-key
+``collect_list`` + Python scan.  This implementation is the
+union-tag trick instead: tag both sides, union them (cheap — one
+schema-aligned concat), and run ONE window over (key, ts) that
+carries the last-seen right payload forward onto following left rows.
+Cost is a single hash exchange of left+right on the join key plus a
+per-partition sort — the same price as the sort-merge equi-join Spark
+would pick anyway, with no row multiplication, no skew amplification
+beyond the key's own frequency, and whole-stage-codegen window
+execution (zero Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              tolerance: Column | int | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Backward (inclusive) as-of join: every ``left`` row gains the
+    payload of the latest ``right`` row with
+    ``right[right_ts] <= left[left_ts]`` and equal ``on`` key — NULLs
+    when no right row precedes it (left-outer semantics).
+
+    ``tolerance``: optional max allowed ``left_ts - right_ts`` (same
+    units as the ts columns); matches older than the window are
+    nulled out, mirroring ``pandas.merge_asof(tolerance=...)``.
+
+    Right payload columns are appended with ``suffix`` (the right ts
+    column becomes e.g. ``ts_r``); ties are impossible on a
+    (key, ts)-unique right side, and otherwise resolve to the
+    row latest in (ts, payload-struct) order — deterministic at any
+    parallelism because the window order is a total order over the
+    carried struct.
+
+    Timestamps may be any orderable type; when ``tolerance`` is used
+    they must support subtraction (use epoch numbers for
+    cross-engine-exact arithmetic).
+    """
+    payload_cols = [c for c in right.columns
+                    if c not in (on, right_ts)]
+    # one struct carries ts + payload so a single last() resolves
+    # both "which right row" and "its values" atomically (two
+    # separate last() calls could disagree under equal-ts ties)
+    rstruct = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in payload_cols])
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        # right rows sort BEFORE left rows at equal ts (backward
+        # join is inclusive): flag 0 < 1
+        F.lit(0).alias("__side"),
+        rstruct.alias("__r"))
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"))
+    unioned = r.select("__k", "__t", "__side", "__r",
+                       F.lit(None).cast(l.schema["__l"].dataType)
+                       .alias("__l")).unionByName(l)
+    w = (Window.partitionBy("__k").orderBy("__t", "__side", "__r")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) \
+            else F.lit(tolerance)
+        out = out.withColumn(
+            "__m", F.when(F.col("__t") - F.col("__m")["__ts"] <= tol,
+                          F.col("__m")))
+    return out.select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        F.col("__m")["__ts"].alias(right_ts + suffix),
+        *[F.col("__m")[c].alias(c + suffix) for c in payload_cols])
