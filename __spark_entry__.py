@@ -1161,6 +1161,52 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ``rollup`` (SQL-standard GROUP BY
+    ROLLUP): per (returnflag, linestatus) with per-flag subtotals and
+    a grand total, the NULL-marked superaggregate rows included —
+    Catalyst expands the grouping sets in ONE aggregation pass
+    (map-side partial agg per set), no self-union of the base scan.
+    Cross-engine note: rows are keyed by the nullable group columns
+    plus an explicit grouping-ID so a NULL data value could never
+    collide with a NULL total marker."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts spread into one
+    column per event type, plus the summed purchase value.  The pivot
+    VALUES are declared explicitly, so Spark skips the extra
+    distinct-scan job and the aggregation stays a single exchange on
+    user_id; the oracle spreads with conditional aggregation (CASE
+    sums) — a different algorithm for the same relation."""
+    ev = _table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    counts = (ev.groupBy("user_id")
+              .pivot("event_type", kinds)
+              .agg(F.count(F.lit(1))))
+    counts = counts.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long")
+          .alias(f"n_{k}") for k in kinds])
+    spend = ev.filter(F.col("event_type") == "purchase") \
+        .groupBy("user_id") \
+        .agg(F.round(F.sum("value"), 4).alias("purchase_value"))
+    return counts.join(spend, "user_id", "left")
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _table(spark, sf_dir, "customer")
     o = _table(spark, sf_dir, "orders")
@@ -1270,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_links": q_frontier_links,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "agg_rollup": q_agg_rollup,
+        "events_pivot": q_events_pivot,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -2943,4 +2991,36 @@ def oracle_sql() -> dict[str, str]:
             "r.p_value AS purchase_value "
             "FROM l ASOF LEFT JOIN r "
             "ON l.user_id = r.user_id AND l.us >= r.us"),
+        # rollup: DuckDB's native GROUP BY ROLLUP; GROUPING() bits
+        # composed in Spark's grouping_id order (returnflag=bit1,
+        # linestatus=bit0)
+        "agg_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(GROUPING(l_returnflag) * 2 "
+            "+ GROUPING(l_linestatus) AS BIGINT) AS gid, "
+            "round(SUM(l_quantity), 2) AS sum_qty, "
+            "round(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS sum_disc_price, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+        # pivot: conditional aggregation spreads the same relation the
+        # engine builds with .pivot(explicit values)
+        "events_pivot": (
+            "WITH c AS (SELECT user_id, "
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_click, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_error, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_purchase, "
+            "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_signup, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_view FROM events GROUP BY 1), "
+            "s AS (SELECT user_id, round(SUM(value), 4) "
+            "AS purchase_value FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT c.*, s.purchase_value FROM c "
+            "LEFT JOIN s USING (user_id)"),
     }

@@ -123,6 +123,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             spark, sf_dir),
         "events_windows": lambda: entrymod.q_events_windows(
             spark, sf_dir),
+        "events_asof": lambda: entrymod.q_events_asof(spark, sf_dir),
+        "agg_rollup": lambda: entrymod.q_agg_rollup(spark, sf_dir),
+        "events_pivot": lambda: entrymod.q_events_pivot(
+            spark, sf_dir),
     }
 
 
