@@ -1207,6 +1207,43 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(spend, "user_id", "left")
 
 
+def q_lineitem_range_join(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Point-in-interval range join (functions/relational.py:
+    range_join): each lineitem ship-day pairs with every same-key
+    order window (orderdate .. orderdate + orderkey%14 days) covering
+    it.  The engine runs the bucketized composition — intervals
+    explode to their covered fixed-width buckets, points map to ONE
+    bucket, equi-join on (key, bucket) + exact BETWEEN refine (narrow
+    exchange, no BroadcastNestedLoop, output proportional to true
+    selectivity); the oracle is DuckDB's native inequality join
+    (IEJoin) over the same predicate — zero shared algorithm.  Days
+    since epoch keep the arithmetic integral cross-engine."""
+    from cdx_writer_spark.functions import relational
+
+    epoch = F.lit("1970-01-01")
+    li = _table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 97).alias("k"),
+        "l_orderkey", "l_linenumber",
+        F.datediff(F.col("l_shipdate"), epoch).cast("long")
+        .alias("ship_day"))
+    orders = _table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 97).alias("k"),
+        F.col("o_orderkey").alias("win_orderkey"),
+        F.datediff(F.col("o_orderdate"), epoch).cast("long")
+        .alias("win_start"),
+        (F.datediff(F.col("o_orderdate"), epoch)
+         + F.col("o_orderkey") % 14).cast("long").alias("win_end"))
+    out = relational.range_join(
+        li, orders, on="k", point_col="ship_day",
+        start_col="win_start", end_col="win_end", bucket_width=16)
+    return out.select(
+        "k", "l_orderkey", "l_linenumber", "ship_day",
+        F.col("win_start_r").alias("win_start"),
+        F.col("win_end_r").alias("win_end"),
+        F.col("win_orderkey_r").alias("win_orderkey"))
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _table(spark, sf_dir, "customer")
     o = _table(spark, sf_dir, "orders")
@@ -1318,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "agg_rollup": q_agg_rollup,
         "events_pivot": q_events_pivot,
+        "lineitem_range_join": q_lineitem_range_join,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -3023,4 +3061,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'purchase' GROUP BY 1) "
             "SELECT c.*, s.purchase_value FROM c "
             "LEFT JOIN s USING (user_id)"),
+        # range join: DuckDB's native inequality join (IEJoin) over
+        # the raw BETWEEN predicate — independent of the engine's
+        # bucketized composition
+        "lineitem_range_join": (
+            "WITH p AS (SELECT l_suppkey % 97 AS k, l_orderkey, "
+            "l_linenumber, CAST(datediff('day', "
+            "TIMESTAMP '1970-01-01', l_shipdate) AS BIGINT) "
+            "AS ship_day FROM lineitem), "
+            "i AS (SELECT o_custkey % 97 AS k, "
+            "o_orderkey AS win_orderkey, "
+            "CAST(datediff('day', TIMESTAMP '1970-01-01', "
+            "o_orderdate) AS BIGINT) AS win_start, "
+            "CAST(datediff('day', TIMESTAMP '1970-01-01', "
+            "o_orderdate) + o_orderkey % 14 AS BIGINT) AS win_end "
+            "FROM orders) "
+            "SELECT p.k, p.l_orderkey, p.l_linenumber, p.ship_day, "
+            "i.win_start, i.win_end, i.win_orderkey "
+            "FROM p JOIN i ON p.k = i.k "
+            "AND p.ship_day BETWEEN i.win_start AND i.win_end"),
     }

@@ -127,6 +127,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "agg_rollup": lambda: entrymod.q_agg_rollup(spark, sf_dir),
         "events_pivot": lambda: entrymod.q_events_pivot(
             spark, sf_dir),
+        "range_join": lambda: entrymod.q_lineitem_range_join(
+            spark, sf_dir),
     }
 
 

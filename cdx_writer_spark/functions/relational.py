@@ -2,13 +2,17 @@
 built as compositions of built-in ops (never UDFs, never range-join
 explosions).
 
-Currently: the **as-of join** — for each left row, the single latest
-right row with ``right_ts <= left_ts`` on the same key (the
-time-series "most recent fact" join every event/feature pipeline
-needs; DuckDB/kdb/pandas ``merge_asof`` semantics, backward
-direction, inclusive).
+Currently:
 
-Scale shape: the naive formulations are a non-equi range join (a
+* the **as-of join** — for each left row, the single latest right
+  row with ``right_ts <= left_ts`` on the same key (the time-series
+  "most recent fact" join every event/feature pipeline needs;
+  DuckDB/kdb/pandas ``merge_asof`` semantics, backward direction,
+  inclusive);
+* the **range join** — point-in-interval containment via fixed-width
+  bucketization (see :func:`range_join`).
+
+As-of scale shape: the naive formulations are a non-equi join (a
 Catalyst BroadcastNestedLoop/cartesian at worst) or a per-key
 ``collect_list`` + Python scan.  This implementation is the
 union-tag trick instead: tag both sides, union them (cheap — one
@@ -91,3 +95,55 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col("__l")[c].alias(c) for c in left.columns],
         F.col("__m")["__ts"].alias(right_ts + suffix),
         *[F.col("__m")[c].alias(c + suffix) for c in payload_cols])
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: str,
+               point_col: str = "ts", start_col: str = "start",
+               end_col: str = "end", bucket_width: int = 16,
+               suffix: str = "_r") -> DataFrame:
+    """Interval containment join: every (key, point) row pairs with
+    every same-key interval where ``start <= point <= end``
+    (inclusive) — the event-in-window join.
+
+    Scale shape: Catalyst plans a raw ``p.k = i.k AND p.ts BETWEEN
+    i.start AND i.end`` as a sort-merge on the key alone, re-scanning
+    every same-key interval per point (quadratic in hot keys, and a
+    BroadcastNestedLoop without the equi-key).  This is the standard
+    bucketization instead: each interval explodes to the fixed-width
+    buckets it covers (``sequence(start div w, end div w)`` — bounded
+    rows, proportional to interval length / width), each point maps
+    to exactly ONE bucket, and the join is a plain equi-join on
+    (key, bucket) refined by the exact BETWEEN — so matching work is
+    proportional to true selectivity, the exchange is narrow
+    (key, bucket), AQE can split skewed buckets, and no pair is ever
+    produced twice (the point's single bucket dedups by
+    construction).  Pick ``bucket_width`` near the typical interval
+    length: width >> intervals wastes bucket fan-out on the probe
+    side; width << intervals multiplies the interval explode.
+
+    Point/start/end must be integral (epoch seconds/µs/days);
+    interval payload columns come back with ``suffix``.
+    """
+    w = F.lit(int(bucket_width)).cast("long")
+    payload = [c for c in intervals.columns
+               if c not in (on, start_col, end_col)]
+    i = intervals.select(
+        F.col(on).alias("__k"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+        *[F.col(c).alias(c + suffix) for c in payload]).filter(
+        F.col("__s") <= F.col("__e"))
+    exploded = i.withColumn(
+        "__b", F.explode(F.sequence(
+            F.floor(F.col("__s") / w), F.floor(F.col("__e") / w))))
+    p = points.withColumn(
+        "__b", F.floor(F.col(point_col).cast("long") / w)) \
+        .withColumn("__k", F.col(on))
+    joined = p.join(exploded, ["__k", "__b"]).filter(
+        (F.col(point_col).cast("long") >= F.col("__s"))
+        & (F.col(point_col).cast("long") <= F.col("__e")))
+    return joined.select(
+        *points.columns,
+        F.col("__s").alias(start_col + suffix),
+        F.col("__e").alias(end_col + suffix),
+        *[F.col(c + suffix) for c in payload])

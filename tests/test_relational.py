@@ -100,3 +100,63 @@ def test_asof_plan_single_exchange_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- range join ---------------------------------------------------------------
+
+from cdx_writer_spark.functions.relational import range_join
+
+
+def _brute_pairs(points, intervals):
+    out = set()
+    for (k, t, pid) in points:
+        for (k2, s, e, iid) in intervals:
+            if k == k2 and s <= t <= e:
+                out.add((pid, iid))
+    return out
+
+
+def test_range_join_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(5), rng.randrange(200), i)
+           for i in range(300)]
+    ivs = [(rng.randrange(5), s := rng.randrange(200),
+            s + rng.randrange(40), 1000 + i) for i in range(80)]
+    p = spark.createDataFrame(pts, "k long, ts long, pid long")
+    i = spark.createDataFrame(ivs, "k long, start long, end long, "
+                                   "iid long")
+    got = {(r["pid"], r["iid_r"]) for r in
+           range_join(p, i, on="k", bucket_width=16).collect()}
+    assert got == _brute_pairs(pts, ivs)
+    # no duplicate pairs even when an interval spans many buckets
+    rows = range_join(p, i, on="k", bucket_width=4).collect()
+    assert len(rows) == len({(r["pid"], r["iid_r"]) for r in rows})
+    assert {(r["pid"], r["iid_r"]) for r in rows} == got
+
+
+def test_range_join_bounds_inclusive_and_empty_interval(spark):
+    p = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 9, 3), (1, 21, 4)],
+        "k long, ts long, pid long")
+    i = spark.createDataFrame(
+        [(1, 10, 20, 100), (1, 30, 29, 101)],   # second is inverted
+        "k long, start long, end long, iid long")
+    got = {(r["pid"], r["iid_r"]) for r in
+           range_join(p, i, on="k").collect()}
+    assert got == {(1, 100), (2, 100)}   # inclusive both ends
+
+
+def test_range_join_plan_no_nested_loop_no_python(spark):
+    p = spark.range(100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("pid"))
+    i = spark.range(20).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 9).alias("start"),
+        (F.col("id") * 9 + 5).alias("end"), F.col("id").alias("iid"))
+    plan = range_join(p, i, on="k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
