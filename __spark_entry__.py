@@ -1244,6 +1244,132 @@ def q_lineitem_range_join(spark: SparkSession, sf_dir: str
         F.col("win_orderkey_r").alias("win_orderkey"))
 
 
+def q_join_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue by nation for one
+    region and a two-year order window.  lineitem⋈orders⋈customer⋈
+    supplier are fact-sized joins left to Catalyst/AQE (sort-merge or
+    broadcast by measured size at runtime — supplier grows with SF so
+    it must NOT be hint-broadcast); nation (25 rows) and region (5)
+    are explicit broadcasts.  The region filter and the order-date
+    range are written on the joined frame and Catalyst pushes both
+    into the scans (plan-tested: the orders scan carries the date
+    PushedFilters), so a 100 TB run reads two years of orders, not
+    seven."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter((F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders with at least one lineitem
+    shipped ≥60 days after the order date, counted by priority.  The
+    engine runs a LEFT SEMI join (one probe hit short-circuits the
+    row — no duplication however many lineitems match, so the
+    downstream aggregate sees each order once); the compound
+    condition keeps the equi-key (orderkey) so the join stays
+    hash/sort-merge, never a nested loop.  The oracle states the same
+    relation as a correlated EXISTS subquery."""
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+           >= 60),
+        "left_semi")
+    return (hit.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_late_orders")))
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (orderstatus, orderpriority): all four grouping
+    sets in ONE aggregation pass (Catalyst expands the sets map-side —
+    no self-union of the base scan), rows keyed by the explicit
+    grouping-ID so NULL totals can't collide with NULL data values.
+    Complements ``agg_rollup`` (hierarchical sets) with the full
+    lattice."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_part_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p25/median/p75 retail price per
+    brand) via Spark's ``percentile`` — the exact sort-based
+    aggregate, not the approx sketch.  Cross-engine exactness is
+    engineered: prices are deci-unit-scaled to integer-valued doubles
+    (exact) and the chosen quantiles are dyadic, so the linear
+    interpolation ``a + f·(b−a)`` is exact floating-point in BOTH
+    engines regardless of expression shape — the final single
+    division by 10 is then the only (identical) inexact op.  At 100 TB
+    swap ``percentile`` for ``percentile_approx`` per the documented
+    accuracy budget; the exact form is the oracle-checkable
+    contract."""
+    p = _table(spark, sf_dir, "part")
+    deci = F.expr("CAST(round(p_retailprice * 10) AS DOUBLE)")
+    return (
+        p.select("p_brand", deci.alias("__d"))
+        .groupBy("p_brand")
+        .agg(
+            (F.expr("percentile(__d, 0.25)") / 10.0).alias("p25_price"),
+            (F.expr("percentile(__d, 0.5)") / 10.0).alias("median_price"),
+            (F.expr("percentile(__d, 0.75)") / 10.0).alias("p75_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-rank for the frontier's priority key (north star:
+    schedule by "host-rank + depth"): PageRank in EXACT integer
+    arithmetic (functions/graph.py) over a deterministic host graph
+    planted from doc_id arithmetic — two quotient-derived edge
+    families on 37 hosts, with hosts ≥34 never emitting edges so the
+    dangling-mass path is exercised.  Float PageRank is
+    summation-order-dependent and could never hash-match an
+    independent engine; the integer spec makes the 3-iteration
+    fixpoint a pure function of the edge set, which the DuckDB oracle
+    recomputes as three unrolled relational iterations."""
+    from cdx_writer_spark.functions import graph
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    e1 = docs.filter(d % 37 < 34).select(
+        (d % 37).alias("src"),
+        (F.expr("doc_id div 7") % 37).alias("dst"))
+    e2 = docs.filter(F.expr("(doc_id div 3) % 37 < 34")).select(
+        F.expr("(doc_id div 3) % 37").alias("src"),
+        (F.expr("doc_id div 11") % 37).alias("dst"))
+    ranks = graph.pagerank_exact(e1.union(e2), iterations=3)
+    return ranks.select("node", F.col("rank").alias("pr_scaled"))
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _table(spark, sf_dir, "customer")
     o = _table(spark, sf_dir, "orders")
@@ -1343,10 +1469,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (round-4 VERDICT ask #5): a capped
-    # driver run samples from the FRONT, so the 15 queries with no
-    # r04 CORRECTNESS row lead — the 5 never-driver-sampled ones
-    # first, then the 10 whose last driver row is r03.
+    # driver run samples from the FRONT, so never-driver-sampled
+    # queries lead — this round's new five first, then the 15 with no
+    # r04 CORRECTNESS row (the 5 never-sampled ones, then the 10
+    # whose last driver row is r03).
     return {
+        "host_pagerank": q_host_pagerank,
+        "join_revenue_nation": q_join_revenue_nation,
+        "orders_exists": q_orders_exists,
+        "agg_cube": q_agg_cube,
+        "part_percentiles": q_part_percentiles,
         "bmp_decode": q_bmp_decode,
         "tiff_decode": q_tiff_decode,
         "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
@@ -3080,4 +3212,106 @@ def oracle_sql() -> dict[str, str]:
             "i.win_start, i.win_end, i.win_orderkey "
             "FROM p JOIN i ON p.k = i.k "
             "AND p.ship_day BETWEEN i.win_start AND i.win_end"),
+        # TPC-H Q5 shape: DuckDB's own join order/planner over the
+        # same six-table relation
+        "join_revenue_nation": (
+            "SELECT n_name, "
+            "round(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"),
+        # Q4 shape: correlated EXISTS — a different decorrelation
+        # path than the engine's left-semi join
+        "orders_exists": (
+            "SELECT o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_late_orders "
+            "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND datediff('day', o.o_orderdate, l.l_shipdate) >= 60) "
+            "GROUP BY o_orderpriority"),
+        # full grouping-set lattice; GROUPING() bits composed in
+        # Spark's grouping_id order (status=bit1, priority=bit0)
+        "agg_cube": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(GROUPING(o_orderstatus) * 2 "
+            "+ GROUPING(o_orderpriority) AS BIGINT) AS gid, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "round(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders "
+            "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+        # exact interpolated quantiles: deci-unit integer-valued
+        # doubles + dyadic quantiles make the interpolation exact in
+        # both engines (see q_part_percentiles docstring)
+        "part_percentiles": (
+            "SELECT p_brand, "
+            "quantile_cont(CAST(round(p_retailprice * 10) AS DOUBLE), "
+            "0.25) / 10.0 AS p25_price, "
+            "quantile_cont(CAST(round(p_retailprice * 10) AS DOUBLE), "
+            "0.5) / 10.0 AS median_price, "
+            "quantile_cont(CAST(round(p_retailprice * 10) AS DOUBLE), "
+            "0.75) / 10.0 AS p75_price, "
+            "CAST(COUNT(*) AS BIGINT) AS n_parts "
+            "FROM part GROUP BY p_brand"),
+        # integer-exact PageRank, 3 iterations unrolled relationally;
+        # every division is integer division in the SAME order as the
+        # engine spec (functions/graph.py docstring), so the ranks
+        # must match bit-for-bit, dangling mass included
+        "host_pagerank": (
+            "WITH e AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT doc_id % 37 AS src, (doc_id // 7) % 37 AS dst "
+            "FROM documents WHERE doc_id % 37 < 34 "
+            "UNION ALL "
+            "SELECT (doc_id // 3) % 37, (doc_id // 11) % 37 "
+            "FROM documents WHERE (doc_id // 3) % 37 < 34"
+            ") WHERE src <> dst), "
+            "nodes AS (SELECT src AS node FROM e "
+            "UNION SELECT dst FROM e), "
+            "deg AS (SELECT src, COUNT(*) AS outdeg FROM e "
+            "GROUP BY src), "
+            "c AS (SELECT COUNT(*) AS n, "
+            "1099511627776 // COUNT(*) AS init, "
+            "(15 * (1099511627776 // COUNT(*))) // 100 AS base "
+            "FROM nodes), "
+            "r0 AS (SELECT node, (SELECT init FROM c) AS pr "
+            "FROM nodes), "
+            "i1 AS (SELECT e.dst AS node, "
+            "SUM(r0.pr // deg.outdeg) AS inflow FROM e "
+            "JOIN deg USING (src) JOIN r0 ON r0.node = e.src "
+            "GROUP BY e.dst), "
+            "d1 AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM r0 "
+            "WHERE node NOT IN (SELECT src FROM deg)), "
+            "r1 AS (SELECT nodes.node, (SELECT base FROM c) "
+            "+ (85 * (COALESCE(i1.inflow, 0) "
+            "+ (SELECT dm FROM d1) // (SELECT n FROM c))) // 100 "
+            "AS pr FROM nodes LEFT JOIN i1 USING (node)), "
+            "i2 AS (SELECT e.dst AS node, "
+            "SUM(r1.pr // deg.outdeg) AS inflow FROM e "
+            "JOIN deg USING (src) JOIN r1 ON r1.node = e.src "
+            "GROUP BY e.dst), "
+            "d2 AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM r1 "
+            "WHERE node NOT IN (SELECT src FROM deg)), "
+            "r2 AS (SELECT nodes.node, (SELECT base FROM c) "
+            "+ (85 * (COALESCE(i2.inflow, 0) "
+            "+ (SELECT dm FROM d2) // (SELECT n FROM c))) // 100 "
+            "AS pr FROM nodes LEFT JOIN i2 USING (node)), "
+            "i3 AS (SELECT e.dst AS node, "
+            "SUM(r2.pr // deg.outdeg) AS inflow FROM e "
+            "JOIN deg USING (src) JOIN r2 ON r2.node = e.src "
+            "GROUP BY e.dst), "
+            "d3 AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM r2 "
+            "WHERE node NOT IN (SELECT src FROM deg)), "
+            "r3 AS (SELECT nodes.node, (SELECT base FROM c) "
+            "+ (85 * (COALESCE(i3.inflow, 0) "
+            "+ (SELECT dm FROM d3) // (SELECT n FROM c))) // 100 "
+            "AS pr FROM nodes LEFT JOIN i3 USING (node)) "
+            "SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM r3"),
     }

@@ -129,6 +129,12 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             spark, sf_dir),
         "range_join": lambda: entrymod.q_lineitem_range_join(
             spark, sf_dir),
+        "join_revenue_nation": lambda: entrymod.q_join_revenue_nation(
+            spark, sf_dir),
+        "orders_exists": lambda: entrymod.q_orders_exists(
+            spark, sf_dir),
+        "host_pagerank": lambda: entrymod.q_host_pagerank(
+            spark, sf_dir),
     }
 
 

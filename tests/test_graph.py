@@ -1,0 +1,127 @@
+"""pagerank_exact: the integer-arithmetic spec is checked against an
+independent pure-Python reference (dict-and-loop — no Spark, no SQL),
+and the determinism claim (pure function of the edge SET) is checked
+by re-running under different partitionings."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdx_writer_spark.functions import graph
+
+SCALE = 1 << 40
+
+
+def _py_pagerank(edges, iterations=3, scale=SCALE, num=85, den=100):
+    """Reference implementation of the documented spec, straight from
+    the graph.py docstring, in plain dicts."""
+    eset = {(s, d) for s, d in edges if s != d}
+    nodes = sorted({s for s, _ in eset} | {d for _, d in eset})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    init = scale // n
+    base = ((den - num) * init) // den
+    outdeg = {}
+    for s, _ in eset:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: init for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for s, d in eset:
+            inflow[d] += rank[s] // outdeg[s]
+        dm = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {v: base + (num * (inflow[v] + dm // n)) // den
+                for v in nodes}
+    return rank
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.pagerank_exact(df, **kw)
+    return {r["node"]: r["rank"] for r in out.collect()}
+
+
+def test_matches_python_reference_on_random_graph(spark):
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    got = _run(spark, edges, iterations=4)
+    assert got == _py_pagerank(edges, iterations=4)
+
+
+def test_dangling_mass_is_redistributed(spark):
+    # 3 -> sink 9 (no out-edges): without the dangling correction the
+    # ring nodes' total mass would decay every iteration
+    edges = [(1, 2), (2, 3), (3, 1), (3, 9)]
+    got = _run(spark, edges, iterations=3)
+    want = _py_pagerank(edges, iterations=3)
+    assert got == want
+    # the sink received rank yet still fed mass back into the pool
+    assert want[9] > 0
+    n, init = 4, SCALE // 4
+    base = ((100 - 85) * init) // 100
+    assert got[9] > base  # strictly more than the bare teleport share
+
+
+def test_result_is_partitioning_invariant(spark):
+    import random
+    rng = random.Random(11)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r["node"], r["rank"])
+         for r in graph.pagerank_exact(df.repartition(1)).collect()}
+    b = {(r["node"], r["rank"])
+         for r in graph.pagerank_exact(df.repartition(16, "dst"))
+         .collect()}
+    assert a == b
+
+
+def test_duplicate_edges_and_self_loops_are_ignored(spark):
+    base = [(1, 2), (2, 1)]
+    noisy = base + [(1, 2), (1, 2), (1, 1), (2, 2)]
+    assert _run(spark, noisy) == _run(spark, base)
+
+
+def test_total_mass_is_conserved_to_rounding(spark):
+    import random
+    rng = random.Random(3)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    got = _run(spark, edges, iterations=5)
+    n = len(got)
+    total = sum(got.values())
+    # every integer division floors, losing < 1 per node per term;
+    # 5 iterations x 3 floor sites per node bounds the total drift
+    assert SCALE - total < 20 * n * 5
+    assert total <= SCALE
+
+
+def test_checkpoint_blocks_are_released(spark):
+    """Same discipline as connected_components: after a run, at most
+    the final iteration's checkpoint may remain stored."""
+    sc = spark.sparkContext
+
+    def ids():
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = ids()
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.pagerank_exact(df, iterations=6)
+    out.count()
+    leftover = ids() - before
+    assert len(leftover) <= 1, (
+        f"{len(leftover)} persistent RDDs leaked: {sorted(leftover)}")
+
+
+def test_empty_edge_list(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank_exact(df).count() == 0
+
+
+@pytest.mark.parametrize("iterations", [0, 1])
+def test_iteration_zero_and_one(spark, iterations):
+    edges = [(1, 2), (2, 3)]
+    got = _run(spark, edges, iterations=iterations)
+    assert got == _py_pagerank(edges, iterations=iterations)
