@@ -700,6 +700,22 @@ def q_corpus_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hll_count(_docs(spark, sf_dir), "text")
 
 
+def q_hll_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: one sketch per host (distinct document
+    texts per planted doc_id%37 host) — the per-host distinct-URL
+    telemetry a crawl dashboard reads.  The mergeable-sketch property
+    is the skew story: a host with 10^9 pages contributes the same
+    ≤256 register rows to the shuffle as a host with 10^3 (map-side
+    partial max on (host, bucket)).  Same exact-integer register
+    arithmetic as ``corpus_hll``, so the oracle reproduces every
+    per-host register state and estimate bit-for-bit."""
+    from cdx_writer_spark.functions import sketch
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 37).alias("host"), "text")
+    return sketch.hll_count_grouped(docs, "host", "text")
+
+
 def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-context training-example chunking: 32-token windows every
     24 tokens (8-token overlap), trailing partials kept — the oracle
@@ -1475,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose last driver row is r03).
     return {
         "host_pagerank": q_host_pagerank,
+        "hll_hosts": q_hll_hosts,
         "join_revenue_nation": q_join_revenue_nation,
         "orders_exists": q_orders_exists,
         "agg_cube": q_agg_cube,
@@ -2630,6 +2647,36 @@ def oracle_sql() -> dict[str, str]:
             "fd AS (SELECT count(*) AS nz, "
             "SUM(CAST(pow(2.0, 50 - r) AS BIGINT)) AS ps FROM mx) "
             "SELECT CAST(256 AS BIGINT) AS m, "
+            "CAST(nz AS BIGINT) AS nonzero_registers, "
+            "CAST(ps + (256 - nz) * 1125899906842624 AS BIGINT) "
+            "AS sum_scaled, "
+            "round(CASE WHEN (256 - nz) > 0 AND "
+            "(0.7213/(1.0 + 1.079/256) * 256 * 256 "
+            "* 1125899906842624.0 "
+            "/ (ps + (256 - nz) * 1125899906842624)) <= 640.0 "
+            "THEN 256.0 * ln(256.0 / (256 - nz)) "
+            "ELSE 0.7213/(1.0 + 1.079/256) * 256 * 256 "
+            "* 1125899906842624.0 "
+            "/ (ps + (256 - nz) * 1125899906842624) END, 2) "
+            "AS estimate FROM fd"),
+        # grouped HLL: identical register/estimate arithmetic to
+        # corpus_hll, with every aggregation keyed by the planted host
+        "hll_hosts": (
+            "WITH hx AS (SELECT doc_id % 37 AS host, "
+            + _HEXN_SQL("substr(md5(text), 1, 15)", 15)
+            + " AS h FROM documents WHERE text IS NOT NULL), "
+            "reg AS (SELECT host, "
+            "(h - (h % 4503599627370496)) // 4503599627370496 "
+            "AS bucket, "
+            "least(CASE WHEN h % 4503599627370496 = 0 THEN 53 "
+            "ELSE 53 - length(bin(h % 4503599627370496)) END, 50) "
+            "AS rank FROM hx), "
+            "mx AS (SELECT host, bucket, MAX(rank) AS r FROM reg "
+            "GROUP BY 1, 2), "
+            "fd AS (SELECT host, count(*) AS nz, "
+            "SUM(CAST(pow(2.0, 50 - r) AS BIGINT)) AS ps FROM mx "
+            "GROUP BY 1) "
+            "SELECT host, CAST(256 AS BIGINT) AS m, "
             "CAST(nz AS BIGINT) AS nonzero_registers, "
             "CAST(ps + (256 - nz) * 1125899906842624 AS BIGINT) "
             "AS sum_scaled, "

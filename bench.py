@@ -135,6 +135,7 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             spark, sf_dir),
         "host_pagerank": lambda: entrymod.q_host_pagerank(
             spark, sf_dir),
+        "hll_hosts": lambda: entrymod.q_hll_hosts(spark, sf_dir),
     }
 
 

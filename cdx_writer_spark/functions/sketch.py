@@ -93,3 +93,49 @@ def hll_count(df: DataFrame, col: str) -> DataFrame:
         .alias("nonzero_registers"),
         total.cast("long").alias("sum_scaled"),
         F.round(est, 2).alias("estimate"))
+
+
+def hll_count_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Per-group cardinality estimates — one HLL sketch per ``key``
+    (distinct URLs per host, distinct documents per language...), the
+    GROUPED form of :func:`hll_count` with identical register/estimate
+    arithmetic.
+
+    Scale shape: the register reduction aggregates on (key, bucket) —
+    at most m rows per group survive the map-side partial max, so a
+    host with 10^9 URLs contributes the same ≤256 rows to the shuffle
+    as a host with 10^3 (the mergeable-sketch property doing the skew
+    containment); the per-key fold is then a ≤m-row-per-key
+    aggregation.  Groups whose values are all NULL produce no row
+    (standard GROUP BY semantics).
+    """
+    bucket, rank = hll_register_cols(F.col(col))
+    regs = (df.filter(F.col(col).isNotNull())
+            .select(F.col(key), bucket.alias("bucket"),
+                    rank.alias("rank"))
+            .groupBy(key, "bucket").agg(F.max("rank").alias("r")))
+    folded = regs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), (F.lit(RANK_CAP) - F.col("r"))
+                        .cast("double")).cast("long")),
+            F.lit(0).cast("long"))
+        .alias("present_sum"))
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    total = (F.col("present_sum")
+             + (F.lit(M) - F.col("nonzero_registers"))
+             * F.lit(1 << RANK_CAP).cast("long"))
+    zeros = F.lit(M) - F.col("nonzero_registers")
+    raw = (F.lit(alpha * M * M) * F.lit(float(1 << RANK_CAP))
+           / total.cast("double"))
+    est = F.when((zeros > 0) & (raw <= F.lit(2.5 * M)),
+                 F.lit(float(M)) * F.log(F.lit(float(M))
+                                         / zeros.cast("double"))
+                 ).otherwise(raw)
+    return folded.select(
+        F.col(key),
+        F.lit(M).cast("long").alias("m"),
+        F.col("nonzero_registers").cast("long")
+        .alias("nonzero_registers"),
+        total.cast("long").alias("sum_scaled"),
+        F.round(est, 2).alias("estimate"))

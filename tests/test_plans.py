@@ -369,3 +369,33 @@ def test_cube_is_one_expand_pass(spark):
     assert "Expand" in plan
     assert "Union" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """SCALE.md's bucketing claim, proven: two tables bucketed AND
+    sorted by the join key co-locate — the sort-merge join plans with
+    ZERO Exchange (and zero Sort beyond what the bucket files carry).
+    This is the 100 TB fact⋈fact shape: pay the shuffle once at write
+    time, never per query."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(2000).selectExpr(
+            "id AS k", "id * 2 AS a")
+        b = spark.range(2000).selectExpr(
+            "id AS k", "id * 3 AS b")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+        (a.write.bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / "bkt_a")).saveAsTable("bkt_a"))
+        (b.write.bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / "bkt_b")).saveAsTable("bkt_b"))
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

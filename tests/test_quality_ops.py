@@ -447,3 +447,35 @@ def test_hll_empty_and_all_null_input_estimates_zero(spark):
         assert row["nonzero_registers"] == 0
         assert row["sum_scaled"] == M * (1 << RANK_CAP)
         assert row["estimate"] == 0.0
+
+
+def test_hll_grouped_matches_per_group_ungrouped(spark):
+    """The grouped fold must be exactly the ungrouped sketch run per
+    group — same registers, same estimate, any partitioning."""
+    from cdx_writer_spark.functions import sketch
+    from pyspark.sql import functions as F
+
+    docs = spark.range(6000).selectExpr(
+        "CAST(id % 3 AS LONG) AS g",
+        "concat('v-', CAST(id % (500 * (1 + id % 3)) AS STRING)) AS v")
+    grouped = {r["g"]: r.asDict() for r in
+               sketch.hll_count_grouped(docs, "g", "v").collect()}
+    assert set(grouped) == {0, 1, 2}
+    for g in (0, 1, 2):
+        solo = sketch.hll_count(
+            docs.filter(F.col("g") == g), "v").collect()[0].asDict()
+        want = dict(solo, g=g)
+        assert grouped[g] == want
+    again = {r["g"]: r.asDict() for r in
+             sketch.hll_count_grouped(docs.repartition(17), "g", "v")
+             .collect()}
+    assert again == grouped
+
+
+def test_hll_grouped_all_null_group_emits_no_row(spark):
+    from cdx_writer_spark.functions import sketch
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None)], "g long, v string")
+    rows = sketch.hll_count_grouped(docs, "g", "v").collect()
+    assert [r["g"] for r in rows] == [1]
