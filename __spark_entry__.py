@@ -716,6 +716,24 @@ def q_hll_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hll_count_grouped(docs, "host", "text")
 
 
+def q_cms_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter telemetry: per-host frequency estimates
+    from a 4×256 mergeable sketch (functions/sketch.py: cms_table /
+    cms_estimate) — the bounded-memory hot-host detector a crawl
+    runs where an exact per-key count would shuffle the full key set.
+    md5-salted row hashes make the table portable, so the oracle
+    rebuilds the SAME sketch and the SAME min-read in SQL; at 37
+    planted hosts and width 256 the estimates also equal the exact
+    counts (collision-free), which the oracle's reconstruction
+    confirms value-for-value."""
+    from cdx_writer_spark.functions import sketch
+
+    hosts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 37).cast("string").alias("host"))
+    table = sketch.cms_table(hosts, "host")
+    return sketch.cms_estimate(table, hosts.distinct(), "host")
+
+
 def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-context training-example chunking: 32-token windows every
     24 tokens (8-token overlap), trailing partials kept — the oracle
@@ -1447,6 +1465,76 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (1 h) per event type via Spark's
+    native ``window()`` — the batch twin of the streaming windowed
+    aggregation in streaming.py (same function drives watermarked
+    streams).  Window bounds come back as epoch microseconds
+    (events_sessions convention) so the oracle can re-derive them
+    with pure integer floor arithmetic — a window-alignment bug on
+    either side hash-mismatches.  One exchange on (window, type);
+    map-side partial aggs."""
+    ev = _table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ'1970-01-01 00:00:00', w.start)")
+            .alias("win_start_us"),
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ'1970-01-01 00:00:00', w.end)")
+            .alias("win_end_us"),
+            "event_type", "n_events", "sum_value"))
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase): per
+    user, each stage's timestamp is the first qualifying event AFTER
+    the previous stage completed — strictly sequential, so a
+    click-before-any-view doesn't count.  The engine computes the
+    three stage timestamps with conditional window minima over ONE
+    user_id exchange (three Window projections reuse the same
+    partitioning); the oracle decorrelates differently (per-stage
+    GROUP BY + join chain).  Output is the one-row funnel: users
+    entering each stage.  The stream is thinned to a deterministic
+    event_id slice so stages actually drop users (unfiltered, every
+    synthetic user completes — a saturated funnel can't catch an
+    ordering bug)."""
+    from pyspark.sql.window import Window
+
+    ev = (_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 17 == 0)
+          .select(
+              "user_id", "event_type",
+              F.expr("timestampdiff(MICROSECOND, "
+                     "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+              .alias("us")))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view",
+                               F.col("us"))).over(w))
+        .withColumn(
+            "fc", F.min(F.when((F.col("event_type") == "click")
+                               & (F.col("us") >= F.col("fv")),
+                               F.col("us"))).over(w))
+        .withColumn(
+            "fp", F.min(F.when((F.col("event_type") == "purchase")
+                               & (F.col("us") >= F.col("fc")),
+                               F.col("us"))).over(w)))
+    users = staged.groupBy("user_id").agg(
+        F.min("fv").alias("fv"), F.min("fc").alias("fc"),
+        F.min("fp").alias("fp"))
+    return users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_view_click"),
+        F.count("fp").alias("n_full_funnel"))
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (functions/relational.py): every 'view'
     event gains the latest preceding 'purchase' by the same user —
@@ -1492,6 +1580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "host_pagerank": q_host_pagerank,
         "hll_hosts": q_hll_hosts,
+        "events_tumbling": q_events_tumbling,
+        "events_funnel": q_events_funnel,
+        "cms_hosts": q_cms_hosts,
         "join_revenue_nation": q_join_revenue_nation,
         "orders_exists": q_orders_exists,
         "agg_cube": q_agg_cube,
@@ -2659,6 +2750,24 @@ def oracle_sql() -> dict[str, str]:
             "* 1125899906842624.0 "
             "/ (ps + (256 - nz) * 1125899906842624) END, 2) "
             "AS estimate FROM fd"),
+        # count-min rebuilt in SQL: same md5-salted row hashes, same
+        # depth x width table, same min-over-rows point read
+        "cms_hosts": (
+            "WITH vals AS (SELECT CAST(doc_id % 37 AS VARCHAR) AS v "
+            "FROM documents), "
+            "pr AS (SELECT j, v FROM vals, "
+            "(SELECT unnest([0, 1, 2, 3]) AS j) js), "
+            "hb AS (SELECT j, v, "
+            + _HEXN_SQL(
+                "substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 15)",
+                15)
+            + " % 256 AS bucket FROM pr), "
+            "tab AS (SELECT j, bucket, COUNT(*) AS cnt FROM hb "
+            "GROUP BY 1, 2), "
+            "ib AS (SELECT DISTINCT j, v, bucket FROM hb), "
+            "est AS (SELECT ib.v, MIN(COALESCE(tab.cnt, 0)) AS est "
+            "FROM ib LEFT JOIN tab USING (j, bucket) GROUP BY 1) "
+            "SELECT v AS host, CAST(est AS BIGINT) AS est FROM est"),
         # grouped HLL: identical register/estimate arithmetic to
         # corpus_hll, with every aggregation keyed by the planted host
         "hll_hosts": (
@@ -3192,6 +3301,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(us) - min(us) AS BIGINT) AS duration_us, "
             "round(CAST(sum(value) AS DOUBLE), 4) AS sum_value "
             "FROM sess GROUP BY user_id, session_id"),
+        # tumbling windows re-derived with integer floor arithmetic —
+        # independent of Spark's window() alignment machinery
+        "events_tumbling": (
+            "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
+            "FROM events), "
+            "b AS (SELECT (us // 3600000000) * 3600000000 "
+            "AS win_start_us, event_type, value FROM e) "
+            "SELECT win_start_us, "
+            "win_start_us + 3600000000 AS win_end_us, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "round(SUM(value), 4) AS sum_value "
+            "FROM b GROUP BY win_start_us, event_type"),
+        # ordered funnel decorrelated as a per-stage GROUP BY + join
+        # chain — a different shape than the engine's window minima
+        "events_funnel": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) "
+            "AS us FROM events WHERE event_id % 17 = 0), "
+            "v AS (SELECT user_id, MIN(us) AS fv FROM e "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.us) AS fc FROM e "
+            "JOIN v USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.us >= v.fv GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(e.us) AS fp FROM e "
+            "JOIN c USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.us >= c.fc GROUP BY 1), "
+            "u AS (SELECT DISTINCT user_id FROM e) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view, "
+            "CAST((SELECT COUNT(*) FROM c) AS BIGINT) "
+            "AS n_view_click, "
+            "CAST((SELECT COUNT(*) FROM p) AS BIGINT) "
+            "AS n_full_funnel FROM u"),
         # as-of join: DuckDB's NATIVE ASOF LEFT JOIN (backward,
         # inclusive) — independent of the engine's union-tag window
         "events_asof": (

@@ -139,3 +139,71 @@ def hll_count_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
         .alias("nonzero_registers"),
         total.cast("long").alias("sum_scaled"),
         F.round(est, 2).alias("estimate"))
+
+
+# --- count-min sketch (Cormode & Muthukrishnan 2005) --------------------------
+
+#: count-min defaults: 4 rows x 256 buckets -> eps = e/256 ~ 1% of the
+#: stream length at 98% confidence; bump width for tighter bounds
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(j: int, value: Column, width: int) -> Column:
+    """Row-``j`` bucket for ``value``: md5 of the row-salted string,
+    top 60 bits mod width — portable (md5 + base conversion), no JVM
+    hash opacity, so an oracle reproduces the table bit-for-bit."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{j}:"), value.cast("string"))),
+        1, 15), 16, 10).cast("long")
+    return h % F.lit(width)
+
+
+def cms_table(df: DataFrame, col: str, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Build the count-min table for ``df[col]`` (NULLs ignored):
+    ``(j, bucket, cnt)`` — at most depth×width rows however large the
+    input.  The frequency sketch for crawl-scale heavy-hitter
+    telemetry (hot hosts, hot mime types): counts are additive, so
+    tables from different partitions/days MERGE by summing cnt —
+    the same mergeable-aggregate shape as the HLL registers.
+
+    Scale: one explode (×depth) of a narrow (j, bucket) projection,
+    one groupBy with map-side partial counts; the shuffle carries
+    two small ints per row×depth and collapses to ≤ depth×width rows.
+    """
+    value = F.col(col)
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(j).cast("int").alias("j"),
+                 _cms_bucket(j, value, width).alias("bucket"))
+        for j in range(depth)]))
+    return (df.filter(value.isNotNull())
+            .select(pairs.alias("p"))
+            .select(F.col("p.j").alias("j"),
+                    F.col("p.bucket").alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(table: DataFrame, items: DataFrame, col: str,
+                 depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Point-estimate the frequency of every row of ``items[col]``
+    against a :func:`cms_table`: ``(col, est)`` with the classic
+    min-over-rows read.  Guarantees est ≥ true count (never under),
+    est ≤ true + eps·N w.h.p.  The table is depth×width rows and
+    BROADCAST onto the probe side — the items scan never shuffles."""
+    value = F.col(col)
+    probes = (items.filter(value.isNotNull())
+              .select(value.alias("__v"), F.explode(F.array(*[
+                  F.struct(F.lit(j).cast("int").alias("j"),
+                           _cms_bucket(j, value, width)
+                           .alias("bucket"))
+                  for j in range(depth)])).alias("p"))
+              .select("__v", F.col("p.j").alias("j"),
+                      F.col("p.bucket").alias("bucket")))
+    joined = probes.join(F.broadcast(table), ["j", "bucket"], "left")
+    return (joined.groupBy("__v")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est"))
+            .select(F.col("__v").alias(col), "est"))

@@ -479,3 +479,62 @@ def test_hll_grouped_all_null_group_emits_no_row(spark):
         [(1, "a"), (1, "b"), (2, None)], "g long, v string")
     rows = sketch.hll_count_grouped(docs, "g", "v").collect()
     assert [r["g"] for r in rows] == [1]
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    """Count-min guarantee: est >= true count for EVERY item; with
+    width >> distinct keys the min-read is exact."""
+    from cdx_writer_spark.functions import sketch
+    from pyspark.sql import functions as F
+
+    # skewed stream: key k appears (k+1)^2 times, k in 0..19
+    docs = spark.range(20).selectExpr(
+        "CAST(id AS STRING) AS k", "(id+1)*(id+1) AS n") \
+        .selectExpr("k", "explode(sequence(1, n)) AS _")
+    truth = {r["k"]: r["cnt"] for r in
+             docs.groupBy("k").agg(F.count("*").alias("cnt"))
+             .collect()}
+    table = sketch.cms_table(docs, "k")
+    est = {r["k"]: r["est"] for r in
+           sketch.cms_estimate(table, docs.select("k").distinct(),
+                               "k").collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    # 20 keys into 4x256 buckets: every row has a collision-free cell
+    assert est == truth
+    # absent key reads 0 (all four cells empty) or a small collision
+    ghost = spark.createDataFrame([("zzz-absent",)], "k string")
+    g = sketch.cms_estimate(table, ghost, "k").collect()[0]["est"]
+    assert g == 0
+
+
+def test_cms_tables_merge_by_summing(spark):
+    """Additivity: the sketch of a union equals the cell-wise sum of
+    the parts' sketches — the property that lets per-day/per-partition
+    tables fold into one."""
+    from cdx_writer_spark.functions import sketch
+    from pyspark.sql import functions as F
+
+    a = spark.range(500).selectExpr("CAST(id % 50 AS STRING) AS k")
+    b = spark.range(300).selectExpr("CAST(id % 30 AS STRING) AS k")
+    whole = {(r["j"], r["bucket"]): r["cnt"] for r in
+             sketch.cms_table(a.union(b), "k").collect()}
+    merged = {}
+    for part in (a, b):
+        for r in sketch.cms_table(part, "k").collect():
+            key = (r["j"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    assert whole == merged
+
+
+def test_cms_is_partitioning_invariant_and_bounded(spark):
+    from cdx_writer_spark.functions import sketch
+
+    docs = spark.range(4000).selectExpr(
+        "CAST(id % 333 AS STRING) AS k")
+    t1 = sorted(map(tuple, sketch.cms_table(docs, "k").collect()))
+    t2 = sorted(map(tuple,
+                    sketch.cms_table(docs.repartition(13), "k")
+                    .collect()))
+    assert t1 == t2
+    assert len(t1) <= 4 * 256
