@@ -734,6 +734,22 @@ def q_cms_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_estimate(table, hosts.distinct(), "host")
 
 
+def q_fuzzy_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy matching (functions/fuzzy.py) over the
+    planted host names — the typo-site / off-by-one-id detector
+    token dedup can't see.  The engine bands on md5 deletion
+    neighborhoods (recall-complete at d≤1, FastSS-style) and verifies
+    with native levenshtein; the oracle brute-forces ALL pairs with
+    DuckDB's own levenshtein — so a missed banding candidate or a
+    wrong verify threshold hash-mismatches."""
+    from cdx_writer_spark.functions import fuzzy
+
+    hosts = _docs(spark, sf_dir).select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com")).alias("host"))
+    return fuzzy.edit1_pairs(hosts, "host")
+
+
 def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-context training-example chunking: 32-token windows every
     24 tokens (8-token overlap), trailing partials kept — the oracle
@@ -1535,6 +1551,51 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("fp").alias("n_full_funnel"))
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed k
+    orders, INCLUDING the zero-order customers — which forces a LEFT
+    OUTER join (an inner join silently drops the k=0 bucket, the
+    classic Q13 bug) followed by a second aggregation over the first.
+    Two exchanges total: custkey (join + first count reuse one), then
+    the tiny k-cardinality regroup."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per = (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: for every event, the user's event
+    count and value sum over the PRECEDING HOUR (range frame on epoch
+    microseconds — a row frame can't express 'last hour', the row
+    count varies).  One user_id exchange serves the sort and both
+    frame aggregates; the oracle runs DuckDB's RANGE BETWEEN over the
+    same integer ordering key, so a frame-boundary (inclusivity) bug
+    on either side hash-mismatches.  Thinned to a deterministic
+    event slice to keep bench cost flat."""
+    from pyspark.sql.window import Window
+
+    hour_us = 3_600_000_000
+    ev = (_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 11 == 0)
+          .select(
+              "user_id", "event_id", "value",
+              F.expr("timestampdiff(MICROSECOND, "
+                     "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+              .alias("us")))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-hour_us, 0))
+    return ev.select(
+        "user_id", "event_id", "us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"))
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (functions/relational.py): every 'view'
     event gains the latest preceding 'purchase' by the same user —
@@ -1583,6 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_funnel": q_events_funnel,
         "cms_hosts": q_cms_hosts,
+        "customer_distribution": q_customer_distribution,
+        "events_rolling": q_events_rolling,
+        "fuzzy_hosts": q_fuzzy_hosts,
         "join_revenue_nation": q_join_revenue_nation,
         "orders_exists": q_orders_exists,
         "agg_cube": q_agg_cube,
@@ -2750,6 +2814,15 @@ def oracle_sql() -> dict[str, str]:
             "* 1125899906842624.0 "
             "/ (ps + (256 - nz) * 1125899906842624) END, 2) "
             "AS estimate FROM fd"),
+        # fuzzy pairs brute-forced: DuckDB's own levenshtein over ALL
+        # distinct-name pairs — banding-independent ground truth
+        "fuzzy_hosts": (
+            "WITH nm AS (SELECT DISTINCT 'site' || (doc_id % 37) "
+            "|| '.example.com' AS t FROM documents) "
+            "SELECT a.t AS name_a, b.t AS name_b, "
+            "CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist "
+            "FROM nm a JOIN nm b ON a.t < b.t "
+            "AND levenshtein(a.t, b.t) <= 1"),
         # count-min rebuilt in SQL: same md5-salted row hashes, same
         # depth x width table, same min-over-rows point read
         "cms_hosts": (
@@ -3301,6 +3374,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(us) - min(us) AS BIGINT) AS duration_us, "
             "round(CAST(sum(value) AS DOUBLE), 4) AS sum_value "
             "FROM sess GROUP BY user_id, session_id"),
+        # Q13 shape: the order filter lives in a pre-filtered
+        # relation (NOT the outer WHERE — that would drop the k=0
+        # bucket), mirroring the engine's filter-before-left-join
+        "customer_distribution": (
+            "WITH o AS (SELECT * FROM orders "
+            "WHERE o_orderpriority <> '1-URGENT'), "
+            "per AS (SELECT c_custkey, "
+            "COUNT(o_orderkey) AS n_orders FROM customer "
+            "LEFT JOIN o ON c_custkey = o_custkey GROUP BY 1) "
+            "SELECT CAST(n_orders AS BIGINT) AS n_orders, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM per GROUP BY 1"),
+        # time-RANGE frame re-run natively on the same integer
+        # ordering key — frame inclusivity must agree exactly
+        "events_rolling": (
+            "WITH e AS (SELECT user_id, event_id, value, "
+            "epoch_us(ts) AS us FROM events "
+            "WHERE event_id % 11 = 0) "
+            "SELECT user_id, event_id, us, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour, "
+            "round(SUM(value) OVER w, 4) AS value_last_hour "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
         # tumbling windows re-derived with integer floor arithmetic —
         # independent of Spark's window() alignment machinery
         "events_tumbling": (

@@ -136,6 +136,9 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "host_pagerank": lambda: entrymod.q_host_pagerank(
             spark, sf_dir),
         "hll_hosts": lambda: entrymod.q_hll_hosts(spark, sf_dir),
+        "fuzzy_hosts": lambda: entrymod.q_fuzzy_hosts(spark, sf_dir),
+        "events_rolling": lambda: entrymod.q_events_rolling(
+            spark, sf_dir),
     }
 
 
