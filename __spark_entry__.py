@@ -1625,6 +1625,130 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_value_r").alias("purchase_value"))
 
 
+def q_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (the 100 priciest orders): ``orderBy + limit``
+    compiles to TakeOrderedAndProject — a bounded per-partition heap
+    plus a driver merge of k rows/partition, NOT a global range sort
+    (no rangepartitioning exchange, no full-data sort; plan-tested in
+    tests/test_relational.py).  That is the only global-top-k shape
+    that survives 100 TB: cost is one scan plus k·P merge rows,
+    independent of total order count.  The unique o_orderkey
+    tie-break makes the selected row set deterministic under
+    duplicate prices."""
+    o = _table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+def q_customer_top_orders(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Per-group top-k (each customer's 3 priciest orders) via ONE
+    row_number window.  Catalyst inserts WindowGroupLimit in
+    *partial* mode BEFORE the custkey exchange (plan-tested), so
+    every map task pre-prunes to ≤k rows per key before shuffling —
+    shuffle volume is k·|customers|, not |orders|, the per-group
+    top-k shape that survives 100 TB.  The ordering is made total
+    with the unique orderkey tie-break so both engines select
+    identical rows under duplicate prices."""
+    from pyspark.sql.window import Window
+
+    o = _table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.select("o_custkey", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — 10-minute windows every
+    5 minutes, each event landing in exactly 2 overlapping windows —
+    via Spark's native ``window(ts, '10 minutes', '5 minutes')``:
+    the window assignment expands MAP-SIDE (an Expand of
+    ⌈window/slide⌉ rows per event, no self-join), then ONE exchange
+    on (window, event_type) aggregates; the streaming twin is the
+    same expression under a watermark (streaming.py).  The oracle
+    re-derives both window starts with integer floor arithmetic over
+    an explicit 2-row offset table — independent of Spark's
+    alignment machinery, so an off-by-one-slide bug on either side
+    hash-mismatches."""
+    ev = _table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ'1970-01-01 00:00:00', w.start)")
+            .alias("win_start_us"),
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ'1970-01-01 00:00:00', w.end)")
+            .alias("win_end_us"),
+            "event_type", "n_events", "sum_value"))
+
+
+def q_events_distinct_users(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Exact per-group COUNT(DISTINCT) mixed with plain aggregates in
+    one statement: distinct users, event count and value sum per
+    event type.  Catalyst expands the mixed distinct/non-distinct
+    aggregate into its two-phase Expand + partial/final shape
+    automatically (the (type, user) dedup rides the same exchange as
+    the final agg) — the exact twin of the HLL sketch queries
+    (hll_hosts / corpus_hll), which remain the documented 100 TB
+    default when the exact expansion is too expensive."""
+    ev = _table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical set list
+    {(status), (priority), ()} that neither rollup (hierarchy
+    prefixes) nor cube (full lattice) expresses.  One aggregation
+    pass: Catalyst expands the three sets map-side (no self-union of
+    the base scan), and ``grouping_id()`` keys the NULL-total rows
+    apart from NULL data values.  Completes the rollup / cube /
+    grouping-sets family."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+def q_orders_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking family over ONE exchange: quartile (ntile),
+    percent_rank and cume_dist of each order's price within its
+    priority class — four ranking functions reuse a single
+    (priority)-partitioned sort.  Cross-engine exactness is
+    structural: the unique orderkey tie-break makes the order total
+    (so rank == row_number and every peer group is a singleton), and
+    percent_rank/cume_dist are then the SAME integer ratio
+    (rank−1)/(n−1) and rank/n in both engines — one IEEE division of
+    identical integers, bit-identical without rounding.  Output is
+    thinned to a deterministic orderkey slice AFTER the windows (the
+    frame must see every row)."""
+    from pyspark.sql.window import Window
+
+    o = _table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
+    ranked = o.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+    return ranked.filter(F.col("o_orderkey") % 7 == 0)
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1639,6 +1763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04 CORRECTNESS row (the 5 never-sampled ones, then the 10
     # whose last driver row is r03).
     return {
+        "orders_topk": q_orders_topk,
+        "customer_top_orders": q_customer_top_orders,
+        "events_hopping": q_events_hopping,
+        "events_distinct_users": q_events_distinct_users,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "orders_rank_dist": q_orders_rank_dist,
         "host_pagerank": q_host_pagerank,
         "hll_hosts": q_hll_hosts,
         "events_tumbling": q_events_tumbling,
@@ -3524,6 +3654,63 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"),
         # full grouping-set lattice; GROUPING() bits composed in
         # Spark's grouping_id order (status=bit1, priority=bit0)
+        # global top-k: ORDER BY + LIMIT with the unique-key
+        # tie-break; the engine's TakeOrderedAndProject must select
+        # the identical row set
+        "orders_topk": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+        # per-group top-k decorrelated as a row_number subquery —
+        # independent of Spark's WindowGroupLimit pre-pruning
+        "customer_top_orders": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(rn AS INT) AS rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 3"),
+        # hopping windows re-derived with integer floor arithmetic
+        # over an explicit 2-row slide-offset table — every event is
+        # in exactly the 2 windows starting at (⌊us/slide⌋−k)·slide
+        "events_hopping": (
+            "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us "
+            "FROM events), "
+            "offs AS (SELECT * FROM (VALUES (0), (1)) AS t(k)), "
+            "b AS (SELECT ((us // 300000000) - k) * 300000000 "
+            "AS win_start_us, event_type, value "
+            "FROM e CROSS JOIN offs) "
+            "SELECT win_start_us, "
+            "win_start_us + 600000000 AS win_end_us, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "round(SUM(value), 4) AS sum_value "
+            "FROM b GROUP BY win_start_us, event_type"),
+        "events_distinct_users": (
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "round(SUM(value), 4) AS sum_value "
+            "FROM events GROUP BY event_type"),
+        "agg_grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(GROUPING(o_orderstatus) * 2 "
+            "+ GROUPING(o_orderpriority) AS BIGINT) AS gid, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "round(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders GROUP BY GROUPING SETS "
+            "((o_orderstatus), (o_orderpriority), ())"),
+        # ranking family: the unique tie-break makes rank ==
+        # row_number and the ratios exact integer divisions, so the
+        # doubles compare bit-identically unrounded
+        "orders_rank_dist": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "CAST(quartile AS INT) AS quartile, pct_rank, cume "
+            "FROM (SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "ntile(4) OVER w AS quartile, "
+            "percent_rank() OVER w AS pct_rank, "
+            "cume_dist() OVER w AS cume FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice, o_orderkey)) "
+            "WHERE o_orderkey % 7 = 0"),
         "agg_cube": (
             "SELECT o_orderstatus, o_orderpriority, "
             "CAST(GROUPING(o_orderstatus) * 2 "

@@ -139,6 +139,13 @@ def bench_queries(spark: SparkSession, sf_dir: str):
         "fuzzy_hosts": lambda: entrymod.q_fuzzy_hosts(spark, sf_dir),
         "events_rolling": lambda: entrymod.q_events_rolling(
             spark, sf_dir),
+        "orders_topk": lambda: entrymod.q_orders_topk(spark, sf_dir),
+        "customer_top_orders": lambda: entrymod.q_customer_top_orders(
+            spark, sf_dir),
+        "events_hopping": lambda: entrymod.q_events_hopping(
+            spark, sf_dir),
+        "events_distinct_users": lambda:
+            entrymod.q_events_distinct_users(spark, sf_dir),
     }
 
 
