@@ -51,14 +51,25 @@ def cdx_stream_lines(pages: DataFrame,
 
 def cdx_stream_stats(pages: DataFrame, cfg: CDXConfig | None = None,
                      window: str = "1 hour",
-                     watermark: str = "2 hours") -> DataFrame:
+                     watermark: str = "2 hours",
+                     slide: str | None = None) -> DataFrame:
     """The reference's three counters per event-time window
-    (cdx_writer.py:805-809), watermarked so state is bounded."""
+    (cdx_writer.py:805-809), watermarked so state is bounded.
+
+    ``slide`` switches the tumbling window to a hopping one (the
+    streaming twin of the batch ``events_hopping`` query): each
+    record contributes to window/slide overlapping windows, the
+    assignment expanding map-side exactly as in batch, and the
+    watermark still retires every window whose end falls behind it —
+    state stays bounded at (watermark + window) / slide open windows
+    per key."""
     cfg = cfg or CDXConfig()
     flagged = cdx_flagged(pages, cfg).withWatermark("warc_ts", watermark)
     inc = F.col("admitted") & ~F.col("excluded")
+    win = (F.window("warc_ts", window, slide) if slide
+           else F.window("warc_ts", window))
     return (
-        flagged.groupBy(F.window("warc_ts", window).alias("w"))
+        flagged.groupBy(win.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("num_records_processed"),
             F.sum(F.when(inc, 1).otherwise(0))

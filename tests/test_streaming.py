@@ -156,3 +156,38 @@ def test_corpus_stream_matches_batch_and_is_incremental(spark, tmp_path):
 
     want = sorted(map(tuple, corpus_stream(pages).collect()))
     assert got == want
+
+
+def test_stream_hopping_stats_match_batch_exactly(spark, tmp_path):
+    """Hopping-window streaming twin (cdx_stream_stats(slide=...)):
+    one availableNow drain must equal the batch hopping aggregation
+    per (window_start, counters) — and every record must land in
+    exactly window/slide windows."""
+    land = str(tmp_path / "landing")
+    rows = bulk_rows(300)
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(land)
+    stats = cdx_stream_stats(pages_stream(spark, land),
+                             window="1 hour", slide="30 minutes")
+    q = (stats.writeStream.format("memory").queryName("hop_tbl")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.window_start: (r.num_records_processed,
+                            r.num_records_included,
+                            r.num_records_filtered)
+           for r in spark.sql("select * from hop_tbl").collect()}
+
+    from cdx_writer_spark.job import cdx_flagged
+    inc = F.col("admitted") & ~F.col("excluded")
+    batch = {
+        r["w"]["start"]: (r["p"], r["i"], r["f"])
+        for r in cdx_flagged(
+            spark.createDataFrame(rows, PAGES_SCHEMA), CDXConfig())
+        .groupBy(F.window("warc_ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("p"),
+             F.sum(F.when(inc, 1).otherwise(0)).alias("i"),
+             F.sum(F.when(F.col("excluded"), 1).otherwise(0))
+             .alias("f"))
+        .collect()}
+    assert got == batch
+    # every record in exactly 2 windows (window/slide = 2)
+    assert sum(p for p, _, _ in got.values()) == 2 * len(rows)
