@@ -1749,6 +1749,49 @@ def q_orders_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("o_orderkey") % 7 == 0)
 
 
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many events of each type
+    are active at every boundary instant, with each event occupying
+    the half-open interval [ts, ts + a deterministic duration).  The
+    engine explodes each interval to its ±1 boundary deltas MAP-SIDE,
+    pre-aggregates deltas per (type, instant), then runs
+    ``relational.prefix_sum`` — the two-level bucket decomposition
+    whose working exchanges are (type, hour-bucket) and whose only
+    per-type serial structure is ONE ROW PER BUCKET, never a
+    data-sized single-partition window (the naive
+    ``partitionBy(event_type)`` running sum collapses 1/5th of 100 TB
+    into one task; see the operator docstring).  The oracle IS that
+    naive single window in DuckDB — a decomposition seam (offset
+    off-by-one-bucket, tie handling) hash-mismatches.  Thinned to a
+    deterministic event slice; boundary instants stay integral µs."""
+    from cdx_writer_spark.functions import relational
+
+    ev = (_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 3 == 0)
+          .select(
+              "event_type",
+              F.expr("timestampdiff(MICROSECOND, "
+                     "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+              .alias("us"),
+              ((F.col("event_id") % 7 + 1) * 60_000_000)
+              .alias("dur")))
+    deltas = (ev.select(
+        "event_type",
+        F.explode(F.array(
+            F.struct(F.col("us").alias("t"),
+                     F.lit(1).alias("d")),
+            F.struct((F.col("us") + F.col("dur")).alias("t"),
+                     F.lit(-1).alias("d")))).alias("x"))
+        .select("event_type", F.col("x.t").alias("us"),
+                F.col("x.d").alias("delta")))
+    agg = (deltas.groupBy("event_type", "us")
+           .agg(F.sum("delta").alias("delta")))
+    out = relational.prefix_sum(
+        agg, "event_type", "us", "delta", out_col="n_active",
+        bucket_width=3_600_000_000)
+    return out.select("event_type", "us", "delta", "n_active")
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1763,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04 CORRECTNESS row (the 5 never-sampled ones, then the 10
     # whose last driver row is r03).
     return {
+        "events_concurrency": q_events_concurrency,
         "orders_topk": q_orders_topk,
         "customer_top_orders": q_customer_top_orders,
         "events_hopping": q_events_hopping,
@@ -3654,6 +3698,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"),
         # full grouping-set lattice; GROUPING() bits composed in
         # Spark's grouping_id order (status=bit1, priority=bit0)
+        # sweep-line concurrency: the oracle is the NAIVE
+        # single-window running sum the engine's two-level
+        # decomposition must reproduce exactly
+        "events_concurrency": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) AS us, "
+            "(event_id % 7 + 1) * 60000000 AS dur FROM events "
+            "WHERE event_id % 3 = 0), "
+            "d AS (SELECT event_type, us, 1 AS delta FROM e "
+            "UNION ALL "
+            "SELECT event_type, us + dur, -1 FROM e), "
+            "a AS (SELECT event_type, us, "
+            "CAST(SUM(delta) AS BIGINT) AS delta FROM d "
+            "GROUP BY event_type, us) "
+            "SELECT event_type, us, delta, "
+            "CAST(SUM(delta) OVER (PARTITION BY event_type "
+            "ORDER BY us) AS BIGINT) AS n_active FROM a"),
         # global top-k: ORDER BY + LIMIT with the unique-key
         # tie-break; the engine's TakeOrderedAndProject must select
         # the identical row set

@@ -146,6 +146,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             spark, sf_dir),
         "events_distinct_users": lambda:
             entrymod.q_events_distinct_users(spark, sf_dir),
+        "events_concurrency": lambda:
+            entrymod.q_events_concurrency(spark, sf_dir),
     }
 
 

@@ -10,7 +10,11 @@ Currently:
   DuckDB/kdb/pandas ``merge_asof`` semantics, backward direction,
   inclusive);
 * the **range join** — point-in-interval containment via fixed-width
-  bucketization (see :func:`range_join`).
+  bucketization (see :func:`range_join`);
+* the **distributed prefix sum** — running totals without a
+  data-sized single-partition window, via the two-level bucket
+  decomposition (see :func:`prefix_sum`; powers sweep-line interval
+  concurrency).
 
 As-of scale shape: the naive formulations are a non-equi join (a
 Catalyst BroadcastNestedLoop/cartesian at worst) or a per-key
@@ -147,3 +151,51 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
         F.col("__s").alias(start_col + suffix),
         F.col("__e").alias(end_col + suffix),
         *[F.col(c + suffix) for c in payload])
+
+
+def prefix_sum(df: DataFrame, part_col: str, order_col: str,
+               val_col: str, out_col: str = "running_total",
+               bucket_width: int = 3_600_000_000) -> DataFrame:
+    """Distributed running total: for every row, the sum of
+    ``val_col`` over all same-``part_col`` rows with
+    ``order_col' <= order_col`` (ties ordered by ``order_col`` are
+    summed together before ranking, so the result is well-defined —
+    callers wanting per-row running sums at duplicate keys should
+    pre-aggregate, as q_events_concurrency does).
+
+    Scale shape: the naive ``Window.partitionBy(part).orderBy(ord)``
+    puts EVERY row of a partition key through one task — with few
+    distinct keys (event types, hosts ranked by tier, a global
+    total) that is a single-reducer collapse at 100 TB.  This is the
+    classic two-level scan decomposition instead:
+
+    1. rows land in fixed-width ``order_col`` buckets — the working
+       exchange is (part, bucket), bounded by the bucket width, and
+       AQE can split hot buckets;
+    2. per-(part, bucket) totals (one narrow partial agg) feed a
+       window over BUCKET COUNT rows — thousands, not billions — to
+       produce each bucket's exclusive offset;
+    3. the tiny offset table broadcast-joins back and a within-bucket
+       window (bounded by bucket population) adds the local running
+       sum to the offset.
+
+    No data-sized single partition anywhere; the only per-key serial
+    structure is one row per bucket.  ``order_col`` must be integral
+    (epoch µs by convention)."""
+    from pyspark.sql.window import Window
+
+    w = F.lit(int(bucket_width)).cast("long")
+    b = df.withColumn("__b", F.floor(F.col(order_col).cast("long") / w))
+    tot = b.groupBy(part_col, "__b").agg(F.sum(val_col).alias("__t"))
+    w_off = (Window.partitionBy(part_col).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = tot.select(
+        part_col, "__b",
+        F.coalesce(F.sum("__t").over(w_off),
+                   F.lit(0).cast("long")).alias("__off"))
+    w_in = (Window.partitionBy(part_col, "__b").orderBy(order_col)
+            .rangeBetween(Window.unboundedPreceding, 0))
+    return (b.join(F.broadcast(off), [part_col, "__b"])
+            .withColumn(out_col,
+                        F.sum(val_col).over(w_in) + F.col("__off"))
+            .drop("__b", "__off"))

@@ -160,3 +160,76 @@ def test_range_join_plan_no_nested_loop_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+# --- distributed prefix sum -----------------------------------------------------
+
+from cdx_writer_spark.functions.relational import prefix_sum
+
+
+def test_prefix_sum_matches_naive_window_any_bucket_width(spark):
+    import random
+
+    from pyspark.sql.window import Window
+    rng = random.Random(11)
+    rows = [(rng.randrange(3), rng.randrange(1000),
+             rng.randrange(-5, 6)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    # pre-aggregate duplicates (the operator's documented contract)
+    agg = df.groupBy("k", "t").agg(F.sum("v").alias("v"))
+    naive = (Window.partitionBy("k").orderBy("t")
+             .rangeBetween(Window.unboundedPreceding, 0))
+    want = sorted(
+        (r["k"], r["t"], r["rt"]) for r in
+        agg.select("k", "t", F.sum("v").over(naive).alias("rt"))
+        .collect())
+    for width in (1, 16, 100, 10**9):
+        got = sorted(
+            (r["k"], r["t"], r["running_total"]) for r in
+            prefix_sum(agg, "k", "t", "v", bucket_width=width)
+            .collect())
+        assert got == want, f"width={width}"
+
+
+def test_prefix_sum_plan_bounded_windows_broadcast_offsets(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("t"),
+        F.lit(1).alias("v"))
+    plan = prefix_sum(df, "k", "t", "v", bucket_width=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the offset table joins back via BROADCAST, not a shuffle
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") == 1
+    # exactly two windows: bucket offsets (bucket-count rows) and
+    # the within-bucket local sum — neither spans a whole key
+    assert plan.count("Window [") == 2
+    data_side, offsets_side = plan.split("BroadcastExchange", 1)
+    # the DATA-side window partitions by (k, __b) and orders by t —
+    # never by the key alone (that would be the single-task collapse)
+    assert re.search(
+        r"windowspecdefinition\(k#\d+L?, __b#\d+L?, t#", data_side)
+    # the offsets window lives BELOW the broadcast, consumes the
+    # (k, __b) bucket-total aggregate, and uses the exclusive
+    # RowFrame(-1) — one row per bucket, not per data row
+    assert "Window [" in offsets_side
+    assert "unboundedpreceding$(), -1)" in offsets_side
+    assert "HashAggregate(keys=[k#" in offsets_side
+    assert "Python" not in plan
+
+
+def test_events_concurrency_invariants(spark):
+    import __spark_entry__ as entrymod
+    out = entrymod.q_events_concurrency(
+        spark, "/root/testdata/sf0.001").cache()
+    # concurrency never negative, and every type drains to zero at
+    # its last boundary (sum of all deltas is zero by construction)
+    assert out.filter(F.col("n_active") < 0).count() == 0
+    from pyspark.sql.window import Window
+    last = (out.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.desc("us")))).filter(F.col("rn") == 1))
+    assert last.filter(F.col("n_active") != 0).count() == 0
+    out.unpersist()
