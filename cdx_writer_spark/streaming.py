@@ -174,7 +174,8 @@ def run_politeness_stream(spark: SparkSession, input_dir: str,
 
 # --- streaming corpus ingestion: extract -> quality -> append ---------------
 
-def corpus_stream(pages: DataFrame, min_words: int = 50) -> DataFrame:
+def corpus_stream(pages: DataFrame, min_words: int = 50,
+                  dedup_within: str | None = None) -> DataFrame:
     """Streaming training-corpus ingestion: the per-document hygiene
     stages that need NO cross-document state — HTML→text extraction,
     Gopher rule admission, PII scrub with detection counts — run
@@ -187,11 +188,25 @@ def corpus_stream(pages: DataFrame, min_words: int = 50) -> DataFrame:
     table is exactly the stage boundary a production pipeline
     recomputes them from (micro-batching a global dedup would
     silently miss cross-batch duplicates).
-    """
+
+    ``dedup_within`` (an interval string, e.g. ``"30 days"``) turns
+    on the one streaming dedup that IS bounded-state by construction:
+    ``dropDuplicatesWithinWatermark`` on the page url under a
+    ``warc_ts`` watermark.  That's recrawl suppression — a url
+    refetched within the horizon is dropped across micro-batches and
+    across checkpointed restarts, state is evicted once the watermark
+    passes a url's last sighting, and the state size is bounded by
+    urls-per-horizon instead of the crawl's full history.  It
+    complements (never replaces) the batch global dedup above —
+    duplicates farther apart than the horizon still land and are
+    caught by the batch stage."""
     from .functions import extract as extractmod
     from .functions import pii as piimod
     from .functions import textstats as textstatsmod
 
+    if dedup_within is not None:
+        pages = (pages.withWatermark("warc_ts", dedup_within)
+                 .dropDuplicatesWithinWatermark(["url"]))
     ext = extractmod.extract_text(pages).filter(
         F.col("text").isNotNull())
     # quality measures with text riding the projection: joining the
@@ -211,12 +226,14 @@ def corpus_stream(pages: DataFrame, min_words: int = 50) -> DataFrame:
 
 def run_corpus_stream(spark: SparkSession, input_dir: str,
                       out_dir: str, checkpoint_dir: str,
-                      min_words: int = 50) -> None:
+                      min_words: int = 50,
+                      dedup_within: str | None = None) -> None:
     """Drain the pages landing dir once (availableNow) into the clean
     corpus parquet, exactly-once via the checkpoint; rerun after new
     WARC-derived files land to process only the delta."""
     clean = corpus_stream(pages_stream(spark, input_dir),
-                          min_words=min_words)
+                          min_words=min_words,
+                          dedup_within=dedup_within)
     q = (
         clean.writeStream.format("parquet")
         .option("path", out_dir)

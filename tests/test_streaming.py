@@ -191,3 +191,39 @@ def test_stream_hopping_stats_match_batch_exactly(spark, tmp_path):
     assert got == batch
     # every record in exactly 2 windows (window/slide = 2)
     assert sum(p for p, _, _ in got.values()) == 2 * len(rows)
+
+
+def test_corpus_stream_dedup_within_watermark(spark, tmp_path):
+    """Recrawl suppression (corpus_stream(dedup_within=...)): a url
+    refetched within the watermark horizon is dropped — within one
+    drain AND across checkpointed drains — and the surviving output
+    equals the batch pipeline over the unique pages."""
+    from cdx_writer_spark.streaming import (
+        corpus_stream, run_corpus_stream,
+    )
+    from cdx_writer_spark.webview import pages_from_documents
+
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    # every url fetched twice in the same landing
+    pages.write.mode("append").parquet(land)
+    pages.write.mode("append").parquet(land)
+    run_corpus_stream(spark, land, out, ckpt, dedup_within="90 days")
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert n_first > 0
+    assert first.select("url").distinct().count() == n_first
+
+    # the same urls land AGAIN (a later recrawl within the horizon):
+    # the checkpointed state must drop all of them on the next drain
+    pages.write.mode("append").parquet(land)
+    run_corpus_stream(spark, land, out, ckpt, dedup_within="90 days")
+    assert spark.read.parquet(out).count() == n_first
+
+    # survivors == batch pipeline over the unique pages
+    batch = corpus_stream(pages.dropDuplicates(["url"])).select("url")
+    assert (sorted(r.url for r in spark.read.parquet(out)
+                   .select("url").collect())
+            == sorted(r.url for r in batch.collect()))
