@@ -1792,6 +1792,31 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "us", "delta", "n_active")
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting (functions/graph.py: triangle_count)
+    over a deterministic derived webgraph — the clustering-coefficient
+    primitive for link-graph analysis (host communities, link-farm
+    detection for crawl prioritization).  The engine runs the
+    degree-ordered orientation (per-node oriented out-degree bounded
+    by ~sqrt(2m), so hub wedges never explode); the oracle is the
+    plain id-ordered three-way self-join — a DIFFERENT triangle
+    enumeration order, but both key each triangle by its id-minimum
+    corner, so the per-node counts must match exactly."""
+    from cdx_writer_spark.functions import graph
+
+    docs = _table(spark, sf_dir, "documents")
+    raw = (docs.select(
+        F.expr("doc_id % 257").alias("a"),
+        F.expr("(doc_id div 7) % 257").alias("b"))
+        .unionAll(docs.select(
+            F.expr("(doc_id div 3) % 257").alias("a"),
+            F.expr("(doc_id div 11) % 257").alias("b")))
+        .unionAll(docs.select(
+            F.expr("(doc_id div 5) % 257").alias("a"),
+            F.expr("(doc_id div 13) % 257").alias("b"))))
+    return graph.triangle_count(raw, "a", "b")
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1806,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04 CORRECTNESS row (the 5 never-sampled ones, then the 10
     # whose last driver row is r03).
     return {
+        "host_triangles": q_host_triangles,
         "events_concurrency": q_events_concurrency,
         "orders_topk": q_orders_topk,
         "customer_top_orders": q_customer_top_orders,
@@ -3698,6 +3724,27 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"),
         # full grouping-set lattice; GROUPING() bits composed in
         # Spark's grouping_id order (status=bit1, priority=bit0)
+        # triangles: id-ordered three-way self-join — a different
+        # enumeration than the engine's degree orientation, same
+        # id-minimum triangle key
+        "host_triangles": (
+            "WITH raw AS ("
+            "SELECT doc_id % 257 AS a, (doc_id // 7) % 257 AS b "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT (doc_id // 3) % 257, (doc_id // 11) % 257 "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT (doc_id // 5) % 257, (doc_id // 13) % 257 "
+            "FROM documents), "
+            "e AS (SELECT DISTINCT LEAST(a, b) AS u, "
+            "GREATEST(a, b) AS v FROM raw WHERE a <> b) "
+            "SELECT e1.u AS node, "
+            "CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM e e1 "
+            "JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v "
+            "GROUP BY e1.u"),
         # sweep-line concurrency: the oracle is the NAIVE
         # single-window running sum the engine's two-level
         # decomposition must reproduce exactly

@@ -148,6 +148,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_events_distinct_users(spark, sf_dir),
         "events_concurrency": lambda:
             entrymod.q_events_concurrency(spark, sf_dir),
+        "host_triangles": lambda:
+            entrymod.q_host_triangles(spark, sf_dir),
     }
 
 

@@ -148,3 +148,67 @@ def pagerank_exact(edges: DataFrame, src: str = "src",
     out = ranks
     _release(static_ids)
     return out
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact triangle counting over an undirected edge list, keyed by
+    each triangle's smallest node id: returns ``(node, n_triangles)``
+    — one row per node that is the id-minimum of at least one
+    triangle (the sum over rows is the graph's triangle count, each
+    triangle counted exactly once).
+
+    Scale shape — the degree-ordered orientation (the standard
+    compact-forward/MapReduce trick, e.g. Suri & Vassilvitskii WWW'11
+    and Cohen's MapReduce curriculum): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, so every
+    node's OUT-degree is bounded by ~sqrt(2m) regardless of its real
+    degree.  Wedge generation (the only superlinear stage) is then a
+    self-join on the oriented source whose per-key fan-out is that
+    bounded out-degree squared — a 10^8-degree hub contributes
+    wedges from its tiny oriented out-list, not C(10^8, 2).  The
+    closing check is one equi-join of wedges against oriented edges.
+    Two shuffles total beyond the degree computation; no Python, no
+    broadcast of anything data-sized.
+
+    Every triangle is generated exactly once (its (degree, id)-rank
+    ordering is total), and the output key is id-based (``least`` of
+    the three corners), so the result is independent of the internal
+    orientation — an id-ordered oracle can check it even though the
+    engine orients by degree.
+
+    Self-loops are dropped; parallel/reversed duplicate edges
+    collapse via the canonical (min, max) form."""
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient low-(degree, id) -> high-(degree, id)
+    annotated = e.join(du, "u").join(dv, "v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = annotated.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"))
+    # wedges s -> (t1, t2): both higher-rank than s; order the pair
+    # by plain id so each unordered pair appears once
+    o1 = oriented.select("s", F.col("t").alias("t1"))
+    o2 = oriented.select("s", F.col("t").alias("t2"))
+    wedges = (o1.join(o2, "s")
+              .filter(F.col("t1") < F.col("t2")))
+    # close the wedge: the (t1, t2) edge exists — probe the canonical
+    # (min-id, max-id) edge list directly (t1 < t2 already)
+    closer = e.select(F.col("u").alias("c1"), F.col("v").alias("c2"))
+    tri = wedges.join(
+        closer, (F.col("t1") == F.col("c1"))
+        & (F.col("t2") == F.col("c2")))
+    return (tri.select(F.least("s", "t1", "t2").alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

@@ -125,3 +125,62 @@ def test_iteration_zero_and_one(spark, iterations):
     edges = [(1, 2), (2, 3)]
     got = _run(spark, edges, iterations=iterations)
     assert got == _py_pagerank(edges, iterations=iterations)
+
+
+# --- triangle counting ----------------------------------------------------------
+
+from itertools import combinations
+
+from cdx_writer_spark.functions.graph import triangle_count
+
+
+def _py_triangles(edges):
+    """Brute-force: per id-minimum node, count of triangles."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    out = {}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in es and (x, z) in es and (y, z) in es):
+            out[x] = out.get(x, 0) + 1
+    return out
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["n_triangles"]
+            for r in triangle_count(df).collect()}
+
+
+def test_triangles_match_brute_force_random(spark):
+    import random
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(30), rng.randrange(30))
+             for _ in range(160)]
+    assert _tri(spark, edges) == _py_triangles(edges)
+
+
+def test_triangles_duplicates_loops_reversed_collapse(spark):
+    # one triangle stated with every kind of redundancy
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3),
+             (1, 1), (4, 4), (3, 4)]
+    assert _tri(spark, edges) == {1: 1}
+
+
+def test_triangles_hub_star_has_none(spark):
+    # a pure star (hub + leaves, no leaf-leaf edges): zero triangles,
+    # and the degree orientation keeps the hub's oriented out-list
+    # EMPTY (every edge points leaf -> hub), so wedge fan-out at the
+    # hub is zero — the skew-containment property itself
+    edges = [(0, i) for i in range(1, 40)]
+    assert _tri(spark, edges) == {}
+
+
+def test_triangles_complete_graph(spark):
+    n = 9
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    got = _tri(spark, edges)
+    # node x is the minimum of C(n-1-x, 2) triangles
+    want = {x: (n - 1 - x) * (n - 2 - x) // 2 for x in range(n - 2)}
+    assert got == want
+    assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
