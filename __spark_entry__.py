@@ -1817,6 +1817,50 @@ def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(raw, "a", "b")
 
 
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS (functions/graph.py: bfs_depths) over a
+    deterministic derived webgraph — the "depth" half of the north
+    star's "host-rank + depth" frontier priority key, derived from
+    the observed link graph.  The engine expands the frontier one
+    level per round (per-round join probe = last round's NEW nodes
+    only); the oracle is a DuckDB recursive CTE closing the same
+    bounded walk — a completely different evaluation strategy, but
+    min-hop-distance is a pure function of (edges, seeds, bound), so
+    the two must agree row-for-row."""
+    from cdx_writer_spark.functions import graph
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = (docs.select(
+        F.expr("doc_id % 257").alias("src"),
+        F.expr("(doc_id div 7) % 257").alias("dst"))
+        .unionAll(docs.select(
+            F.expr("(doc_id div 3) % 257").alias("src"),
+            F.expr("(doc_id div 11) % 257").alias("dst"))))
+    seeds = (docs.filter("doc_id % 100 = 0")
+             .select(F.expr("doc_id % 257").alias("node")))
+    return graph.bfs_depths(edges, seeds, max_depth=3)
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS (functions/graph.py: hits_exact) over a
+    deterministic derived webgraph — hub/authority scores for
+    link-farm detection and crawl prioritization.  Every operation is
+    integer arithmetic in the documented order (raw sum → scaled
+    integer-division normalize, alternating sides), so the DuckDB
+    oracle unrolls both iterations relationally and the BIGINT scores
+    must match bit-for-bit."""
+    from cdx_writer_spark.functions import graph
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = (docs.select(
+        F.expr("doc_id % 61").alias("src"),
+        F.expr("(doc_id div 7) % 61").alias("dst"))
+        .unionAll(docs.select(
+            F.expr("(doc_id div 3) % 61").alias("src"),
+            F.expr("(doc_id div 11) % 61").alias("dst"))))
+    return graph.hits_exact(edges, iterations=2)
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1831,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04 CORRECTNESS row (the 5 never-sampled ones, then the 10
     # whose last driver row is r03).
     return {
+        "crawl_depth": q_crawl_depth,
+        "host_hits": q_host_hits,
         "host_triangles": q_host_triangles,
         "events_concurrency": q_events_concurrency,
         "orders_topk": q_orders_topk,
@@ -3727,6 +3773,76 @@ def oracle_sql() -> dict[str, str]:
         # triangles: id-ordered three-way self-join — a different
         # enumeration than the engine's degree orientation, same
         # id-minimum triangle key
+        # bounded min-hop BFS re-derived as a recursive CTE: the
+        # walk enumerates (node, depth) pairs up to the bound, MIN
+        # collapses them — evaluation order shares nothing with the
+        # engine's level-synchronous expansion
+        "crawl_depth": (
+            "WITH RECURSIVE raw AS ("
+            "SELECT doc_id % 257 AS src, (doc_id // 7) % 257 AS dst "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT (doc_id // 3) % 257, (doc_id // 11) % 257 "
+            "FROM documents), "
+            "e AS (SELECT DISTINCT src, dst FROM raw "
+            "WHERE src <> dst), "
+            "seeds AS (SELECT DISTINCT doc_id % 257 AS node "
+            "FROM documents WHERE doc_id % 100 = 0), "
+            "walk(node, depth) AS ("
+            "SELECT node, 0 FROM seeds "
+            "UNION "
+            "SELECT e.dst, walk.depth + 1 FROM walk "
+            "JOIN e ON e.src = walk.node WHERE walk.depth < 3) "
+            "SELECT node, CAST(MIN(depth) AS INT) AS depth "
+            "FROM walk GROUP BY node"),
+        # integer-exact HITS, 2 iterations unrolled relationally;
+        # every normalization is (raw * scale) // total in the SAME
+        # order as the engine spec (functions/graph.py: hits_exact),
+        # so the BIGINT scores must match bit-for-bit
+        "host_hits": (
+            "WITH raw AS ("
+            "SELECT doc_id % 61 AS src, (doc_id // 7) % 61 AS dst "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT (doc_id // 3) % 61, (doc_id // 11) % 61 "
+            "FROM documents), "
+            "e AS (SELECT DISTINCT src, dst FROM raw "
+            "WHERE src <> dst), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e "
+            "UNION SELECT DISTINCT dst FROM e), "
+            "c AS (SELECT COUNT(*) AS n FROM nodes), "
+            "h0 AS (SELECT node, 1048576 // n AS s FROM nodes, c), "
+            "ra1 AS (SELECT n2.node, "
+            "COALESCE(SUM(h0.s), 0) AS s FROM nodes n2 "
+            "LEFT JOIN e ON e.dst = n2.node "
+            "LEFT JOIN h0 ON h0.node = e.src GROUP BY n2.node), "
+            "ta1 AS (SELECT SUM(s) AS t FROM ra1), "
+            "a1 AS (SELECT node, CASE WHEN t > 0 THEN "
+            "(s * 1048576) // t ELSE 0 END AS s FROM ra1, ta1), "
+            "rh1 AS (SELECT n2.node, "
+            "COALESCE(SUM(a1.s), 0) AS s FROM nodes n2 "
+            "LEFT JOIN e ON e.src = n2.node "
+            "LEFT JOIN a1 ON a1.node = e.dst GROUP BY n2.node), "
+            "th1 AS (SELECT SUM(s) AS t FROM rh1), "
+            "h1 AS (SELECT node, CASE WHEN t > 0 THEN "
+            "(s * 1048576) // t ELSE 0 END AS s FROM rh1, th1), "
+            "ra2 AS (SELECT n2.node, "
+            "COALESCE(SUM(h1.s), 0) AS s FROM nodes n2 "
+            "LEFT JOIN e ON e.dst = n2.node "
+            "LEFT JOIN h1 ON h1.node = e.src GROUP BY n2.node), "
+            "ta2 AS (SELECT SUM(s) AS t FROM ra2), "
+            "a2 AS (SELECT node, CASE WHEN t > 0 THEN "
+            "(s * 1048576) // t ELSE 0 END AS s FROM ra2, ta2), "
+            "rh2 AS (SELECT n2.node, "
+            "COALESCE(SUM(a2.s), 0) AS s FROM nodes n2 "
+            "LEFT JOIN e ON e.src = n2.node "
+            "LEFT JOIN a2 ON a2.node = e.dst GROUP BY n2.node), "
+            "th2 AS (SELECT SUM(s) AS t FROM rh2), "
+            "h2 AS (SELECT node, CASE WHEN t > 0 THEN "
+            "(s * 1048576) // t ELSE 0 END AS s FROM rh2, th2) "
+            "SELECT h2.node, CAST(h2.s AS BIGINT) AS hub, "
+            "CAST(a2.s AS BIGINT) AS authority "
+            "FROM h2 JOIN a2 ON a2.node = h2.node"),
         "host_triangles": (
             "WITH raw AS ("
             "SELECT doc_id % 257 AS a, (doc_id // 7) % 257 AS b "

@@ -150,6 +150,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_events_concurrency(spark, sf_dir),
         "host_triangles": lambda:
             entrymod.q_host_triangles(spark, sf_dir),
+        "crawl_depth": lambda:
+            entrymod.q_crawl_depth(spark, sf_dir),
+        "host_hits": lambda:
+            entrymod.q_host_hits(spark, sf_dir),
     }
 
 

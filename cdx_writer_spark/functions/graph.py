@@ -212,3 +212,206 @@ def triangle_count(edges: DataFrame, src: str = "src",
     return (tri.select(F.least("s", "t1", "t2").alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame,
+               src: str = "src", dst: str = "dst",
+               node: str = "node", max_depth: int = 3) -> DataFrame:
+    """Minimum hop distance from a seed set over a DIRECTED edge
+    list, bounded at ``max_depth`` — the "depth" half of the
+    north star's "host-rank + depth" frontier priority key, derived
+    from the observed link graph instead of trusted from crawl
+    bookkeeping.  Returns ``(node, depth)`` with one row per node
+    reachable within ``max_depth`` hops (seeds at depth 0); nodes
+    reached at several depths appear ONCE at their minimum.
+
+    Scale shape — level-synchronous frontier expansion (the standard
+    Pregel/BSP BFS):
+
+    * Each round is ONE equi-join of the CURRENT frontier (only the
+      nodes first reached last round, never the whole visited set)
+      against the static edge list, ONE distinct, and ONE anti-join
+      against the visited set — all shuffles keyed on node id, no
+      broadcast of anything data-sized.
+    * The visited set grows monotonically but each round's join
+      probe side is the new frontier only, so per-round cost tracks
+      the expansion wavefront, not the accumulated result — the
+      property that makes BFS feasible on a 10^10-node webgraph.
+    * Rounds ``localCheckpoint`` eagerly and release the previous
+      round's blocks (same discipline as :func:`pagerank_exact`);
+      plan depth stays one round deep at any ``max_depth``.  Early
+      exit on an exhausted frontier via a 1-row count.
+
+    The result is a pure function of (edge set, seed set,
+    max_depth) — set semantics end-to-end, no floats — so a
+    recursive-CTE oracle can check it hash-for-hash."""
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("d"))
+         .filter(F.col("s") != F.col("d"))
+         .distinct())
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids) -> None:
+        reg = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            ref = reg.get(i)
+            if ref is not None:
+                ref.unpersist(False)
+
+    seen = _persistent_ids()
+    e = e.localCheckpoint(eager=True)
+    static_ids = _persistent_ids() - seen
+
+    seen = _persistent_ids()
+    visited = (seeds.select(F.col(node).cast("long").alias("node"))
+               .distinct()
+               .select("node", F.lit(0).cast("int").alias("depth"))
+               .localCheckpoint(eager=True))
+    frontier = visited
+    cur_ids = _persistent_ids() - seen
+
+    for depth in range(1, int(max_depth) + 1):
+        nxt = (frontier.join(
+            e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).cast("int").alias("depth")))
+        seen = _persistent_ids()
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        new_ids = _persistent_ids() - seen
+        _release(cur_ids)
+        frontier, cur_ids = nxt, new_ids
+        if nxt.limit(1).count() == 0:
+            break
+
+    _release(static_ids)
+    return visited
+
+
+def hits_exact(edges: DataFrame, src: str = "src", dst: str = "dst",
+               iterations: int = 2, scale: int = 1 << 20) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over a directed edge list:
+    returns ``(node, hub, authority)`` BIGINT scores, each a share of
+    ``scale`` after sum-normalization.  Like :func:`pagerank_exact`,
+    every operation is integer arithmetic in a documented order, so
+    the fixpoint is a pure function of the edge SET — reproducible
+    across engines, partitionings and summation orders, which is what
+    lets link-farm/hub detection feed crawl priorities without
+    schedule flap.
+
+    The spec (an oracle must follow it operation-for-operation):
+
+    * nodes = distinct endpoints after dropping self-loops/dup edges
+    * ``h0 = scale div n`` for every node
+    * per iteration, in this order:
+      - raw authority ``a(v) = Σ h(u)`` over in-edges ``u→v``
+        (0 when none)
+      - normalize: ``a'(v) = (a(v) * scale) div Σa``  (Σa over all
+        nodes; skip when Σa = 0)
+      - raw hub ``h(u) = Σ a'(v)`` over out-edges ``u→v`` (0 when
+        none)
+      - normalize: ``h'(u) = (h(u) * scale) div Σh``
+
+    Overflow bound: raw sums never exceed ``m·scale`` (m = |edges|)
+    and the widest intermediate is ``raw · scale`` ≤ ``m·scale²`` —
+    under 2**63 for the default ``scale`` = 2**20 up to m ≈ 8·10^6
+    per normalization GROUP; at larger m lower ``scale`` or swap the
+    normalizer to a two-step div (documented, not needed at bench
+    scale).
+
+    Scale shape: per iteration TWO equi-joins of the static edge list
+    with a ``(node, score)`` int64 frame and TWO aggregations — the
+    canonical HITS cost; the normalizing sums are 1-row aggregates
+    broadcast back via ``crossJoin`` (never collected into the plan).
+    Iterations ``localCheckpoint`` eagerly with the same
+    release-previous-round discipline as :func:`pagerank_exact`."""
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("d"))
+         .filter(F.col("s") != F.col("d"))
+         .distinct())
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node")))
+             .distinct())
+
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids) -> None:
+        reg = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            ref = reg.get(i)
+            if ref is not None:
+                ref.unpersist(False)
+
+    seen = _persistent_ids()
+    nodes = nodes.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
+    static_ids = _persistent_ids() - seen
+
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("authority"))
+    init = scale // n
+
+    hubs = nodes.select(
+        "node", F.lit(init).cast("long").alias("score"))
+    auths = nodes.select(
+        "node", F.lit(0).cast("long").alias("score"))
+    seen = _persistent_ids()
+    hubs = hubs.localCheckpoint(eager=True)
+    auths = auths.localCheckpoint(eager=True)
+    cur_ids = _persistent_ids() - seen
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        total = raw.agg(
+            F.coalesce(F.sum("score"), F.lit(0)).alias("__t"))
+        return (raw.crossJoin(F.broadcast(total))
+                .select("node", F.when(
+                    F.col("__t") > 0,
+                    F.expr(f"(score * {scale}) div __t"))
+                    .otherwise(F.lit(0))
+                    .cast("long").alias("score")))
+
+    for _ in range(int(iterations)):
+        raw_a = (e.join(hubs.select(F.col("node").alias("s"),
+                                    "score"), "s")
+                 .groupBy(F.col("d").alias("node"))
+                 .agg(F.sum("score").alias("__raw")))
+        a_new = _normalize(
+            nodes.join(raw_a, "node", "left")
+            .select("node", F.coalesce("__raw", F.lit(0))
+                    .cast("long").alias("score")))
+        seen = _persistent_ids()
+        a_new = a_new.localCheckpoint(eager=True)
+        a_ids = _persistent_ids() - seen
+        raw_h = (e.join(a_new.select(F.col("node").alias("d"),
+                                     "score"), "d")
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.sum("score").alias("__raw")))
+        h_new = _normalize(
+            nodes.join(raw_h, "node", "left")
+            .select("node", F.coalesce("__raw", F.lit(0))
+                    .cast("long").alias("score")))
+        seen = _persistent_ids()
+        h_new = h_new.localCheckpoint(eager=True)
+        h_ids = _persistent_ids() - seen
+        _release(cur_ids)
+        hubs, auths, cur_ids = h_new, a_new, a_ids | h_ids
+
+    out = (hubs.select("node", F.col("score").alias("hub"))
+           .join(auths.select("node",
+                              F.col("score").alias("authority")),
+                 "node"))
+    _release(static_ids)
+    return out

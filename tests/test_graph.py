@@ -184,3 +184,150 @@ def test_triangles_complete_graph(spark):
     want = {x: (n - 1 - x) * (n - 2 - x) // 2 for x in range(n - 2)}
     assert got == want
     assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+
+
+# --- bfs_depths ---------------------------------------------------------------
+
+def _py_bfs(edges, seeds, max_depth=3):
+    eset = {(s, d) for s, d in edges if s != d}
+    adj = {}
+    for s, d in eset:
+        adj.setdefault(s, set()).add(d)
+    depth = {v: 0 for v in set(seeds)}
+    frontier = set(seeds)
+    for lvl in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= depth.keys()
+        for v in nxt:
+            depth[v] = lvl
+        frontier = nxt
+        if not frontier:
+            break
+    return depth
+
+
+def _run_bfs(spark, edges, seeds, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    out = graph.bfs_depths(e, s, **kw)
+    return {r["node"]: r["depth"] for r in out.collect()}
+
+
+def test_bfs_matches_python_reference_on_random_graph(spark):
+    import random
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60))
+             for _ in range(150)]
+    seeds = [0, 7, 13]
+    for md in (1, 3, 5):
+        assert _run_bfs(spark, edges, seeds, max_depth=md) == \
+            _py_bfs(edges, seeds, max_depth=md)
+
+
+def test_bfs_min_depth_wins_on_diamond(spark):
+    # 0->1->3 and 0->3: node 3 must report depth 1, not 2
+    edges = [(0, 1), (1, 3), (0, 3), (3, 4)]
+    got = _run_bfs(spark, edges, [0], max_depth=4)
+    assert got == {0: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_bfs_early_exit_and_unreachable(spark):
+    # component {0,1} exhausts at depth 1; {8,9} never reached
+    edges = [(0, 1), (8, 9)]
+    got = _run_bfs(spark, edges, [0], max_depth=10)
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_directionality(spark):
+    # edges point INTO the seed: nothing is reachable
+    edges = [(1, 0), (2, 0)]
+    got = _run_bfs(spark, edges, [0], max_depth=3)
+    assert got == {0: 0}
+
+
+def test_bfs_partitioning_invariance(spark):
+    import random
+    rng = random.Random(3)
+    edges = [(rng.randrange(30), rng.randrange(30))
+             for _ in range(80)]
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = e1.repartition(13)
+    s = spark.createDataFrame([(0,), (5,)], "node long")
+    r1 = sorted(map(tuple, graph.bfs_depths(e1, s).collect()))
+    r2 = sorted(map(tuple, graph.bfs_depths(e2, s).collect()))
+    assert r1 == r2
+
+
+# --- hits_exact ---------------------------------------------------------------
+
+def _py_hits(edges, iterations=2, scale=1 << 20):
+    eset = {(s, d) for s, d in edges if s != d}
+    nodes = sorted({s for s, _ in eset} | {d for _, d in eset})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    init = scale // n
+    h = {v: init for v in nodes}
+    a = {v: 0 for v in nodes}
+
+    def norm(x):
+        t = sum(x.values())
+        if t <= 0:
+            return {v: 0 for v in x}
+        return {v: (x[v] * scale) // t for v in x}
+
+    for _ in range(iterations):
+        raw_a = {v: 0 for v in nodes}
+        for s, d in eset:
+            raw_a[d] += h[s]
+        a = norm(raw_a)
+        raw_h = {v: 0 for v in nodes}
+        for s, d in eset:
+            raw_h[s] += a[d]
+        h = norm(raw_h)
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def _run_hits(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.hits_exact(df, **kw)
+    return {r["node"]: (r["hub"], r["authority"]) for r in out.collect()}
+
+
+def test_hits_matches_python_reference_on_random_graph(spark):
+    import random
+    rng = random.Random(5)
+    edges = [(rng.randrange(40), rng.randrange(40))
+             for _ in range(120)]
+    for it in (1, 2, 4):
+        assert _run_hits(spark, edges, iterations=it) == \
+            _py_hits(edges, iterations=it)
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    # 0 links to 1..4 (pure hub); 1..4 all link to 9 (pure authority
+    # fed by spokes).  0's hub score must dominate every spoke's,
+    # and 9's authority must dominate everything.
+    edges = [(0, i) for i in range(1, 5)] + [(i, 9) for i in range(1, 5)]
+    got = _run_hits(spark, edges, iterations=3)
+    assert got == _py_hits(edges, iterations=3)
+    hubs = {v: h for v, (h, _) in got.items()}
+    auths = {v: a for v, (_, a) in got.items()}
+    assert hubs[0] == max(hubs.values())
+    assert auths[9] == max(auths.values())
+    assert auths[0] == 0          # nothing links to 0
+    assert hubs[9] == 0           # 9 links to nothing
+
+
+def test_hits_partitioning_invariance(spark):
+    import random
+    rng = random.Random(17)
+    edges = [(rng.randrange(25), rng.randrange(25))
+             for _ in range(70)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r1 = sorted(map(tuple, graph.hits_exact(df).collect()))
+    r2 = sorted(map(tuple,
+                    graph.hits_exact(df.repartition(11)).collect()))
+    assert r1 == r2
