@@ -1861,6 +1861,104 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.hits_exact(edges, iterations=2)
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (frontier/links.py:
+    extract_anchor_texts) — per-target mention counts, referring-doc
+    counts, and a deterministic representative anchor, over HTML with
+    PLANTED labeled links (absolute shared-target, root-relative with
+    collapsible whitespace, an empty-anchor duplicate on every 3rd
+    doc, a mailto: drop — all from doc_id arithmetic).  The engine
+    runs the two-group regexp + the extract_links resolution CASE +
+    whitespace normalization; the oracle re-derives every (link,
+    anchor) row ARITHMETICALLY (the collapsed anchor text is
+    constructed directly, so a normalization bug could not
+    hash-match)."""
+    from cdx_writer_spark.frontier import links
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = (d % 37).cast("string")
+    p7 = (d % 7).cast("string")
+    p13 = (d % 13).cast("string")
+    html = F.concat(
+        F.lit('<a href="http://peer'), p7, F.lit(".example.org/page"),
+        p13, F.lit('">Peer '), p13, F.lit("</a>"),
+        F.lit('<a href="/local/'), (d % 5).cast("string"),
+        F.lit('">  local \t '), (d % 5).cast("string"),
+        F.lit(" </a>"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit('<a href="http://peer'), p7,
+            F.lit(".example.org/page"), p13, F.lit('"></a>')))
+        .otherwise(F.lit("")),
+        F.lit('<a href="mailto:x@y.example">mail</a>'))
+    pages = docs.select(
+        "doc_id", html.alias("html"),
+        F.concat(F.lit("http://site"), h,
+                 F.lit(".example.com/dir/page"), ds,
+                 F.lit(".html")).alias("url"))
+    edges = links.extract_anchor_texts(pages)
+    return edges.groupBy("link").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.when(F.col("anchor") != "", F.col("anchor")))
+        .alias("top_anchor"))
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ``<loc>`` extraction (frontier/links.py:
+    extract_sitemap_urls) — the crawl's second discovery channel —
+    over PLANTED sitemap XML on every 4th doc (two valid locs, one of
+    them whitespace-padded, one exact duplicate, one ftp: entry the
+    protocol's absolute-http(s) rule drops; other docs carry
+    loc-free HTML).  The oracle re-derives the surviving (doc, loc)
+    rows arithmetically."""
+    from cdx_writer_spark.frontier import links
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = (d % 37).cast("string")
+    xml = F.when(d % 4 == 0, F.concat(
+        F.lit("<urlset><url><loc>http://site"), h,
+        F.lit(".example.com/p"), ds, F.lit("</loc></url>"),
+        F.lit("<url><loc>  http://site"), h,
+        F.lit(".example.com/q"), ds, F.lit("  </loc></url>"),
+        F.lit("<url><loc>http://site"), h,
+        F.lit(".example.com/p"), ds, F.lit("</loc></url>"),
+        F.lit("<url><loc>ftp://site"), h,
+        F.lit(".example.com/bad</loc></url></urlset>")))\
+        .otherwise(F.lit("<html>no sitemap here</html>"))
+    return links.extract_sitemap_urls(
+        docs.select("doc_id", xml.alias("html")))
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap template mining (frontier/links.py: url_templates)
+    — per-(host, template) URL counts with digit runs collapsed, the
+    pre-crawl heuristic that exposes calendars/session-ids/paginated
+    listings so a scheduler can cap per-pattern budget.  URLs are
+    planted in 3 shapes from doc_id arithmetic; the oracle maps each
+    shape straight to its expected template string (no regex), so an
+    engine collapse bug could not hash-match."""
+    from cdx_writer_spark.frontier import links
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = (d % 37).cast("string")
+    url = F.concat(
+        F.lit("http://site"), h, F.lit(".example.com"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("/article/"), ds, F.lit("/view?page="),
+            (d % 11).cast("string")))
+        .when(d % 3 == 1, F.concat(
+            F.lit("/cat"), (d % 5).cast("string"),
+            F.lit("/item"), ds, F.lit(".html")))
+        .otherwise(F.lit("/static/style.css")))
+    return links.url_templates(docs.select(url.alias("url")))
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1877,6 +1975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
+        "anchor_text": q_anchor_text,
+        "sitemap_urls": q_sitemap_urls,
+        "url_templates": q_url_templates,
         "host_triangles": q_host_triangles,
         "events_concurrency": q_events_concurrency,
         "orders_topk": q_orders_topk,
@@ -3773,6 +3874,55 @@ def oracle_sql() -> dict[str, str]:
         # triangles: id-ordered three-way self-join — a different
         # enumeration than the engine's degree orientation, same
         # id-minimum triangle key
+        # anchor-text aggregation: every (link, anchor) row is
+        # re-derived arithmetically — the collapsed anchor strings
+        # are constructed directly, the resolution cases mapped by
+        # shape — then aggregated per target
+        "anchor_text": (
+            "WITH rows AS ("
+            "SELECT doc_id, "
+            "'http://peer' || (doc_id % 7) || '.example.org/page' "
+            "|| (doc_id % 13) AS link, "
+            "'Peer ' || (doc_id % 13) AS anchor FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, "
+            "'http://site' || (doc_id % 37) || '.example.com/local/' "
+            "|| (doc_id % 5), 'local ' || (doc_id % 5) "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, "
+            "'http://peer' || (doc_id % 7) || '.example.org/page' "
+            "|| (doc_id % 13), '' FROM documents "
+            "WHERE doc_id % 3 = 0) "
+            "SELECT link, CAST(COUNT(*) AS BIGINT) AS n_mentions, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "MIN(CASE WHEN anchor <> '' THEN anchor END) "
+            "AS top_anchor "
+            "FROM rows GROUP BY link"),
+        # sitemap <loc> extraction: the surviving rows (trimmed,
+        # per-doc deduped, ftp: dropped) re-derived arithmetically
+        "sitemap_urls": (
+            "WITH s AS (SELECT doc_id, doc_id % 37 AS h "
+            "FROM documents WHERE doc_id % 4 = 0) "
+            "SELECT doc_id, 'http://site' || h || '.example.com/p' "
+            "|| doc_id AS loc FROM s "
+            "UNION ALL "
+            "SELECT doc_id, 'http://site' || h || '.example.com/q' "
+            "|| doc_id FROM s"),
+        # crawl-trap templates: each planted URL shape maps straight
+        # to its expected template string — no regex in the oracle,
+        # so an engine digit-collapse bug could not hash-match
+        "url_templates": (
+            "WITH u AS (SELECT "
+            "'site' || (doc_id % 37) || '.example.com' AS host, "
+            "CASE doc_id % 3 "
+            "WHEN 0 THEN '/article/{n}/view?page={n}' "
+            "WHEN 1 THEN '/cat{n}/item{n}.html' "
+            "ELSE '/static/style.css' END AS template "
+            "FROM documents) "
+            "SELECT host, template, "
+            "CAST(COUNT(*) AS BIGINT) AS n_urls "
+            "FROM u GROUP BY host, template"),
         # bounded min-hop BFS re-derived as a recursive CTE: the
         # walk enumerates (node, depth) pairs up to the bound, MIN
         # collapses them — evaluation order shares nothing with the

@@ -154,6 +154,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_crawl_depth(spark, sf_dir),
         "host_hits": lambda:
             entrymod.q_host_hits(spark, sf_dir),
+        "anchor_text": lambda:
+            entrymod.q_anchor_text(spark, sf_dir),
+        "url_templates": lambda:
+            entrymod.q_url_templates(spark, sf_dir),
     }
 
 

@@ -126,3 +126,105 @@ def extract_links(pages: DataFrame, id_col: str = "doc_id",
         lambda x: x.isNotNull()))
     return pages.select(
         F.col(id_col), F.explode(resolved).alias("link"))
+
+
+#: (href, anchor text) pairs — double-quoted hrefs with tag-free
+#: anchor content, the anchor-text subset (single-quoted/unquoted
+#: hrefs are still DISCOVERED by extract_links; this pattern only
+#: bounds which links also carry usable text)
+ANCHOR_PATTERN = (r'(?i)<a[ \t\n\r](?:[^>]*[ \t\n\r])?href='
+                  r'"([^"]*)"[^>]*>([^<]*)</a>')
+
+#: <loc> entries in a sitemap document (sitemaps.org protocol);
+#: whitespace inside the element is trimmed per the XML data model
+SITEMAP_LOC_PATTERN = r"<loc>([^<]*)</loc>"
+
+
+def extract_anchor_texts(pages: DataFrame, id_col: str = "doc_id",
+                         html_col: str = "html",
+                         base_col: str = "url") -> DataFrame:
+    """(id, link, anchor) rows from the pages table — the anchor-text
+    edge stage of a web pipeline (anchor text is the classic external
+    document description: it feeds ranking, link-spam detection, and
+    query-independent summaries).  ``anchor`` is the tag-free inner
+    text with ASCII whitespace collapsed and trimmed; ``link`` is the
+    href resolved exactly like :func:`extract_links` (same base
+    override, same scheme guard), so the edge set here is a labeled
+    subset of that operator's output.
+
+    Scale shape: all-native Catalyst — two ``regexp_extract_all``
+    group projections zipped per row, resolution CASE, one explode.
+    No Python, no shuffle; embarrassingly parallel at any corpus
+    size.  Downstream per-target aggregation is the caller's ONE
+    (link)-keyed exchange."""
+    html = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "ISO-8859-1")
+    base = effective_base_col(html, F.col(base_col))
+    hv = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 1)
+    tv = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 2)
+    pairs = pages.select(
+        F.col(id_col), base.alias("__base"),
+        F.explode(F.arrays_zip(hv.alias("h"), tv.alias("t")))
+        .alias("__p"))
+    return (pairs.select(
+        F.col(id_col),
+        resolve_link_col(F.col("__p.h"), F.col("__base"))
+        .alias("link"),
+        F.trim(F.regexp_replace(F.col("__p.t"), r"[ \t\n\r]+", " "))
+        .alias("anchor"))
+        .filter(F.col("link").isNotNull()))
+
+
+def extract_sitemap_urls(pages: DataFrame, id_col: str = "doc_id",
+                         xml_col: str = "html") -> DataFrame:
+    """(id, loc) rows from sitemap XML documents (sitemaps.org
+    protocol) — the crawl's OTHER discovery channel next to anchor
+    edges: robots.txt ``Sitemap:`` directives point at these files
+    and a scheduler seeds its frontier from them.  Only absolute
+    http(s) ``<loc>`` values survive (the protocol requires absolute
+    URLs; anything else is a malformed entry a crawler must drop).
+    Values are trimmed, and deduplicated per document.
+
+    Scale shape: one ``regexp_extract_all`` + per-row
+    dedup/filter inside the array, one explode — no Python, no
+    shuffle (the same embarrassingly-parallel shape as
+    :func:`extract_links`)."""
+    xml = F.col(xml_col)
+    if dict(pages.dtypes).get(xml_col) == "binary":
+        xml = F.decode(xml, "ISO-8859-1")
+    locs = F.regexp_extract_all(xml, F.lit(SITEMAP_LOC_PATTERN), 1)
+    cleaned = F.array_distinct(F.filter(
+        F.transform(locs, lambda v: F.trim(v)),
+        lambda v: F.lower(v).rlike(r"^https?://")))
+    return pages.select(
+        F.col(id_col), F.explode(cleaned).alias("loc"))
+
+
+def url_template_col(url: Column) -> Column:
+    """A URL's crawl-trap template: the path+query with every decimal
+    digit run collapsed to ``{n}``.  Calendar pages, session ids,
+    paginated listings and other infinite URL spaces collapse to one
+    template each, so a per-(host, template) count exposes them —
+    the standard pre-crawl heuristic for bounding per-pattern budget
+    (a real scheduler caps fetches per exploding template)."""
+    origin = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    path = F.regexp_extract(url, r"^https?://[^/]+(/.*)?$", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.struct(
+        origin.alias("host"),
+        F.regexp_replace(path, r"[0-9]+", "{n}").alias("template"))
+
+
+def url_templates(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-(host, template) URL counts over a frontier/corpus URL
+    column — see :func:`url_template_col`.  ONE native projection +
+    ONE (host, template)-keyed aggregation with map-side partials;
+    output cardinality is the number of distinct page-generator
+    patterns, orders of magnitude below the URL count, so the
+    exchange is tiny at any corpus size."""
+    t = url_template_col(F.col(url_col))
+    return (urls.select(t.alias("t"))
+            .groupBy(F.col("t.host").alias("host"),
+                     F.col("t.template").alias("template"))
+            .agg(F.count(F.lit(1)).alias("n_urls")))

@@ -138,3 +138,97 @@ def test_data_href_is_not_an_outlink(spark):
          '<a data-href="/x" href="/real">a</a>')])
     assert 1 not in got
     assert got[2] == {"http://h.example.com/real"}
+
+
+# --- extract_anchor_texts ------------------------------------------------------
+
+def _anchors(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, html string")
+    out = links.extract_anchor_texts(df)
+    return sorted((r["doc_id"], r["link"], r["anchor"])
+                  for r in out.collect())
+
+
+def test_anchor_text_whitespace_collapse_and_resolution(spark):
+    html = ('<a href="http://a.example/x">  Hello \t\n World </a>'
+            '<a href="/local/5">loc</a>')
+    got = _anchors(spark, [(1, "http://h.example.com/d/p.html", html)])
+    assert got == [
+        (1, "http://a.example/x", "Hello World"),
+        (1, "http://h.example.com/local/5", "loc"),
+    ]
+
+
+def test_anchor_text_empty_anchor_kept_scheme_guard_applies(spark):
+    html = ('<a href="http://a.example/x"></a>'
+            '<a href="mailto:x@y.example">mail</a>'
+            '<a href="#frag">frag</a>')
+    got = _anchors(spark, [(1, "http://h.example.com/", html)])
+    # the empty-anchor edge survives (link discovery), the
+    # mailto/fragment targets are dropped exactly like extract_links
+    assert got == [(1, "http://a.example/x", "")]
+
+
+def test_anchor_text_base_href_override(spark):
+    html = ('<base href="http://b.example.net/bdir/">'
+            '<a href="rel/x">R</a>')
+    got = _anchors(spark, [(1, "http://h.example.com/d/", html)])
+    assert got == [(1, "http://b.example.net/bdir/rel/x", "R")]
+
+
+def test_anchor_text_nested_tag_content_not_captured(spark):
+    # anchor content with nested tags is outside the documented
+    # subset: the link itself is still discovered by extract_links
+    html = '<a href="/x"><b>bold</b></a><a href="/y">plain</a>'
+    got = _anchors(spark, [(1, "http://h.example.com/", html)])
+    assert got == [(1, "http://h.example.com/y", "plain")]
+    df = spark.createDataFrame(
+        [(1, "http://h.example.com/", html)],
+        "doc_id long, url string, html string")
+    found = {r["link"] for r in links.extract_links(df).collect()}
+    assert found == {"http://h.example.com/x",
+                     "http://h.example.com/y"}
+
+
+# --- extract_sitemap_urls ------------------------------------------------------
+
+def test_sitemap_trim_dedup_and_scheme_filter(spark):
+    xml = ("<urlset><url><loc> http://a.example/p1 </loc></url>"
+           "<url><loc>http://a.example/p1</loc></url>"
+           "<url><loc>HTTPS://a.example/p2</loc></url>"
+           "<url><loc>ftp://a.example/bad</loc></url>"
+           "<url><loc>relative/nope</loc></url></urlset>")
+    df = spark.createDataFrame([(1, xml)], "doc_id long, html string")
+    got = sorted(r["loc"] for r in
+                 links.extract_sitemap_urls(df).collect())
+    assert got == ["HTTPS://a.example/p2", "http://a.example/p1"]
+
+
+def test_sitemap_binary_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, b"<urlset><loc>http://a.example/x</loc></urlset>"),
+         (2, b"<html>not a sitemap</html>")],
+        "doc_id long, html binary")
+    got = [(r["doc_id"], r["loc"]) for r in
+           links.extract_sitemap_urls(df).collect()]
+    assert got == [(1, "http://a.example/x")]
+
+
+# --- url_templates -------------------------------------------------------------
+
+def test_url_templates_collapse_digit_runs(spark):
+    rows = [("http://h.example/a/123/view?id=77",),
+            ("http://h.example/a/9/view?id=8",),
+            ("http://h.example/static/css",),
+            ("http://h.example",),
+            ("https://h2.example/cal/2026/08/20",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = {(r["host"], r["template"]): r["n_urls"]
+           for r in links.url_templates(df).collect()}
+    assert got == {
+        ("h.example", "/a/{n}/view?id={n}"): 2,
+        ("h.example", "/static/css"): 1,
+        ("h.example", "/"): 1,
+        ("h2.example", "/cal/{n}/{n}/{n}"): 1,
+    }
