@@ -1959,6 +1959,34 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links.url_templates(docs.select(url.alias("url")))
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (functions/textstats.py: inverted_index)
+    over the REAL corpus text: per-(term, doc) posting rows with
+    occurrence count and 1-based first position.  One posexplode +
+    one (term, doc) partial-agg'd exchange; the oracle re-derives
+    positions by 1-based list indexing over an unnested range —
+    different mechanics, same posting rows."""
+    from cdx_writer_spark.functions import textstats
+
+    docs = _table(spark, sf_dir, "documents")
+    return textstats.inverted_index(docs)
+
+
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed term co-occurrence counts (functions/textstats.py:
+    term_cooccurrence) over the real corpus text — the raw counts
+    behind PMI/collocation mining.  The engine generates pairs
+    INSIDE the token array (no positions self-join, nothing
+    data-sized exchanged beyond the aggregated pair rows); the
+    oracle enumerates the identical pairs WITH a positions
+    self-join, so the two evaluation strategies must agree count
+    for count."""
+    from cdx_writer_spark.functions import textstats
+
+    docs = _table(spark, sf_dir, "documents")
+    return textstats.term_cooccurrence(docs, window=2)
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1978,6 +2006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "sitemap_urls": q_sitemap_urls,
         "url_templates": q_url_templates,
+        "inverted_index": q_inverted_index,
+        "term_cooccurrence": q_term_cooccurrence,
         "host_triangles": q_host_triangles,
         "events_concurrency": q_events_concurrency,
         "orders_topk": q_orders_topk,
@@ -3874,6 +3904,32 @@ def oracle_sql() -> dict[str, str]:
         # triangles: id-ordered three-way self-join — a different
         # enumeration than the engine's degree orientation, same
         # id-minimum triangle key
+        # inverted index: positions re-derived by 1-based list
+        # indexing over an unnested range (the engine posexplodes)
+        "inverted_index": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "p AS (SELECT doc_id, i AS pos, w[i] AS term "
+            "FROM tk, unnest(range(1, len(w) + 1)) AS t(i)) "
+            "SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, "
+            "CAST(MIN(pos) AS INT) AS first_pos "
+            "FROM p GROUP BY term, doc_id"),
+        # co-occurrence: the oracle enumerates pairs with a positions
+        # SELF-JOIN — the engine generates them inside the token
+        # array with no join at all
+        "term_cooccurrence": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "p AS (SELECT doc_id, i AS pos, w[i] AS term "
+            "FROM tk, unnest(range(1, len(w) + 1)) AS t(i)) "
+            "SELECT least(p1.term, p2.term) AS term_a, "
+            "greatest(p1.term, p2.term) AS term_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cooc "
+            "FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id "
+            "AND p2.pos > p1.pos AND p2.pos <= p1.pos + 2 "
+            "GROUP BY term_a, term_b"),
         # anchor-text aggregation: every (link, anchor) row is
         # re-derived arithmetically — the collapsed anchor strings
         # are constructed directly, the resolution cases mapped by

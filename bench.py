@@ -158,6 +158,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_anchor_text(spark, sf_dir),
         "url_templates": lambda:
             entrymod.q_url_templates(spark, sf_dir),
+        "inverted_index": lambda:
+            entrymod.q_inverted_index(spark, sf_dir),
+        "term_cooccurrence": lambda:
+            entrymod.q_term_cooccurrence(spark, sf_dir),
     }
 
 

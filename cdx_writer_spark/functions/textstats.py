@@ -415,3 +415,67 @@ def tfidf_top_terms(docs, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
                     F.col("df").cast("long").alias("df"), "tfidf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def inverted_index(docs, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Posting rows of an inverted index over lowercased whitespace
+    tokens: ``(term, doc_id, tf, first_pos)`` — the build stage of a
+    search index over the corpus (written term-bucketed, these rows
+    ARE the index: a term's postings co-locate in one bucket).
+    ``tf`` is the in-document occurrence count; ``first_pos`` the
+    1-based position of the first occurrence (the classic
+    early-occurrence ranking boost).
+
+    Scale shape: one ``posexplode`` (map-side, behind the Generate
+    barrier) + ONE (term, doc) aggregation with map-side partial
+    counts — the only exchange carries (term, doc_id) pairs.  At
+    10^10 docs the same plan holds; the write should bucket by term
+    so query-time lookups prune to one bucket."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    t = docs.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("pos", "term"))
+    return (t.groupBy("term", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 (F.min("pos") + 1).cast("int").alias("first_pos")))
+
+
+def term_cooccurrence(docs, window: int = 2, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Co-occurrence counts of lowercased token pairs within a
+    forward window of ``window`` positions: ``(term_a, term_b,
+    n_cooc)`` with the pair canonicalized lexicographically
+    (term_a <= term_b) — the raw counts behind PMI association
+    scores, query suggestion, and collocation mining.
+
+    Scale shape: pairs are generated INSIDE the token array per row
+    (nested transform over bounded forward offsets — cost L*window
+    per doc), then exploded and aggregated once; there is NO
+    positions self-join, so nothing data-sized is exchanged except
+    the final (term_a, term_b) partial-agg'd count rows.  An oracle
+    can enumerate the same pairs with a positions self-join — a
+    completely different evaluation strategy."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+
+    def pairs_of(w: Column) -> Column:
+        n = F.size(w)
+        inner = lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + int(window), n - 1)),
+            lambda j: F.struct(
+                F.least(F.element_at(w, i + 1),
+                        F.element_at(w, j + 1)).alias("a"),
+                F.greatest(F.element_at(w, i + 1),
+                           F.element_at(w, j + 1)).alias("b")))
+        return F.when(n >= 2, F.flatten(
+            F.transform(F.sequence(F.lit(0), n - 2), inner)))\
+            .otherwise(F.array().cast(
+                "array<struct<a:string,b:string>>"))
+
+    from cdx_writer_spark.functions.dedup import bind_once
+
+    p = docs.select(
+        F.explode(bind_once(toks, pairs_of)).alias("p"))
+    return (p.groupBy(F.col("p.a").alias("term_a"),
+                      F.col("p.b").alias("term_b"))
+            .agg(F.count(F.lit(1)).alias("n_cooc")))

@@ -538,3 +538,59 @@ def test_cms_is_partitioning_invariant_and_bounded(spark):
                     .collect()))
     assert t1 == t2
     assert len(t1) <= 4 * 256
+
+
+# --- inverted_index / term_cooccurrence ----------------------------------------
+
+def test_inverted_index_tf_and_first_pos(spark):
+    from cdx_writer_spark.functions import textstats as ts
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat"), (2, "one"), (3, "a b a")],
+        "doc_id long, text string")
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["first_pos"])
+           for r in ts.inverted_index(df).collect()}
+    assert got[("the", 1)] == (2, 1)      # lowercased, 1-based
+    assert got[("mat", 1)] == (1, 6)
+    assert got[("a", 3)] == (2, 1)
+    assert got[("one", 2)] == (1, 1)
+    assert len(got) == 8
+
+
+def _py_cooc(texts, window=2):
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        w = t.lower().split()
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + window, len(w) - 1) + 1):
+                c[tuple(sorted((w[i], w[j])))] += 1
+    return dict(c)
+
+
+def test_cooccurrence_matches_python_reference(spark):
+    import random
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 12)))
+             for _ in range(40)]
+    texts = [t for t in texts if t]       # empty text -> [''] token;
+    # the synthetic corpus never carries empty docs and the oracle
+    # mirrors the engine either way
+    from cdx_writer_spark.functions import textstats as ts
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    for win in (1, 2, 4):
+        got = {(r["term_a"], r["term_b"]): r["n_cooc"]
+               for r in ts.term_cooccurrence(df, window=win).collect()}
+        assert got == _py_cooc(texts, window=win)
+
+
+def test_cooccurrence_single_token_and_repeat(spark):
+    from cdx_writer_spark.functions import textstats as ts
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "x x")], "doc_id long, text string")
+    got = {(r["term_a"], r["term_b"]): r["n_cooc"]
+           for r in ts.term_cooccurrence(df).collect()}
+    assert got == {("x", "x"): 1}
