@@ -1987,6 +1987,60 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.term_cooccurrence(docs, window=2)
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion stratified sampling (functions/sampling.py:
+    stratified_sample) per language over the real corpus — the
+    hold-out/ablation carve a training build runs after hygiene.
+    Within each lang stratum the kept set is the first
+    ceil(n/10) rows by (md5 key, id) order; the oracle runs the
+    identical spec (md5 hex and lexicographic compare agree across
+    engines), so the sample must match row-for-row including ranks
+    and stratum sizes."""
+    from cdx_writer_spark.functions import sampling
+
+    docs = _table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", rate_num=1, rate_den=10, salt="r5")
+
+
+def q_corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free threshold sampling (functions/sampling.py:
+    hash_sample) — the 10^10-row tier: keep a row iff the first 4
+    hex digits of its salted md5 compare below 6554/65536 (≈10%).
+    A pure projection (map-only at any scale); the oracle applies
+    the identical predicate."""
+    from cdx_writer_spark.functions import sampling
+
+    docs = _table(spark, sf_dir, "documents")
+    return sampling.hash_sample(
+        docs, rate_num=6554, salt="r5h").select(
+        "doc_id", "lang", "n_chars")
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt ``Sitemap:`` directive extraction
+    (frontier/links.py: extract_robots_sitemaps) — the wiring from
+    the robots cache to the sitemap discovery channel — over PLANTED
+    robots bodies on every 2nd doc (mixed-case field names, a
+    relative value the absolute-http(s) rule drops; other docs carry
+    directive-free robots text).  The oracle re-derives the
+    surviving (doc, sitemap) rows arithmetically."""
+    from cdx_writer_spark.frontier import links
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = (d % 37).cast("string")
+    body = F.when(d % 2 == 0, F.concat(
+        F.lit("User-agent: *\nDisallow: /p\nSitemap: http://site"),
+        h, F.lit(".example.com/sitemap"), (d % 3).cast("string"),
+        F.lit(".xml\n  sitemap:\thttps://cdn"),
+        (d % 5).cast("string"),
+        F.lit(".example.net/idx.xml\nSitemap: /rel.xml\n")))\
+        .otherwise(F.lit("User-agent: *\nAllow: /\n"))
+    return links.extract_robots_sitemaps(
+        docs.select("doc_id", body.alias("text")))
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2008,6 +2062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "inverted_index": q_inverted_index,
         "term_cooccurrence": q_term_cooccurrence,
+        "corpus_sample": q_corpus_sample,
+        "corpus_sample_hash": q_corpus_sample_hash,
+        "robots_sitemaps": q_robots_sitemaps,
         "host_triangles": q_host_triangles,
         "events_concurrency": q_events_concurrency,
         "orders_topk": q_orders_topk,
@@ -3904,6 +3961,32 @@ def oracle_sql() -> dict[str, str]:
         # triangles: id-ordered three-way self-join — a different
         # enumeration than the engine's degree orientation, same
         # id-minimum triangle key
+        # stratified sampling: the oracle runs the IDENTICAL spec —
+        # md5 hex ordering and the integer ceil are portable, so the
+        # kept rows, ranks and stratum sizes must match exactly
+        "corpus_sample": (
+            "WITH r AS (SELECT doc_id, lang, "
+            "ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY md5('r5' || doc_id), doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY lang) AS n "
+            "FROM documents) "
+            "SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank, "
+            "CAST(n AS BIGINT) AS n_stratum "
+            "FROM r WHERE rn <= (n * 1 + 10 - 1) // 10"),
+        "corpus_sample_hash": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE substr(md5('r5h' || doc_id), 1, 4) < '199a'"),
+        # robots Sitemap: directives re-derived arithmetically (the
+        # engine runs the multiline regexp + absolute-http(s) filter)
+        "robots_sitemaps": (
+            "WITH s AS (SELECT doc_id, doc_id % 37 AS h "
+            "FROM documents WHERE doc_id % 2 = 0) "
+            "SELECT doc_id, 'http://site' || h "
+            "|| '.example.com/sitemap' || (doc_id % 3) || '.xml' "
+            "AS sitemap FROM s "
+            "UNION ALL "
+            "SELECT doc_id, 'https://cdn' || (doc_id % 5) "
+            "|| '.example.net/idx.xml' FROM s"),
         # inverted index: positions re-derived by 1-based list
         # indexing over an unnested range (the engine posexplodes)
         "inverted_index": (

@@ -162,6 +162,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_inverted_index(spark, sf_dir),
         "term_cooccurrence": lambda:
             entrymod.q_term_cooccurrence(spark, sf_dir),
+        "corpus_sample": lambda:
+            entrymod.q_corpus_sample(spark, sf_dir),
     }
 
 

@@ -228,3 +228,35 @@ def url_templates(urls: DataFrame, url_col: str = "url") -> DataFrame:
             .groupBy(F.col("t.host").alias("host"),
                      F.col("t.template").alias("template"))
             .agg(F.count(F.lit(1)).alias("n_urls")))
+
+
+#: Sitemap: directive lines in robots.txt — global per RFC 9309 §2.3
+#: (not group-scoped), field name case-insensitive, value terminating
+#: at whitespace or a '#' comment
+ROBOTS_SITEMAP_PATTERN = (r"(?im)^[ \t]*sitemap[ \t]*:"
+                          r"[ \t]*([^ \t\r\n#]+)")
+
+
+def extract_robots_sitemaps(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(id, sitemap) rows from robots.txt bodies — the wiring between
+    the robots cache and :func:`extract_sitemap_urls`: ``Sitemap:``
+    directives are global lines (RFC 9309 §2.3 passes them through;
+    sitemaps.org defines them) and a scheduler seeds sitemap fetches
+    from exactly this set.  Only absolute http(s) values survive
+    (the protocol requires absolute URLs); values are deduplicated
+    per document.
+
+    All-native: one multiline ``regexp_extract_all`` + in-array
+    filter/dedup + explode — zero Python, zero shuffle, the same
+    embarrassingly-parallel shape as the other discovery
+    operators."""
+    body = F.col(text_col)
+    if dict(df.dtypes).get(text_col) == "binary":
+        body = F.decode(body, "ISO-8859-1")
+    vals = F.regexp_extract_all(
+        body, F.lit(ROBOTS_SITEMAP_PATTERN), 1)
+    cleaned = F.array_distinct(F.filter(
+        vals, lambda v: F.lower(v).rlike(r"^https?://")))
+    return df.select(
+        F.col(id_col), F.explode(cleaned).alias("sitemap"))

@@ -232,3 +232,32 @@ def test_url_templates_collapse_digit_runs(spark):
         ("h.example", "/"): 1,
         ("h2.example", "/cal/{n}/{n}/{n}"): 1,
     }
+
+
+# --- extract_robots_sitemaps ---------------------------------------------------
+
+def test_robots_sitemap_directives(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /private\n"
+           "Sitemap: http://a.example/sitemap.xml\n"
+           "  SITEMAP:\thttps://a.example/other.xml  \n"
+           "sitemap: http://a.example/sitemap.xml\n"
+           "Sitemap: /relative/nope.xml\n"
+           "# Sitemap: http://a.example/commented.xml\n")
+    df = spark.createDataFrame([(1, txt), (2, "User-agent: *\n")],
+                               "doc_id long, text string")
+    got = sorted((r["doc_id"], r["sitemap"]) for r in
+                 links.extract_robots_sitemaps(df).collect())
+    assert got == [
+        (1, "http://a.example/sitemap.xml"),
+        (1, "https://a.example/other.xml"),
+    ]
+
+
+def test_robots_sitemap_binary_body(spark):
+    df = spark.createDataFrame(
+        [(1, b"Sitemap: http://b.example/s.xml\n")],
+        "doc_id long, text binary")
+    got = [(r["doc_id"], r["sitemap"]) for r in
+           links.extract_robots_sitemaps(df).collect()]
+    assert got == [(1, "http://b.example/s.xml")]
