@@ -399,3 +399,73 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_discovery_operators_are_shuffle_free(spark):
+    """Anchor-text extraction, sitemap <loc> extraction, and robots
+    Sitemap: directive extraction are pure projections + explode —
+    no exchange, no Python worker (the per-target anchor aggregation
+    is the CALLER's one exchange, not these operators')."""
+    from cdx_writer_spark.frontier import links
+
+    pages = spark.createDataFrame(
+        [(1, "http://h.example.com/", '<a href="/x">t</a>')],
+        "doc_id long, url string, html string")
+    assert "Exchange" not in _plan(links.extract_anchor_texts(pages))
+    assert "Python" not in _plan(links.extract_anchor_texts(pages))
+    sm = spark.createDataFrame(
+        [(1, "<loc>http://a.example/s</loc>")],
+        "doc_id long, html string")
+    assert "Exchange" not in _plan(links.extract_sitemap_urls(sm))
+    rb = spark.createDataFrame(
+        [(1, "Sitemap: http://a.example/s.xml")],
+        "doc_id long, text string")
+    assert "Exchange" not in _plan(links.extract_robots_sitemaps(rb))
+
+
+def test_url_templates_one_partial_agged_exchange(spark):
+    """Template mining is one projection + ONE aggregation with a
+    map-side partial (the exchange carries pattern-cardinality
+    rows)."""
+    from cdx_writer_spark.frontier import links
+
+    u = spark.createDataFrame([("http://h.example/a/1",)],
+                              "url string")
+    plan = _plan(links.url_templates(u))
+    assert plan.count("Exchange") == 1
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    assert "Python" not in plan
+
+
+def test_inverted_index_and_cooccurrence_single_exchange(spark):
+    """Both text-index ops aggregate behind ONE exchange with
+    map-side partials; co-occurrence generates pairs in-array (no
+    positions self-join — no Join node at all)."""
+    from cdx_writer_spark.functions import textstats
+
+    docs = spark.createDataFrame([(1, "a b c")],
+                                 "doc_id long, text string")
+    p1 = _plan(textstats.inverted_index(docs))
+    assert p1.count("Exchange") == 1
+    assert p1.index("HashAggregate") < p1.index("Exchange")
+    p2 = _plan(textstats.term_cooccurrence(docs))
+    assert p2.count("Exchange") == 1
+    assert p2.index("HashAggregate") < p2.index("Exchange")
+    assert "Join" not in p2
+    assert "Python" not in p1 and "Python" not in p2
+
+
+def test_sampling_plans(spark):
+    """The stratified tier plans exactly ONE stratum-keyed exchange
+    (rank + size windows share it); the hash tier is a pure filter —
+    no exchange, no Python."""
+    from cdx_writer_spark.functions import sampling
+
+    docs = spark.createDataFrame([(1, "en")],
+                                 "doc_id long, lang string")
+    p1 = _plan(sampling.stratified_sample(docs, "lang"))
+    assert p1.count("Exchange") == 1
+    assert "Window" in p1
+    p2 = _plan(sampling.hash_sample(docs))
+    assert "Exchange" not in p2
+    assert "Python" not in p2
