@@ -2041,6 +2041,47 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", body.alias("text")))
 
 
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The page-links → host-graph composition: extract_links over
+    HTML with planted cross-host/self anchors, then host-level edge
+    weights ``(src_host, dst_host, n_links, n_pages)`` — the
+    aggregation that turns raw anchors into the webgraph PageRank /
+    HITS / triangle analytics consume (and the host-rank half of the
+    frontier priority key).  The source host rides the synthesis
+    arithmetic (no join back to pages); the oracle re-derives every
+    edge arithmetically and aggregates the same keys."""
+    from cdx_writer_spark.frontier import links
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = (d % 37).cast("string")
+    html = F.concat(
+        F.lit('<a href="http://site'), ((d + 1) % 37).cast("string"),
+        F.lit('.example.com/p'), ds, F.lit('">x</a>'),
+        F.lit('<a href="http://site'),
+        ((d * 3 + 5) % 37).cast("string"),
+        F.lit(".example.com/q"), (d % 11).cast("string"),
+        F.lit('">x</a>'),
+        F.lit('<a href="/self/'), (d % 7).cast("string"),
+        F.lit('">x</a>'))
+    pages = docs.select(
+        "doc_id", html.alias("html"),
+        F.concat(F.lit("http://site"), h,
+                 F.lit(".example.com/dir/page"), ds,
+                 F.lit(".html")).alias("url"))
+    edges = links.extract_links(pages)
+    return (edges.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com")).alias("src_host"),
+        F.regexp_extract("link", r"^https?://([^/]+)", 1)
+        .alias("dst_host"),
+        "doc_id")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"),
+             F.countDistinct("doc_id").alias("n_pages")))
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2065,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_sample_hash": q_corpus_sample_hash,
         "robots_sitemaps": q_robots_sitemaps,
+        "web_link_graph": q_web_link_graph,
         "host_triangles": q_host_triangles,
         "events_concurrency": q_events_concurrency,
         "orders_topk": q_orders_topk,
@@ -3961,6 +4003,29 @@ def oracle_sql() -> dict[str, str]:
         # triangles: id-ordered three-way self-join — a different
         # enumeration than the engine's degree orientation, same
         # id-minimum triangle key
+        # page-links -> host-graph composition: every edge re-derived
+        # arithmetically (the self-link's resolution included), then
+        # aggregated on the same host keys
+        "web_link_graph": (
+            "WITH e AS ("
+            "SELECT doc_id, "
+            "'site' || (doc_id % 37) || '.example.com' AS src_host, "
+            "'site' || ((doc_id + 1) % 37) || '.example.com' "
+            "AS dst_host FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, "
+            "'site' || (doc_id % 37) || '.example.com', "
+            "'site' || ((doc_id * 3 + 5) % 37) || '.example.com' "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, "
+            "'site' || (doc_id % 37) || '.example.com', "
+            "'site' || (doc_id % 37) || '.example.com' "
+            "FROM documents) "
+            "SELECT src_host, dst_host, "
+            "CAST(COUNT(*) AS BIGINT) AS n_links, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages "
+            "FROM e GROUP BY src_host, dst_host"),
         # stratified sampling: the oracle runs the IDENTICAL spec —
         # md5 hex ordering and the integer ceil are portable, so the
         # kept rows, ranks and stratum sizes must match exactly
