@@ -69,6 +69,18 @@ def main() -> None:
                    help="DSIR selection on the CLEAN corpus: keep the "
                    "top importance-weight quartile against this "
                    "(doc_id, text) target table")
+    p.add_argument("--holdout-out", default=None, metavar="PATH",
+                   help="carve a deterministic eval hold-out from the "
+                   "final corpus into this table: rows whose salted-"
+                   "md5 hex prefix falls below --holdout-permille go "
+                   "here, the rest to OUT (pure projection split — "
+                   "reproducible from (salt, doc_id) at any scale)")
+    p.add_argument("--holdout-permille", type=int, default=100,
+                   help="hold-out rate in per-mille (default 100 = "
+                   "~10%%), quantized to the 1/65536 hex-prefix grid")
+    p.add_argument("--holdout-salt", default="holdout",
+                   help="salt for the hold-out coin: a different salt "
+                   "draws an independent carve")
     p.add_argument("--table-format", default="auto",
                    choices=["auto", "parquet", "iceberg"],
                    help="input/output table format: parquet paths "
@@ -190,6 +202,21 @@ def main() -> None:
             out = _stage(out.join(
                 sel.filter("selected").select("doc_id"), "doc_id"))
             mix_stats["dsir_kept"] = out.count()
+    n_holdout = None
+    if args.holdout_out:
+        from cdx_writer_spark.functions import sampling
+
+        rate_num = max(1, round(args.holdout_permille * 65536 / 1000))
+        thr = sampling.hash_threshold(rate_num)
+        key = F.substring(sampling.sample_key_col(
+            F.col("doc_id"), args.holdout_salt), 1, 4)
+        out = _stage(out)
+        holdout = out.filter(key < F.lit(thr))
+        table_io.save_table(holdout, args.holdout_out,
+                            args.table_format)
+        n_holdout = table_io.load_table(
+            spark, args.holdout_out, args.table_format).count()
+        out = out.filter(~(key < F.lit(thr)))
     table_io.save_table(out, args.out, args.table_format)
     agg = table_io.load_table(spark, args.out,
                               args.table_format).agg(
@@ -202,17 +229,23 @@ def main() -> None:
     # clean_docs keeps ONE meaning — the span-dedup'd clean corpus
     # size; deliberate downsampling is reported separately as
     # selected_docs so per-stage losses stay attributable
+    # the written total spans BOTH outputs when a hold-out was
+    # carved, so clean_docs/selected_docs keep their stage meanings
+    # (the carve is reported separately as holdout_docs)
+    n_written = int(agg["docs"]) + (n_holdout or 0)
     stats = {
         "pages": n_pages,
         "extracted": n_extracted,
         "admitted": n_admitted,
         "decontaminated": n_decontaminated,
-        "clean_docs": n_clean if n_clean is not None else agg["docs"],
+        "clean_docs": n_clean if n_clean is not None else n_written,
         "spans_total": int(agg["spans_total"] or 0),
         "spans_kept": int(agg["spans_kept"] or 0),
     }
     if n_clean is not None:
-        stats["selected_docs"] = agg["docs"]
+        stats["selected_docs"] = n_written
+    if n_holdout is not None:
+        stats["holdout_docs"] = n_holdout
     stats.update(mix_stats)
     print(json.dumps(stats))
     if args.stats_file:

@@ -214,3 +214,36 @@ def test_corpus_job_selection_flags(spark, tmp_path):
     assert got.count() == stats["dsir_kept"] == stats["selected_docs"]
     assert set(r["bucket"] for r in got.select("bucket")
                .distinct().collect()) <= {"head", "middle", "tail"}
+
+
+def test_corpus_job_holdout_split(spark, tmp_path):
+    """--holdout-out: the final corpus splits into a deterministic
+    eval carve + train remainder — disjoint, exhaustive, and counted
+    in the stats."""
+    from cdx_writer_spark.webview import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    pages_dir = str(tmp_path / "pages.parquet")
+    pages_from_documents(spark, sf).write.parquet(pages_dir)
+
+    out = str(tmp_path / "train_corpus")
+    hold = str(tmp_path / "holdout_corpus")
+    stats_file = str(tmp_path / "stats.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "corpus_job.py"),
+         pages_dir, out, "--stats-file", stats_file, "--cpus", "4",
+         "--holdout-out", hold, "--holdout-permille", "200"],
+        capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    stats = json.load(open(stats_file))
+    train_ids = {row["doc_id"] for row in
+                 spark.read.parquet(out).select("doc_id").collect()}
+    hold_ids = {row["doc_id"] for row in
+                spark.read.parquet(hold).select("doc_id").collect()}
+    assert stats["holdout_docs"] == len(hold_ids) > 0
+    assert not (train_ids & hold_ids)
+    assert len(train_ids) + len(hold_ids) == stats["clean_docs"]
+    # ~20% carve, binomially loose bounds
+    frac = len(hold_ids) / (len(train_ids) + len(hold_ids))
+    assert 0.08 <= frac <= 0.35
