@@ -2082,6 +2082,73 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("doc_id").alias("n_pages")))
 
 
+def q_cdx_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl snapshot diff (functions/relational.py:
+    snapshot_delta) — classify every SURT across two synthesized CDX
+    snapshots as added / removed / changed / unchanged, the
+    recrawl-planning primitive.  Snapshots derive from doc_id
+    arithmetic (old = doc_id%5!=0, new = doc_id%7!=3, digests flip on
+    doc_id%11==0), so all four statuses occur.  The engine runs the
+    union-tag single-exchange decomposition; the oracle runs the
+    naive FULL OUTER JOIN — different plans, same rows."""
+    from cdx_writer_spark.functions import relational
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    key = F.concat(F.lit("com,site"), (d % 37).cast("string"),
+                   F.lit(")/p"), d.cast("string"))
+    old = docs.filter(d % 5 != 0).select(
+        key.alias("surt_key"),
+        F.md5(F.concat(F.lit("old"), d.cast("string")))
+        .alias("digest"))
+    new = docs.filter(d % 7 != 3).select(
+        key.alias("surt_key"),
+        F.md5(F.concat(
+            F.when(d % 11 == 0, F.lit("new")).otherwise(F.lit("old")),
+            d.cast("string"))).alias("digest"))
+    return relational.snapshot_delta(old, new)
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter semi-join (functions/relational.py:
+    bloom_semi_join) — documents restricted to an allowlisted host
+    dimension, with the frontier's partitioned-Bloom state broadcast
+    as the pre-join prune and the survivors exact-verified.  The
+    result must equal a plain semi-join row-for-row (no false
+    negatives; false positives verified away); the oracle applies the
+    equivalent arithmetic predicate directly, so any probe/fold bug
+    on either path breaks the hash."""
+    from cdx_writer_spark.functions import relational
+
+    docs = _table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        "lang")
+    dim = spark.range(97).filter(F.col("id") % 3 == 0).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"))
+    return relational.bloom_semi_join(big, dim, "host",
+                                      n_partitions=8, capacity=256)
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval (functions/textstats.py:
+    bm25_topk) over the REAL corpus text for a fixed 4-term query —
+    the scoring half of the search index whose build stage is
+    inverted_index.  Per-(doc, term) contributions round to integer
+    micro-points before the per-document sum (exact integer
+    aggregation, float-order-immune); the oracle recomputes the
+    identical IEEE expression in SQL including the ln() idf and the
+    corpus-scalar avgdl."""
+    from cdx_writer_spark.functions import textstats
+
+    docs = _table(spark, sf_dir, "documents")
+    return textstats.bm25_topk(
+        docs, ["spark", "window", "merge", "vector"], k=20)
+
+
 # --- registry -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2096,6 +2163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04 CORRECTNESS row (the 5 never-sampled ones, then the 10
     # whose last driver row is r03).
     return {
+        "cdx_snapshot_delta": q_cdx_snapshot_delta,
+        "bloom_semijoin": q_bloom_semijoin,
+        "text_bm25": q_text_bm25,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -2660,6 +2730,63 @@ def oracle_sql() -> dict[str, str]:
         "compressed_size || ' ' || \"offset\" || ' ' || warc_file"
     )
     return {
+        # snapshot diff: the oracle is the NAIVE full outer join the
+        # engine's union-tag decomposition replaces — same rows or bust
+        "cdx_snapshot_delta": (
+            "WITH old AS (SELECT 'com,site' || (doc_id % 37) || ')/p' "
+            "|| doc_id AS surt_key, md5('old' || doc_id) AS digest "
+            "FROM documents WHERE doc_id % 5 <> 0), "
+            "new AS (SELECT 'com,site' || (doc_id % 37) || ')/p' "
+            "|| doc_id AS surt_key, "
+            "md5((CASE WHEN doc_id % 11 = 0 THEN 'new' ELSE 'old' END) "
+            "|| doc_id) AS digest "
+            "FROM documents WHERE doc_id % 7 <> 3) "
+            "SELECT COALESCE(old.surt_key, new.surt_key) AS surt_key, "
+            "CASE WHEN old.surt_key IS NULL THEN 'added' "
+            "WHEN new.surt_key IS NULL THEN 'removed' "
+            "WHEN old.digest = new.digest THEN 'unchanged' "
+            "ELSE 'changed' END AS status, "
+            "old.digest AS old_digest, new.digest AS new_digest "
+            "FROM old FULL OUTER JOIN new "
+            "ON old.surt_key = new.surt_key"),
+        # bloom semi-join: the oracle applies the allowlist predicate
+        # arithmetically — the engine must reach the identical row set
+        # through the Bloom prune + exact verify
+        "bloom_semijoin": (
+            "SELECT doc_id, "
+            "'site' || (doc_id % 97) || '.example.com' AS host, lang "
+            "FROM documents WHERE (doc_id % 97) % 3 = 0"),
+        # BM25: identical IEEE expression (ln idf, double avgdl,
+        # per-term micro-point rounding) recomputed in SQL; the
+        # per-doc sum is exact int64 on both sides
+        "text_bm25": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "base AS (SELECT doc_id, len(w) AS dl FROM tk), "
+            "stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total "
+            "FROM base), "
+            "p AS (SELECT doc_id, w[i] AS term "
+            "FROM tk, unnest(range(1, len(w) + 1)) AS t(i)), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p "
+            "WHERE term IN ('spark', 'window', 'merge', 'vector') "
+            "GROUP BY doc_id, term), "
+            "dfb AS (SELECT term, COUNT(DISTINCT doc_id) AS df "
+            "FROM tf GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, "
+            "CAST(round(ln(1.0 + (s.n - dfb.df + 0.5) / (dfb.df + 0.5)) "
+            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 "
+            "+ 0.75 * base.dl / (CAST(s.total AS DOUBLE) / s.n))) "
+            "* 1000000.0, 0) AS BIGINT) AS c "
+            "FROM tf JOIN dfb USING (term) JOIN base USING (doc_id) "
+            "CROSS JOIN stats s), "
+            "d AS (SELECT doc_id, SUM(c) AS score_micro, "
+            "CAST(COUNT(*) AS INT) AS n_terms FROM sc GROUP BY doc_id), "
+            "r AS (SELECT doc_id, CAST(score_micro AS BIGINT) "
+            "AS score_micro, n_terms, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY score_micro DESC, doc_id) AS INT) AS rank "
+            "FROM d) "
+            "SELECT * FROM r WHERE rank <= 20"),
         "cdx_lines": (
             _W + f" SELECT {line} AS cdx_line FROM admitted "
             "ORDER BY cdx_line"),

@@ -199,3 +199,115 @@ def prefix_sum(df: DataFrame, part_col: str, order_col: str,
             .withColumn(out_col,
                         F.sum(val_col).over(w_in) + F.col("__off"))
             .drop("__b", "__off"))
+
+
+def snapshot_delta(old: DataFrame, new: DataFrame,
+                   key: str = "surt_key",
+                   payload: str = "digest") -> DataFrame:
+    """Crawl-over-crawl snapshot diff: classify every key across two
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    — the recrawl-planning primitive (two CDX snapshots of the same
+    seed list: ``key`` = SURT, ``payload`` = SHA-1 payload digest;
+    "changed" keys are the re-fetch set, "added" the discovery set).
+
+    Output: ``(key, status, old_<payload>, new_<payload>)``.
+
+    Scale shape: the naive formulation is a FULL OUTER JOIN of two
+    corpus-sized tables (two hash exchanges feeding a join operator
+    that must keep both sides' unmatched rows).  This is the
+    union-tag decomposition instead: one schema-aligned union (free —
+    no exchange) and ONE groupBy(key) with map-side partial
+    aggregation, so exactly one hash exchange of (key, payload) pairs
+    and no join at any scale.  Keys are unique per snapshot by
+    contract (a CDX snapshot carries one latest capture per SURT);
+    duplicates within a side resolve to ``max(payload)``,
+    deterministically at any parallelism.
+    """
+    ptype = new.schema[payload].dataType
+    tagged = (
+        old.select(F.col(key).alias("__sd_key"),
+                   F.col(payload).alias("__sd_old"),
+                   F.lit(None).cast(ptype).alias("__sd_new"))
+        .unionByName(new.select(
+            F.col(key).alias("__sd_key"),
+            F.lit(None).cast(ptype).alias("__sd_old"),
+            F.col(payload).alias("__sd_new"))))
+    agg = tagged.groupBy("__sd_key").agg(
+        F.max("__sd_old").alias("__sd_old"),
+        F.max("__sd_new").alias("__sd_new"))
+    status = (
+        F.when(F.col("__sd_old").isNull(), F.lit("added"))
+        .when(F.col("__sd_new").isNull(), F.lit("removed"))
+        .when(F.col("__sd_old") == F.col("__sd_new"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return agg.select(
+        F.col("__sd_key").alias(key),
+        status.alias("status"),
+        F.col("__sd_old").alias(f"old_{payload}"),
+        F.col("__sd_new").alias(f"new_{payload}"))
+
+
+def bloom_semi_join(big: DataFrame, dim: DataFrame, key: str,
+                    n_partitions: int = 16,
+                    capacity: int | None = None,
+                    fpr: float = 0.01) -> DataFrame:
+    """EXACT semi-join of ``big`` against ``dim``'s keys with a Bloom
+    runtime pre-filter — the explicit form of the runtime-filter
+    pattern for 100 TB joins: rows whose key is definitely absent
+    from ``dim`` are dropped BEFORE the join exchange, so only true
+    matches plus the Bloom's ~fpr false-positive sliver ever shuffle.
+    The survivors are exact-verified with a semi-join (Bloom filters
+    have no false negatives), so the result equals
+    ``big.join(dim, key, 'left_semi')`` row-for-row.
+
+    Reuses the crawl frontier's partitioned-Bloom machinery
+    (:mod:`cdx_writer_spark.frontier.seen`): the filter table is
+    n_partitions rows of int64 words built with the native
+    position-explode fold, broadcast onto ``big``, and probed as a
+    pure Catalyst expression (zero Python, zero shuffle of ``big``
+    at the probe).  ``dim`` is the small side by contract — size
+    ``capacity`` (per-partition) to its key count; the broadcast is
+    n_partitions × filter bytes, the same budget
+    :func:`~cdx_writer_spark.frontier.seen.flag_maybe_seen` gates.
+
+    Keys are compared as strings (both the filter fold and the probe
+    hash ``cast(key as string)``), matching semi-join equality for
+    string/integer keys; NULL keys never match, as in a plain
+    semi-join.
+    """
+    from ..frontier import seen
+    from ..frontier.bloom import BloomFilter
+
+    capacity = capacity or seen.DEFAULT_CAPACITY
+    spark = big.sparkSession
+    dim_keys = dim.select(
+        F.col(key).cast("string").alias("surt_key")).distinct()
+    filters = seen.update_filters(
+        dim_keys, seen.empty_filters(spark, n_partitions, capacity,
+                                     fpr),
+        n_partitions, capacity, fpr)
+    static_k = BloomFilter.sized_for(capacity, fpr).k
+
+    kc = F.col(key).cast("string")
+    h1 = F.xxhash64(kc)
+    h2 = F.xxhash64(F.lit("b"), kc)
+    pid = F.pmod(h1, F.lit(n_partitions)).cast("int")
+    flt = F.broadcast(filters.select(
+        F.col("partition_id").alias("__bsj_pid"),
+        F.col("bits_longs").alias("__bsj_words"),
+        F.col("n_bits").alias("__bsj_nbits")))
+    probed = (big
+              .withColumn("__bsj_pid", pid)
+              .withColumn("__bsj_h1", h1)
+              .withColumn("__bsj_h2", h2)
+              .join(flt, "__bsj_pid", "left"))
+    maybe = seen._native_probe_col(
+        F.col("__bsj_h1"), F.col("__bsj_h2"), F.col("__bsj_words"),
+        F.col("__bsj_nbits"), None, static_k=static_k)
+    survivors = (probed
+                 .filter(F.coalesce(maybe, F.lit(False)))
+                 .drop("__bsj_pid", "__bsj_h1", "__bsj_h2",
+                       "__bsj_words", "__bsj_nbits"))
+    return survivors.join(
+        dim.select(F.col(key)).distinct(), key, "left_semi")

@@ -479,3 +479,63 @@ def term_cooccurrence(docs, window: int = 2, id_col: str = "doc_id",
     return (p.groupBy(F.col("p.a").alias("term_a"),
                       F.col("p.b").alias("term_b"))
             .agg(F.count(F.lit(1)).alias("n_cooc")))
+
+
+def bm25_topk(docs, query_terms: list[str], k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Okapi BM25 retrieval over the corpus for a fixed query-term
+    set (k1=1.2, b=0.75, the Lucene-default non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``): the scoring half of the
+    search index whose build stage is :func:`inverted_index`.
+    Returns the top-``k`` documents as
+    ``(doc_id, score_micro, n_terms, rank)``.
+
+    Cross-engine determinism: per-(doc, term) contributions are
+    rounded to integer MICRO-points (``round(x * 1e6)`` as int64)
+    before the per-document sum, so the aggregation is exact integer
+    arithmetic — immune to float summation order at any parallelism,
+    and byte-comparable against a SQL oracle computing the identical
+    IEEE expression.  Ties rank toward the smaller doc id.
+
+    Scale shape: one tokenization pass feeds both the doc-length
+    projection and the exploded term stream; the explode is filtered
+    to the query terms BEFORE the (doc, term) aggregation, so the
+    only data-sized exchange carries matching (doc, term) pairs.
+    The df table is |query| rows (AQE broadcasts it), the corpus
+    scalars (N, total tokens) are one tiny driver aggregate, and the
+    final top-k is a single window over per-doc score rows.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("__toks")) \
+        .withColumn("dl", F.size("__toks"))
+    row = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("total")).first()
+    n, total = int(row["n"]), int(row["total"] or 0)
+    avgdl = total / max(n, 1)  # IEEE double, same division the oracle runs
+
+    terms = (base.select(id_col, "dl",
+                         F.explode("__toks").alias("term"))
+             .filter(F.col("term").isin(list(query_terms))))
+    tf = terms.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(1.2)
+             * (F.lit(1.0) - F.lit(0.75)
+                + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    contrib = F.round(idf * (F.col("tf") * F.lit(2.2)) / denom
+                      * F.lit(1000000.0), 0).cast("long")
+    scored = (tf.join(df_tbl, "term")
+              .select(id_col, contrib.alias("c"))
+              .groupBy(id_col)
+              .agg(F.sum("c").alias("score_micro"),
+                   F.count(F.lit(1)).cast("int").alias("n_terms")))
+    w = Window.orderBy(F.desc("score_micro"), F.asc(id_col))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "score_micro", "n_terms", "rank"))

@@ -594,3 +594,67 @@ def test_cooccurrence_single_token_and_repeat(spark):
     got = {(r["term_a"], r["term_b"]): r["n_cooc"]
            for r in ts.term_cooccurrence(df).collect()}
     assert got == {("x", "x"): 1}
+
+
+# --- bm25_topk ------------------------------------------------------------
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Independent python reference: dict doc_id -> micro score."""
+    toks = {i: t.lower().split() if t.strip() else [""]
+            for i, t in rows}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    df = {q: sum(1 for w in toks.values() if q in w) for q in terms}
+    out = {}
+    for i, w in toks.items():
+        s = 0
+        for q in terms:
+            tf = w.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            c = idf * (tf * 2.2) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * len(w) / avgdl))
+            s += int(round(c * 1e6))
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    import random
+    rng = random.Random(7)
+    vocab = ["spark", "window", "merge", "vector", "pad", "x", "y"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 30))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "merge", "vector"]
+    got = {r["doc_id"]: r["score_micro"]
+           for r in textstats.bm25_topk(df, terms, k=60).collect()}
+    want = _py_bm25(rows, terms)
+    top = dict(sorted(want.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:60])
+    assert got == top
+
+
+def test_bm25_rank_ties_break_to_smaller_doc_id(spark):
+    df = spark.createDataFrame(
+        [(5, "spark a b"), (2, "spark a b"), (9, "none here")],
+        "doc_id long, text string")
+    out = textstats.bm25_topk(df, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [2, 5]
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["score_micro"] == out[1]["score_micro"]
+
+
+def test_bm25_partitioning_invariance(spark):
+    rows = [(i, f"spark window {'pad ' * (i % 9)}merge")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textstats.bm25_topk(
+        df.repartition(1), ["spark", "merge"], k=40).collect()))
+    b = sorted(map(tuple, textstats.bm25_topk(
+        df.repartition(13), ["spark", "merge"], k=40).collect()))
+    assert a == b  # integer micro-point sums are order-immune

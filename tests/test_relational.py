@@ -233,3 +233,97 @@ def test_events_concurrency_invariants(spark):
             .orderBy(F.desc("us")))).filter(F.col("rn") == 1))
     assert last.filter(F.col("n_active") != 0).count() == 0
     out.unpersist()
+
+
+# --- snapshot_delta -------------------------------------------------------
+
+from cdx_writer_spark.functions.relational import (bloom_semi_join,
+                                                   snapshot_delta)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "surt_key string, digest string")
+
+
+def test_snapshot_delta_all_four_statuses(spark):
+    old = _snap(spark, [("a", "d1"), ("b", "d2"), ("c", "d3")])
+    new = _snap(spark, [("b", "d2"), ("c", "dX"), ("d", "d4")])
+    got = {r["surt_key"]: (r["status"], r["old_digest"], r["new_digest"])
+           for r in snapshot_delta(old, new).collect()}
+    assert got == {
+        "a": ("removed", "d1", None),
+        "b": ("unchanged", "d2", "d2"),
+        "c": ("changed", "d3", "dX"),
+        "d": ("added", None, "d4"),
+    }
+
+
+def test_snapshot_delta_matches_full_outer_join(spark):
+    # randomized-ish (seeded arithmetic) equivalence vs the naive plan
+    base = spark.range(200)
+    old = base.filter(F.col("id") % 3 != 0).select(
+        F.col("id").cast("string").alias("surt_key"),
+        F.md5(F.concat(F.lit("o"), F.col("id").cast("string")))
+        .alias("digest"))
+    new = base.filter(F.col("id") % 4 != 1).select(
+        F.col("id").cast("string").alias("surt_key"),
+        F.md5(F.concat(
+            F.when(F.col("id") % 5 == 0, F.lit("n")).otherwise(F.lit("o")),
+            F.col("id").cast("string"))).alias("digest"))
+    naive = (old.withColumnRenamed("digest", "old_digest")
+             .join(new.withColumnRenamed("digest", "new_digest"),
+                   "surt_key", "full_outer")
+             .select("surt_key",
+                     F.when(F.col("old_digest").isNull(), "added")
+                     .when(F.col("new_digest").isNull(), "removed")
+                     .when(F.col("old_digest") == F.col("new_digest"),
+                           "unchanged")
+                     .otherwise("changed").alias("status"),
+                     "old_digest", "new_digest"))
+    got = sorted(map(tuple, snapshot_delta(old, new).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+
+
+def test_snapshot_delta_plan_single_exchange_no_join(spark):
+    old = _snap(spark, [("a", "d1")])
+    new = _snap(spark, [("a", "d1")])
+    plan = snapshot_delta(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan  # union-tag decomposition, not a join
+    assert plan.count("Exchange") <= 1  # one hash exchange on the key
+
+
+# --- bloom_semi_join ------------------------------------------------------
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    big = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 13).alias("payload"))
+    dim = spark.range(400).filter(F.col("id") % 5 == 2).select(
+        F.col("id").alias("k"))
+    got = sorted(map(tuple, bloom_semi_join(
+        big, dim, "k", n_partitions=4, capacity=256).collect()))
+    want = sorted(map(tuple,
+                      big.join(dim, "k", "left_semi").collect()))
+    assert got == want and len(want) == 80
+
+
+def test_bloom_semi_join_string_keys_and_nulls(spark):
+    big = spark.createDataFrame(
+        [("h1", 1), ("h2", 2), (None, 3), ("h9", 4)], "k string, v int")
+    dim = spark.createDataFrame([("h1",), ("h9",)], "k string")
+    got = sorted(map(tuple, bloom_semi_join(
+        big, dim, "k", n_partitions=2, capacity=64).collect()))
+    assert got == [("h1", 1), ("h9", 4)]  # NULL never matches
+
+
+def test_bloom_semi_join_plan_broadcasts_filters(spark):
+    big = spark.range(100).select(F.col("id").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    plan = bloom_semi_join(big, dim, "k", n_partitions=2, capacity=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the filter table rides a broadcast join onto big: big itself is
+    # never exchanged before the probe
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
