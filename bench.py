@@ -164,6 +164,12 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_term_cooccurrence(spark, sf_dir),
         "corpus_sample": lambda:
             entrymod.q_corpus_sample(spark, sf_dir),
+        "cdx_snapshot_delta": lambda:
+            entrymod.q_cdx_snapshot_delta(spark, sf_dir),
+        "bloom_semijoin": lambda:
+            entrymod.q_bloom_semijoin(spark, sf_dir),
+        "text_bm25": lambda:
+            entrymod.q_text_bm25(spark, sf_dir),
     }
 
 
