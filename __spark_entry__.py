@@ -2133,6 +2133,36 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n_partitions=8, capacity=256)
 
 
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (functions/sampling.py: weighted_sample) — 50 documents drawn
+    with probability proportional to n_chars, the deterministic
+    A-ES exponential-key ranking (u from salted md5, key =
+    -ln(u)/w rounded to 9).  The oracle recomputes the identical
+    key from the same 12-nibble hash and re-ranks."""
+    from cdx_writer_spark.functions import sampling
+
+    docs = _table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, "n_chars", n=50, salt="r5w")
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) budget apportionment
+    (functions/sampling.py: apportion) — 1000 fetch slots allocated
+    across 37 hosts proportional to pending-page counts, all-int64
+    exact (quotas sum to the budget, each within 1 of its real
+    share).  The oracle reruns the identical integer spec — floor
+    division, mod remainders, largest-remainder ranking with
+    host-string tie-break."""
+    from cdx_writer_spark.functions import sampling
+
+    docs = _table(spark, sf_dir, "documents")
+    hosts = docs.groupBy(
+        F.concat(F.lit("site"), (F.col("doc_id") % 37).cast("string"))
+        .alias("host")).agg(F.count(F.lit(1)).alias("pending"))
+    return sampling.apportion(hosts, "pending", budget=1000)
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 retrieval (functions/textstats.py:
     bm25_topk) over the REAL corpus text for a fixed 4-term query —
@@ -2166,6 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_snapshot_delta": q_cdx_snapshot_delta,
         "bloom_semijoin": q_bloom_semijoin,
         "text_bm25": q_text_bm25,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "crawl_budget": q_crawl_budget,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -2787,6 +2819,37 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY score_micro DESC, doc_id) AS INT) AS rank "
             "FROM d) "
             "SELECT * FROM r WHERE rank <= 20"),
+        # A-ES weighted sampling: the oracle recomputes u from the
+        # same 12 hash nibbles and the exponential key on the same
+        # round-9 grid, then re-ranks
+        "corpus_weighted_sample": (
+            "WITH k AS (SELECT doc_id, "
+            "CAST(n_chars AS DOUBLE) AS weight, "
+            "round(-ln(("
+            + _HEXN_SQL("substr(md5('r5w' || doc_id), 1, 12)", 12)
+            + " + 1.0) / 281474976710656.0) "
+            "/ CAST(n_chars AS DOUBLE), 9) AS sample_key "
+            "FROM documents WHERE n_chars > 0), "
+            "r AS (SELECT doc_id, weight, sample_key, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY sample_key, doc_id) "
+            "AS INT) AS rank FROM k) "
+            "SELECT * FROM r WHERE rank <= 50"),
+        # Hamilton apportionment: identical int64 spec — floor div,
+        # mod remainders, largest-remainder ranking
+        "crawl_budget": (
+            "WITH h AS (SELECT 'site' || (doc_id % 37) AS host, "
+            "COUNT(*) AS weight FROM documents GROUP BY 1), "
+            "t AS (SELECT SUM(weight) AS total FROM h), "
+            "b AS (SELECT host, weight, "
+            "(1000 * weight) // total AS base, "
+            "(1000 * weight) % total AS rem FROM h, t), "
+            "l AS (SELECT 1000 - SUM(base) AS leftover FROM b), "
+            "r AS (SELECT host, weight, base, rem, "
+            "ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk "
+            "FROM b) "
+            "SELECT host, CAST(weight AS BIGINT) AS weight, "
+            "CAST(base + CASE WHEN rk <= (SELECT leftover FROM l) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS quota FROM r"),
         "cdx_lines": (
             _W + f" SELECT {line} AS cdx_line FROM admitted "
             "ORDER BY cdx_line"),

@@ -170,6 +170,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_bloom_semijoin(spark, sf_dir),
         "text_bm25": lambda:
             entrymod.q_text_bm25(spark, sf_dir),
+        "corpus_weighted_sample": lambda:
+            entrymod.q_corpus_weighted_sample(spark, sf_dir),
+        "crawl_budget": lambda:
+            entrymod.q_crawl_budget(spark, sf_dir),
     }
 
 

@@ -92,3 +92,91 @@ def hash_sample(df: DataFrame, id_col: str = "doc_id",
     key = sample_key_col(F.col(id_col), salt)
     return df.filter(
         F.substring(key, 1, 4) < F.lit(hash_threshold(rate_num)))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str = "doc_id",
+                    salt: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    A-ES (2006): every row draws a deterministic uniform
+    ``u ∈ (0, 1]`` from its salted md5 and is ranked by the
+    exponential key ``-ln(u) / w`` ascending (equivalent to ranking
+    ``u^(1/w)`` descending); the first ``n`` rows are the sample.
+    Inclusion probability is proportional to weight, the draw is a
+    pure function of (salt, id) — reproducible and auditable on any
+    engine, like everything else in this module.
+
+    Keys round to 9 decimals before ranking (ties then break to the
+    smaller id) so the SQL oracle's ln() agrees across engines —
+    same convention as the tfidf/BM25 scores.
+
+    Scale shape: the key is a map-only projection; the top-n is one
+    global TopK (Spark's TakeOrderedAndProject — per-partition heaps
+    + a single n-row merge, no full sort, no data-sized single
+    partition).  Non-positive weights are excluded (their inclusion
+    probability is 0 by definition).
+
+    Returns ``(id, weight, sample_key, rank)``.
+    """
+    w = F.col(weight_col).cast("double")
+    # 12 hex nibbles -> integer in [0, 2^48); +1 shifts to (0, 2^48]
+    # so u is never 0 and ln(u) is finite
+    u = ((F.conv(F.substring(sample_key_col(F.col(id_col), salt),
+                             1, 12), 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(1 << 48)))
+    key = F.round(-F.log(u) / w, 9)
+    win = Window.orderBy(F.asc("sample_key"), F.asc(id_col))
+    return (df.filter(w > 0)
+            .select(F.col(id_col), w.alias("weight"),
+                    key.alias("sample_key"))
+            .withColumn("rank", F.row_number().over(win).cast("int"))
+            .filter(F.col("rank") <= n))
+
+
+def apportion(df: DataFrame, weight_col: str, budget: int,
+              id_col: str = "host") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer
+    ``budget`` across rows proportional to integer weights — the
+    scheduler's fair-share primitive (N fetch slots across hosts
+    proportional to pending-URL counts; token quotas across corpus
+    sources in a mixing recipe).  Quotas are EXACT: they sum to
+    ``budget``, each is within 1 of its real-valued share, and the
+    whole computation is int64 arithmetic — no floats, so any engine
+    reproduces it bit-for-bit.
+
+    Each row gets ``base = (budget * w) div total`` and the
+    ``budget - Σ base`` leftover units go to the largest remainders
+    ``(budget * w) mod total`` (ties to the smaller id).  Returns
+    ``(id, weight, quota)``.
+
+    Scale shape: ``total`` and the leftover are one tiny driver
+    aggregate each (two scalars); base/remainder are a map-only
+    projection.  The leftover ranking is a global TopK of
+    ``leftover`` rows (< n_rows by construction) — Spark plans
+    per-partition heaps + one merge, not a global sort.  Keep
+    ``budget * max(w)`` inside int64: with 10^10-URL hosts that
+    bounds budget at ~10^8, which is the practical regime
+    (per-round fetch slots ≪ corpus size).
+    """
+    w = F.col(weight_col).cast("long")
+    total_row = df.agg(F.sum(w).alias("t")).first()
+    total = int(total_row["t"] or 0)
+    if total <= 0:
+        raise ValueError("apportion: total weight must be positive")
+    budget = int(budget)
+    scaled = (F.lit(budget).cast("long") * w)
+    base = F.expr(f"__ap_scaled div {total}")
+    rem = F.pmod(F.col("__ap_scaled"), F.lit(total))
+    with_base = (df.select(F.col(id_col), w.alias("weight"),
+                           scaled.alias("__ap_scaled"))
+                 .withColumn("__ap_base", base)
+                 .withColumn("__ap_rem", rem))
+    leftover = budget - int(
+        with_base.agg(F.sum("__ap_base")).first()[0] or 0)
+    win = Window.orderBy(F.desc("__ap_rem"), F.asc(id_col))
+    return (with_base
+            .withColumn("__ap_rk", F.row_number().over(win))
+            .select(id_col, "weight",
+                    (F.col("__ap_base")
+                     + F.when(F.col("__ap_rk") <= leftover, 1)
+                     .otherwise(0)).cast("long").alias("quota")))

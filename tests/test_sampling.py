@@ -86,3 +86,98 @@ def test_hash_threshold_bounds():
         sampling.hash_threshold(-1)
     with pytest.raises(ValueError):
         sampling.hash_threshold(65537)
+
+
+# --- weighted_sample (Efraimidis-Spirakis A-ES) ----------------------------
+
+
+def _py_aes_keys(ids_weights, salt):
+    import math
+    out = {}
+    for i, w in ids_weights:
+        if w <= 0:
+            continue
+        h = hashlib.md5(f"{salt}{i}".encode()).hexdigest()
+        u = (int(h[:12], 16) + 1.0) / float(1 << 48)
+        out[i] = round(-math.log(u) / float(w), 9)
+    return out
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    rows = [(i, (i * 13) % 29 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {(r["doc_id"], r["rank"]): r["sample_key"]
+           for r in sampling.weighted_sample(
+               df, "w", n=40, salt="t").collect()}
+    keys = _py_aes_keys(rows, "t")
+    want_order = sorted(keys, key=lambda i: (keys[i], i))[:40]
+    assert got == {(i, rk + 1): keys[i]
+                   for rk, i in enumerate(want_order)}
+
+
+def test_weighted_sample_bias_toward_heavy_rows(spark):
+    # 10 heavy rows (w=1000) among 190 light (w=1): across 20 salts
+    # the heavy rows must dominate a size-10 sample
+    rows = [(i, 1000 if i < 10 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    heavy = 0
+    for s in range(20):
+        got = sampling.weighted_sample(
+            df, "w", n=10, salt=f"s{s}").collect()
+        heavy += sum(1 for r in got if r["doc_id"] < 10)
+    # E[heavy] ~ 9.5/salt; even a weak draw clears half
+    assert heavy > 100
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_stable(spark):
+    rows = [(1, 5), (2, 0), (3, -4), (4, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(r["doc_id"] for r in sampling.weighted_sample(
+        df, "w", n=10, salt="z").collect())
+    assert got == [1, 4]
+    a = sampling.weighted_sample(
+        df.repartition(7), "w", n=10, salt="z").collect()
+    b = sampling.weighted_sample(
+        df.repartition(1), "w", n=10, salt="z").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- apportion (largest-remainder / Hamilton) -------------------------------
+
+
+def _py_apportion(rows, budget):
+    total = sum(w for _, w in rows)
+    base = {i: (budget * w) // total for i, w in rows}
+    rem = {i: (budget * w) % total for i, w in rows}
+    leftover = budget - sum(base.values())
+    order = sorted(rows, key=lambda iw: (-rem[iw[0]], iw[0]))
+    extra = {i for i, _ in order[:leftover]}
+    return {i: base[i] + (1 if i in extra else 0) for i, _ in rows}
+
+
+@pytest.mark.parametrize("budget", [1, 7, 100, 999])
+def test_apportion_matches_python_reference(spark, budget):
+    rows = [(f"h{i:02d}", (i * 17) % 23 + 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "host string, w long")
+    got = {r["host"]: r["quota"] for r in sampling.apportion(
+        df, "w", budget=budget, id_col="host").collect()}
+    assert got == _py_apportion(rows, budget)
+    assert sum(got.values()) == budget
+
+
+def test_apportion_quota_within_one_of_real_share(spark):
+    rows = [(f"h{i}", w) for i, w in enumerate([1, 5, 5, 9, 980])]
+    df = spark.createDataFrame(rows, "host string, w long")
+    got = {r["host"]: r["quota"] for r in sampling.apportion(
+        df, "w", budget=250, id_col="host").collect()}
+    total = 1000
+    for h, w in rows:
+        share = 250 * w / total
+        assert abs(got[h] - share) < 1.0
+    assert sum(got.values()) == 250
+
+
+def test_apportion_rejects_zero_total(spark):
+    df = spark.createDataFrame([("a", 0)], "host string, w long")
+    with pytest.raises(ValueError):
+        sampling.apportion(df, "w", budget=10, id_col="host")
