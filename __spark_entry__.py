@@ -2133,6 +2133,31 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n_partitions=8, capacity=256)
 
 
+def q_recrawl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit tiers (frontier/priority.py: recrawl_policy,
+    Cho & Garcia-Molina 2003) over 4 synthesized crawl snapshots:
+    each URL's digest history changes 0-3 times by doc_id%4 (rates
+    0/333/666/1000 millis → slow/medium/fast) and every 9th URL has
+    a single observation (tier 'unknown').  The engine detects
+    changes with a per-key lag window; the oracle reruns the same
+    integer spec in SQL."""
+    from cdx_writer_spark.frontier import priority
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    snaps = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("t")) \
+        .filter((d % 9 != 0) | (F.col("t") == 1))
+    ver = F.least(d % 4, F.col("t") - 1)
+    obs = snaps.select(
+        F.concat(F.lit("surt"), d.cast("string")).alias("surt_key"),
+        F.col("t").cast("long").alias("ts"),
+        F.md5(F.concat(F.lit("v"), ver.cast("string"), F.lit("-"),
+                       d.cast("string"))).alias("digest"))
+    return priority.recrawl_policy(obs)
+
+
 def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement
     (functions/sampling.py: weighted_sample) — 50 documents drawn
@@ -2198,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "crawl_budget": q_crawl_budget,
+        "recrawl_tiers": q_recrawl_tiers,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -2819,6 +2845,35 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY score_micro DESC, doc_id) AS INT) AS rank "
             "FROM d) "
             "SELECT * FROM r WHERE rank <= 20"),
+        # revisit tiers: identical integer spec (lag change detection,
+        # 1000*changes // intervals, tier CASE) over the same
+        # arithmetic snapshot history
+        "recrawl_tiers": (
+            "WITH s AS (SELECT doc_id, i AS t FROM documents, "
+            "unnest(range(1, 5)) AS u(i) "
+            "WHERE doc_id % 9 <> 0 OR i = 1), "
+            "o AS (SELECT 'surt' || doc_id AS surt_key, t AS ts, "
+            "md5('v' || least(doc_id % 4, t - 1) || '-' || doc_id) "
+            "AS digest FROM s), "
+            "l AS (SELECT surt_key, "
+            "CASE WHEN lag(digest) OVER w IS NOT NULL "
+            "AND lag(digest) OVER w <> digest THEN 1 ELSE 0 END AS chg, "
+            "CASE WHEN lag(digest) OVER w IS NOT NULL "
+            "THEN 1 ELSE 0 END AS itv "
+            "FROM o WINDOW w AS "
+            "(PARTITION BY surt_key ORDER BY ts, digest)), "
+            "p AS (SELECT surt_key, "
+            "CAST(SUM(itv) + 1 AS BIGINT) AS n_obs, "
+            "CAST(SUM(chg) AS BIGINT) AS n_changes, "
+            "SUM(itv) AS n_int FROM l GROUP BY surt_key) "
+            "SELECT surt_key, n_obs, n_changes, "
+            "CASE WHEN n_int > 0 THEN "
+            "CAST((1000 * n_changes) // n_int AS BIGINT) END "
+            "AS change_millis, "
+            "CASE WHEN n_int = 0 THEN 'unknown' "
+            "WHEN (1000 * n_changes) // n_int >= 500 THEN 'fast' "
+            "WHEN (1000 * n_changes) // n_int >= 100 THEN 'medium' "
+            "ELSE 'slow' END AS tier FROM p"),
         # A-ES weighted sampling: the oracle recomputes u from the
         # same 12 hash nibbles and the exponential key on the same
         # round-9 grid, then re-ranks

@@ -174,6 +174,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_corpus_weighted_sample(spark, sf_dir),
         "crawl_budget": lambda:
             entrymod.q_crawl_budget(spark, sf_dir),
+        "recrawl_tiers": lambda:
+            entrymod.q_recrawl_tiers(spark, sf_dir),
     }
 
 
