@@ -2133,6 +2133,21 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n_partitions=8, capacity=256)
 
 
+def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → parse round trip of the CDX text format
+    (sink.parse_cdx_lines, the read half that makes existing CDX
+    archives a first-class source): the engine renders the admitted
+    records to CDX lines and parses them back to field columns; the
+    oracle derives the SAME fields directly from the synth view —
+    so a renderer/parser asymmetry on any field breaks the hash."""
+    from cdx_writer_spark.sink import parse_cdx_lines
+
+    pages = pages_from_documents(spark, sf_dir)
+    lines = cdx_lines(pages, CDXConfig(format=_ORACLE_FORMAT),
+                      sort=True)
+    return parse_cdx_lines(lines, _ORACLE_FORMAT)
+
+
 def q_recrawl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive revisit tiers (frontier/priority.py: recrawl_policy,
     Cho & Garcia-Molina 2003) over 4 synthesized crawl snapshots:
@@ -2224,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "crawl_budget": q_crawl_budget,
         "recrawl_tiers": q_recrawl_tiers,
+        "cdx_roundtrip": q_cdx_roundtrip,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -2845,6 +2861,24 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY score_micro DESC, doc_id) AS INT) AS rank "
             "FROM d) "
             "SELECT * FROM r WHERE rank <= 20"),
+        # CDX write->parse round trip: the oracle derives the fields
+        # DIRECTLY (never rendering a line), so the engine's
+        # render+parse must be a faithful inverse pair
+        "cdx_roundtrip": (
+            _W + " SELECT surt AS massaged_url, date14 AS date, "
+            "url AS original_url, "
+            "CASE WHEN record_type = 'revisit' THEN 'warc/revisit' "
+            "ELSE 'text/html' END AS mime_type, "
+            "CASE WHEN record_type = 'revisit' THEN '-' "
+            "ELSE status END AS response_code, "
+            "'-' AS redirect, "
+            "CASE WHEN record_type = 'response' "
+            "THEN COALESCE(robots_flag, '-') ELSE '-' END "
+            "AS aif_meta_tags, "
+            "CAST(compressed_size AS VARCHAR) "
+            "AS compressed_record_size, "
+            "CAST(\"offset\" AS VARCHAR) AS compressed_arc_file_offset, "
+            "warc_file AS file_name FROM admitted"),
         # revisit tiers: identical integer spec (lag change detection,
         # 1000*changes // intervals, tier CASE) over the same
         # arithmetic snapshot history

@@ -176,6 +176,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_crawl_budget(spark, sf_dir),
         "recrawl_tiers": lambda:
             entrymod.q_recrawl_tiers(spark, sf_dir),
+        "cdx_roundtrip": lambda:
+            entrymod.q_cdx_roundtrip(spark, sf_dir),
     }
 
 

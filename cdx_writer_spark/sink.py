@@ -154,3 +154,39 @@ def _finish_stats(obs: Observation, flagged: DataFrame,
         with open(stats_file, "w") as f:
             json.dump(stats, f, indent=4)
     return stats
+
+
+def parse_cdx_lines(lines: DataFrame, format: str | None = None,
+                    line_col: str = "cdx_line") -> DataFrame:
+    """The inverse of the CDX text sink: parse CDX lines back into
+    the writer's field columns — the read half of the format, so
+    existing CDX archives are a first-class SOURCE (diff two crawls
+    with ``relational.snapshot_delta``, join an index against the
+    frontier, re-sort a merge of per-file outputs).
+
+    ``format`` is the same space-separated field-code string the
+    writer takes (default ``schema.DEFAULT_FORMAT``); output columns
+    carry the writer's names (``fields.field_column_name``), all as
+    strings — CDX is a text format and '-' placeholders keep the
+    writer's semantics, so ``write → parse`` round-trips exactly
+    (pytest-gated).  Header rows (the reference writes
+    ``' CDX <format>'`` with a LEADING SPACE, cdx_writer.py:695) and
+    lines whose field count does not match the format are dropped:
+    CDX fields never contain spaces (URLs are %-encoded by
+    construction), so the single-space split is exact.
+
+    Scale shape: a pure native projection (split + element_at) — no
+    shuffle, no Python; Catalyst prunes unused field columns back
+    through the split."""
+    from .fields import field_column_name
+    from .schema import DEFAULT_FORMAT
+
+    codes = (format or DEFAULT_FORMAT).split(" ")
+    names = [field_column_name(c) for c in codes]
+    parts = F.split(F.col(line_col), " ")
+    return (lines
+            .filter(~F.col(line_col).startswith(" "))
+            .select(parts.alias("__cdx_parts"))
+            .filter(F.size("__cdx_parts") == len(codes))
+            .select(*[F.element_at(F.col("__cdx_parts"), i + 1)
+                      .alias(n) for i, n in enumerate(names)]))

@@ -322,3 +322,52 @@ def test_native_sha1_b32_matches_hashlib(spark):
             else base64.b32encode(hashlib.sha1(p).digest()).decode("ascii")
             for p in payloads]
     assert got == want
+
+
+# --- parse_cdx_lines (the CDX source / round trip) --------------------------
+
+
+def test_cdx_write_parse_round_trip(spark):
+    from cdx_writer_spark.fields import field_column_name
+    from cdx_writer_spark.job import cdx_flagged
+    from cdx_writer_spark.schema import DEFAULT_FORMAT
+    from cdx_writer_spark.sink import parse_cdx_lines
+
+    pages = spark.createDataFrame(
+        edge_case_rows() + bulk_rows(200), PAGES_SCHEMA)
+    cfg = CDXConfig(format=DEFAULT_FORMAT)
+    lines = cdx_lines(pages, cfg, sort=True)
+    parsed = parse_cdx_lines(lines, DEFAULT_FORMAT)
+
+    names = [field_column_name(c) for c in DEFAULT_FORMAT.split(" ")]
+    direct = (cdx_flagged(pages, cfg)
+              .filter(F.col("admitted"))
+              .select(*[F.coalesce(F.col(n).cast("string"), F.lit("-"))
+                        .alias(n) for n in names]))
+    got = sorted(map(tuple, parsed.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and len(got) > 200
+
+
+def test_parse_cdx_lines_drops_header_and_malformed(spark):
+    from cdx_writer_spark.sink import parse_cdx_lines
+
+    df = spark.createDataFrame(
+        [(" CDX N b a",),
+         ("com,example)/ 20120101000000 http://example.com/",),
+         ("too few",),
+         ("a b c d extra",)],
+        "cdx_line string")
+    got = parse_cdx_lines(df, "N b a").collect()
+    assert len(got) == 1
+    assert got[0]["massaged_url"] == "com,example)/"
+    assert got[0]["date"] == "20120101000000"
+
+
+def test_parse_cdx_lines_plan_is_shuffle_free(spark):
+    from cdx_writer_spark.sink import parse_cdx_lines
+
+    df = spark.createDataFrame([("a b c",)], "cdx_line string")
+    plan = parse_cdx_lines(df, "N b a")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
