@@ -2133,6 +2133,20 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n_partitions=8, capacity=256)
 
 
+def q_corpus_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HDR-histogram quantile sketch (functions/sketch.py:
+    quantile_sketch) — p50/p90/p99 document sizes without a global
+    sort: exponent+4-mantissa-bit integer buckets (no float log, the
+    HLL bin() trick), counts mergeable by addition, estimate = the
+    bucket lower bound (guaranteed within 1/16 relative).  The
+    oracle reruns the identical integer spec in SQL."""
+    from cdx_writer_spark.functions import sketch
+
+    docs = _table(spark, sf_dir, "documents")
+    return sketch.quantile_sketch(docs, "n_chars",
+                                  percentiles=(50, 90, 99))
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2240,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "recrawl_tiers": q_recrawl_tiers,
         "cdx_roundtrip": q_cdx_roundtrip,
+        "corpus_size_quantiles": q_corpus_size_quantiles,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -2861,6 +2876,24 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY score_micro DESC, doc_id) AS INT) AS rank "
             "FROM d) "
             "SELECT * FROM r WHERE rank <= 20"),
+        # HDR quantile sketch: identical integer bucket spec —
+        # len(bin(v)) exponent, 4 mantissa bits, cumulative probe
+        "corpus_size_quantiles": (
+            "WITH vv AS (SELECT greatest(CAST(n_chars AS BIGINT), 0) "
+            "AS v FROM documents), "
+            "e AS (SELECT v, len(bin(v)) - 1 AS e FROM vv), "
+            "bkt AS (SELECT CASE WHEN v < 16 THEN v "
+            "ELSE (e - 4) * 16 + (v >> (e - 4)) END AS b FROM e), "
+            "c AS (SELECT b, COUNT(*) AS cnt FROM bkt GROUP BY b), "
+            "cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum, "
+            "SUM(cnt) OVER () AS n FROM c), "
+            "p AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(pct)), "
+            "hit AS (SELECT pct, MIN(b) AS b, MAX(n) AS n "
+            "FROM cum, p WHERE cum * 100 >= n * pct GROUP BY pct) "
+            "SELECT CAST(pct AS INT) AS pct, "
+            "CAST(CASE WHEN b < 16 THEN b "
+            "ELSE ((b % 16) + 16) << (b // 16 - 1) END AS BIGINT) "
+            "AS estimate, CAST(n AS BIGINT) AS n FROM hit"),
         # CDX write->parse round trip: the oracle derives the fields
         # DIRECTLY (never rendering a line), so the engine's
         # render+parse must be a faithful inverse pair

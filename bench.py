@@ -178,6 +178,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_recrawl_tiers(spark, sf_dir),
         "cdx_roundtrip": lambda:
             entrymod.q_cdx_roundtrip(spark, sf_dir),
+        "corpus_size_quantiles": lambda:
+            entrymod.q_corpus_size_quantiles(spark, sf_dir),
     }
 
 

@@ -207,3 +207,87 @@ def cms_estimate(table: DataFrame, items: DataFrame, col: str,
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est"))
             .select(F.col("__v").alias(col), "est"))
+
+
+# --- HDR-style quantile sketch ---------------------------------------------
+
+#: mantissa bits of the quantile histogram: buckets are
+#: (exponent, 4-mantissa-bit) cells, so relative error <= 1/16
+Q_MB = 4
+Q_M = 1 << Q_MB
+
+
+def quantile_bucket_col(v: Column) -> Column:
+    """The HDR-histogram bucket id of a non-negative int64: values
+    below 2^4 map to themselves (exact), larger values to
+    ``(e - 4) * 16 + (v >> (e - 4))`` where ``e`` is the top bit
+    index — derived from ``length(bin(v))``, NOT a float log2, so
+    bucket boundaries are engine-exact (the HLL rank trick).  Bucket
+    ids are monotone in ``v`` and each bucket spans < 1/16 of its
+    lower bound."""
+    e = F.length(F.bin(v)) - F.lit(1)
+    sh = (e - F.lit(Q_MB)).cast("int")
+    return F.when(v < Q_M, v).otherwise(
+        (e - F.lit(Q_MB)) * F.lit(Q_M)
+        + F.call_function("shiftright", v, sh)).cast("long")
+
+
+def quantile_bucket_lo_col(b: Column) -> Column:
+    """Lower-bound value of bucket ``b`` — the sketch's estimate."""
+    s = F.floor(b / F.lit(Q_M)).cast("long")
+    return F.when(b < Q_M, b).otherwise(
+        F.call_function(
+            "shiftleft", (F.pmod(b, F.lit(Q_M)) + F.lit(Q_M)),
+            (s - F.lit(1)).cast("int"))).cast("long")
+
+
+def quantile_sketch(df: DataFrame, value_col: str,
+                    percentiles: tuple[int, ...] = (50, 90, 99)
+                    ) -> DataFrame:
+    """Mergeable quantile estimation at corpus scale — page sizes,
+    token counts, fetch latencies over 10^10 rows — without the
+    global sort an exact ``percentile_disc`` needs.  HDR-histogram
+    buckets (exponent + 4 mantissa bits): every value folds into one
+    of ~16·64 integer buckets, the per-bucket counts ARE the sketch
+    (mergeable by addition, map-side partial agg), and each
+    percentile reads the first bucket whose cumulative count reaches
+    ``ceil(n * pct / 100)``.  Estimates are the bucket lower bound:
+    ``estimate <= true < estimate * (1 + 1/16) + 1``, guaranteed, in
+    pure int64 on any engine (no float log; pytest-gated against
+    exact percentiles).
+
+    Output: ``(pct, estimate, n)``, one row per requested
+    percentile.
+
+    Scale shape: one narrow bucket projection off the scan + ONE
+    bucket-keyed groupBy with map-side partial counts (the only
+    data-sized exchange carries bucket ids); the cumulative window
+    and the percentile probe run over the few-hundred-row bucket
+    table.  Negative values are clamped to bucket 0."""
+    from pyspark.sql.window import Window
+
+    v = F.greatest(F.col(value_col).cast("long"), F.lit(0))
+    counts = (df.select(quantile_bucket_col(v).alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")))
+    w_cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "b", F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"))
+    pcts = None
+    for p in percentiles:
+        row = F.struct(F.lit(int(p)).alias("pct"))
+        pcts = F.array(row) if pcts is None else F.concat(
+            pcts, F.array(row))
+    p_df = cum.sparkSession.range(1).select(
+        F.explode(pcts).alias("p")).select(F.col("p.pct").alias("pct"))
+    hit = (cum.crossJoin(F.broadcast(p_df))
+           .filter(F.col("cum") * 100
+                   >= F.col("n") * F.col("pct"))
+           .groupBy("pct")
+           .agg(F.min("b").alias("b"), F.max("n").alias("n")))
+    return hit.select(
+        F.col("pct").cast("int").alias("pct"),
+        quantile_bucket_lo_col(F.col("b")).alias("estimate"),
+        F.col("n").cast("long").alias("n"))

@@ -10,7 +10,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from cdx_writer_spark.functions import lm, similarity, textstats
+from cdx_writer_spark.functions import lm, similarity, sketch, textstats
 
 
 # --- C4 line filter -----------------------------------------------------------
@@ -658,3 +658,70 @@ def test_bm25_partitioning_invariance(spark):
     b = sorted(map(tuple, textstats.bm25_topk(
         df.repartition(13), ["spark", "merge"], k=40).collect()))
     assert a == b  # integer micro-point sums are order-immune
+
+
+# --- quantile_sketch (HDR-histogram percentiles) ----------------------------
+
+
+def _py_qbucket(v):
+    if v < 16:
+        return v
+    e = v.bit_length() - 1
+    return (e - 4) * 16 + (v >> (e - 4))
+
+
+def _py_qlo(b):
+    if b < 16:
+        return b
+    return ((b % 16) + 16) << (b // 16 - 1)
+
+
+def test_quantile_bucket_round_trip_bounds():
+    # pure-python spec check: lo(bucket(v)) <= v < lo * (1 + 1/16) + 1
+    import random
+    rng = random.Random(11)
+    vals = ([0, 1, 15, 16, 17, 31, 32, 2**40, 2**62]
+            + [rng.randrange(0, 2**50) for _ in range(2000)])
+    for v in vals:
+        lo = _py_qlo(_py_qbucket(v))
+        assert lo <= v
+        assert v <= lo + (lo >> 4) + 1
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark):
+    import random
+    rng = random.Random(3)
+    vals = [rng.randrange(1, 10**9) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["pct"]: (r["estimate"], r["n"])
+           for r in sketch.quantile_sketch(
+               df, "x", percentiles=(50, 90, 99)).collect()}
+    svals = sorted(vals)
+    for pct in (50, 90, 99):
+        est, n = got[pct]
+        assert n == 5000
+        true = svals[-(-5000 * pct // 100) - 1]  # ceil rank, 0-based
+        assert est <= true <= est + (est >> 4) + 1
+
+
+def test_quantile_sketch_matches_python_and_partitioning(spark):
+    vals = list(range(0, 3000, 7)) + [0, 0, 1, 2**45]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    a = sorted(map(tuple, sketch.quantile_sketch(
+        df.repartition(1), "x").collect()))
+    b = sorted(map(tuple, sketch.quantile_sketch(
+        df.repartition(17), "x").collect()))
+    assert a == b
+    # python reference of the full spec
+    from collections import Counter
+    c = Counter(_py_qbucket(v) for v in vals)
+    n = len(vals)
+    want = []
+    for pct in (50, 90, 99):
+        cum = 0
+        for bkt in sorted(c):
+            cum += c[bkt]
+            if cum * 100 >= n * pct:
+                want.append((pct, _py_qlo(bkt), n))
+                break
+    assert a == sorted(want)
