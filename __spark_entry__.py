@@ -2147,6 +2147,20 @@ def q_corpus_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   percentiles=(50, 90, 99))
 
 
+def q_lang_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantile sketch (functions/sketch.py:
+    quantile_sketch_grouped) — per-language p50/p90/p99 document
+    sizes, the realized 100 TB swap for exact grouped percentiles:
+    one mergeable HDR sketch per group, every group capped at the
+    bucket-table size in the shuffle (the grouped-HLL skew story).
+    Oracle = the identical integer spec partitioned by lang."""
+    from cdx_writer_spark.functions import sketch
+
+    docs = _table(spark, sf_dir, "documents")
+    return sketch.quantile_sketch_grouped(
+        docs, "lang", "n_chars", percentiles=(50, 90, 99))
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2255,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_tiers": q_recrawl_tiers,
         "cdx_roundtrip": q_cdx_roundtrip,
         "corpus_size_quantiles": q_corpus_size_quantiles,
+        "lang_size_quantiles": q_lang_size_quantiles,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -2891,6 +2906,27 @@ def oracle_sql() -> dict[str, str]:
             "hit AS (SELECT pct, MIN(b) AS b, MAX(n) AS n "
             "FROM cum, p WHERE cum * 100 >= n * pct GROUP BY pct) "
             "SELECT CAST(pct AS INT) AS pct, "
+            "CAST(CASE WHEN b < 16 THEN b "
+            "ELSE ((b % 16) + 16) << (b // 16 - 1) END AS BIGINT) "
+            "AS estimate, CAST(n AS BIGINT) AS n FROM hit"),
+        # grouped HDR sketch: same integer spec, partitioned by lang
+        "lang_size_quantiles": (
+            "WITH vv AS (SELECT lang, "
+            "greatest(CAST(n_chars AS BIGINT), 0) AS v "
+            "FROM documents), "
+            "e AS (SELECT lang, v, len(bin(v)) - 1 AS e FROM vv), "
+            "bkt AS (SELECT lang, CASE WHEN v < 16 THEN v "
+            "ELSE (e - 4) * 16 + (v >> (e - 4)) END AS b FROM e), "
+            "c AS (SELECT lang, b, COUNT(*) AS cnt FROM bkt "
+            "GROUP BY lang, b), "
+            "cum AS (SELECT lang, b, "
+            "SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum, "
+            "SUM(cnt) OVER (PARTITION BY lang) AS n FROM c), "
+            "p AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(pct)), "
+            "hit AS (SELECT lang, pct, MIN(b) AS b, MAX(n) AS n "
+            "FROM cum, p WHERE cum * 100 >= n * pct "
+            "GROUP BY lang, pct) "
+            "SELECT lang, CAST(pct AS INT) AS pct, "
             "CAST(CASE WHEN b < 16 THEN b "
             "ELSE ((b % 16) + 16) << (b // 16 - 1) END AS BIGINT) "
             "AS estimate, CAST(n AS BIGINT) AS n FROM hit"),

@@ -180,6 +180,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_cdx_roundtrip(spark, sf_dir),
         "corpus_size_quantiles": lambda:
             entrymod.q_corpus_size_quantiles(spark, sf_dir),
+        "lang_size_quantiles": lambda:
+            entrymod.q_lang_size_quantiles(spark, sf_dir),
     }
 
 

@@ -291,3 +291,46 @@ def quantile_sketch(df: DataFrame, value_col: str,
         F.col("pct").cast("int").alias("pct"),
         quantile_bucket_lo_col(F.col("b")).alias("estimate"),
         F.col("n").cast("long").alias("n"))
+
+
+def quantile_sketch_grouped(df: DataFrame, key: str, value_col: str,
+                            percentiles: tuple[int, ...] = (50, 90, 99)
+                            ) -> DataFrame:
+    """Per-group percentiles at corpus scale — the realized form of
+    the documented swap for exact grouped ``percentile`` (which
+    buffers each group's values): one sketch per key, same
+    HDR-histogram buckets as :func:`quantile_sketch`.
+
+    Output: ``(key, pct, estimate, n)``.
+
+    Scale shape / skew containment: the (key, bucket) aggregation
+    with map-side partial counts caps ANY group's shuffle
+    contribution at the bucket-table size (~16·64 rows) — a
+    10^9-page host and a 10^3-page host ship the same few hundred
+    rows, the grouped-HLL property again.  The cumulative window and
+    the percentile probe then run per key over those bounded bucket
+    rows (never the group's values)."""
+    from pyspark.sql.window import Window
+
+    v = F.greatest(F.col(value_col).cast("long"), F.lit(0))
+    counts = (df.select(F.col(key), quantile_bucket_col(v).alias("b"))
+              .groupBy(key, "b").agg(F.count(F.lit(1)).alias("cnt")))
+    w_cum = Window.partitionBy(key).orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(key)
+    cum = counts.select(
+        key, "b", F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"))
+    pcts = F.array(*[F.struct(F.lit(int(p)).alias("pct"))
+                     for p in percentiles])
+    p_df = cum.sparkSession.range(1).select(
+        F.explode(pcts).alias("p")).select(F.col("p.pct").alias("pct"))
+    hit = (cum.crossJoin(F.broadcast(p_df))
+           .filter(F.col("cum") * 100 >= F.col("n") * F.col("pct"))
+           .groupBy(key, "pct")
+           .agg(F.min("b").alias("b"), F.max("n").alias("n")))
+    return hit.select(
+        F.col(key),
+        F.col("pct").cast("int").alias("pct"),
+        quantile_bucket_lo_col(F.col("b")).alias("estimate"),
+        F.col("n").cast("long").alias("n"))

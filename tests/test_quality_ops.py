@@ -725,3 +725,18 @@ def test_quantile_sketch_matches_python_and_partitioning(spark):
                 want.append((pct, _py_qlo(bkt), n))
                 break
     assert a == sorted(want)
+
+
+def test_quantile_sketch_grouped_equals_per_group_ungrouped(spark):
+    import random
+    rng = random.Random(9)
+    rows = [(f"g{i % 3}", rng.randrange(0, 10**7)) for i in range(900)]
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = sorted(map(tuple, sketch.quantile_sketch_grouped(
+        df, "k", "x").collect()))
+    want = []
+    for g in ("g0", "g1", "g2"):
+        sub = df.filter(F.col("k") == g)
+        for r in sketch.quantile_sketch(sub, "x").collect():
+            want.append((g, r["pct"], r["estimate"], r["n"]))
+    assert got == sorted(want)
