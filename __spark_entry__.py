@@ -2161,6 +2161,57 @@ def q_lang_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", "n_chars", percentiles=(50, 90, 99))
 
 
+def q_host_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-pass heavy hitters (functions/sketch.py:
+    heavy_hitters) — every host above a 1/9 frequency share, with its
+    exact count, over a planted geometric host skew
+    (host-j = bit-length of doc_id%4096+1, so host-12 takes ~50% of
+    the corpus — the crawl hot-host shape).  Pass 1 is a map-only
+    Misra-Gries candidate sweep (≤ k counters per task); pass 2
+    re-counts with the candidate set broadcast, so no shuffle ever
+    carries the full distinct-host set — the plain
+    ``groupBy(host).count()`` the oracle runs would.  Output is
+    partitioning-independent because only pass-2's exact counts
+    decide."""
+    from cdx_writer_spark.functions import sketch
+
+    docs = _table(spark, sf_dir, "documents")
+    hosts = docs.select(F.concat(
+        F.lit("host-"),
+        F.length(F.bin((F.col("doc_id") % 4096) + 1)).cast("string")
+    ).alias("host"))
+    return sketch.heavy_hitters(hosts, "host", k=8)
+
+
+def q_kmv_value_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-set overlap (functions/sketch.py: kmv_overlap) —
+    how many distinct value-cent buckets two event streams share
+    (event_id parity split), from two 64-row sketches instead of a
+    distinct-set exchange: the "how many distinct URLs do two crawl
+    snapshots share" estimator at snapshot scale.  Integer anchors
+    (k-th hash, match count) are exact md5 arithmetic; the oracle
+    re-derives the same k-minima and estimates bit-for-bit."""
+    from cdx_writer_spark.functions import sketch
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "bucket", F.floor(F.col("value") * 100).cast("long"))
+    df_a = ev.filter(F.col("event_id") % 2 == 0)
+    df_b = ev.filter(F.col("event_id") % 2 == 1)
+    return sketch.kmv_overlap(df_a, "bucket", df_b, "bucket")
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directional n-gram containment pairs
+    (functions/dedup.py: ngram_containment_pairs) — |A∩B|/|A| >= 1/2,
+    the quote/inclusion detector Jaccard resemblance misses.  The
+    DuckDB oracle is independent of the asymmetric prefix filter: it
+    enumerates ordered pairs sharing >= 1 shingle (a complete
+    superset) and verifies the exact containment ratio."""
+    return dedup.ngram_containment_pairs(_docs(spark, sf_dir),
+                                         threshold_num=1,
+                                         threshold_den=2)
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2270,6 +2321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_roundtrip": q_cdx_roundtrip,
         "corpus_size_quantiles": q_corpus_size_quantiles,
         "lang_size_quantiles": q_lang_size_quantiles,
+        "host_heavy_hitters": q_host_heavy_hitters,
+        "kmv_value_overlap": q_kmv_value_overlap,
+        "dedup_containment": q_dedup_containment,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -2930,6 +2984,77 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN b < 16 THEN b "
             "ELSE ((b % 16) + 16) << (b // 16 - 1) END AS BIGINT) "
             "AS estimate, CAST(n AS BIGINT) AS n FROM hit"),
+        # exact heavy hitters: the oracle runs the full-cardinality
+        # groupBy the two-pass operator exists to avoid — same exact
+        # answer, structurally different plan
+        "host_heavy_hitters": (
+            "WITH v AS (SELECT 'host-' || "
+            "CAST(length(bin((doc_id % 4096) + 1)) AS VARCHAR) "
+            "AS item FROM documents), "
+            "c AS (SELECT item, COUNT(*) AS cnt FROM v GROUP BY 1), "
+            "t AS (SELECT SUM(cnt) AS n FROM c) "
+            "SELECT item, CAST(cnt AS BIGINT) AS cnt, "
+            "CAST(n AS BIGINT) AS n FROM c, t WHERE cnt * 9 > n"),
+        # KMV overlap re-derived from scratch: same md5-top-60-bit
+        # hash, exact k-minima per side, merged sketch, identical
+        # double arithmetic for the two estimates
+        "kmv_value_overlap": (
+            "WITH ev AS (SELECT event_id, "
+            "CAST(FLOOR(value * 100) AS BIGINT) AS bucket "
+            "FROM events), "
+            "ha AS (SELECT DISTINCT "
+            + _HEXN_SQL(
+                "substr(md5(CAST(bucket AS VARCHAR)), 1, 15)", 15)
+            + " AS h FROM ev WHERE event_id % 2 = 0 "
+            "AND bucket IS NOT NULL), "
+            "hb AS (SELECT DISTINCT "
+            + _HEXN_SQL(
+                "substr(md5(CAST(bucket AS VARCHAR)), 1, 15)", 15)
+            + " AS h FROM ev WHERE event_id % 2 = 1 "
+            "AND bucket IS NOT NULL), "
+            "a AS (SELECT h FROM ha ORDER BY h LIMIT 64), "
+            "b AS (SELECT h FROM hb ORDER BY h LIMIT 64), "
+            "u AS (SELECT DISTINCT h FROM "
+            "((SELECT h FROM a) UNION ALL (SELECT h FROM b)) "
+            "ORDER BY h LIMIT 64), "
+            "f AS (SELECT COUNT(*) AS n_u, MAX(h) AS kth, "
+            "SUM(CASE WHEN h IN (SELECT h FROM a) "
+            "AND h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS m "
+            "FROM u), "
+            "s AS (SELECT n_u, kth, m, "
+            "round(CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE) "
+            "ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) "
+            "END, 2) AS est_u FROM f) "
+            "SELECT CAST(64 AS BIGINT) AS k, "
+            "CAST(n_u AS BIGINT) AS n_union_sketch, "
+            "CAST(kth AS BIGINT) AS kth_hash, "
+            "CAST(m AS BIGINT) AS matches_both, "
+            "est_u AS est_union, "
+            "round(CAST(m AS DOUBLE) * est_u "
+            "/ least(64, n_u), 2) AS est_intersection FROM s"),
+        # directional containment brute-forced: ordered pairs sharing
+        # >= 1 shingle (complete superset of any threshold > 0), exact
+        # |A∩B|/|A| verify — independent of the prefix filter
+        "dedup_containment": (
+            "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents), "
+            "shg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 "
+            "THEN list_transform(range(1, len(tk) - 1), i -> "
+            "array_to_string(list_slice(tk, i, i + 2), ' ')) "
+            "ELSE [array_to_string(tk, ' ')] END) AS sh FROM tk), "
+            "ex AS (SELECT doc_id, unnest(sh) AS s FROM shg), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, "
+            "b.doc_id AS id_b FROM ex a JOIN ex b ON a.s = b.s "
+            "AND a.doc_id <> b.doc_id), "
+            "scored AS (SELECT id_a, id_b, "
+            "CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) "
+            "AS BIGINT) AS i, "
+            "CAST(len(sa.sh) AS BIGINT) AS na "
+            "FROM cand JOIN shg sa ON sa.doc_id = cand.id_a "
+            "JOIN shg sb ON sb.doc_id = cand.id_b) "
+            "SELECT id_a, id_b, "
+            "round(CAST(i AS DOUBLE) / na, 4) AS containment "
+            "FROM scored WHERE i * 2 >= na"),
         # CDX write->parse round trip: the oracle derives the fields
         # DIRECTLY (never rendering a line), so the engine's
         # render+parse must be a faithful inverse pair

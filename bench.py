@@ -182,6 +182,12 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_corpus_size_quantiles(spark, sf_dir),
         "lang_size_quantiles": lambda:
             entrymod.q_lang_size_quantiles(spark, sf_dir),
+        "host_heavy_hitters": lambda:
+            entrymod.q_host_heavy_hitters(spark, sf_dir),
+        "kmv_value_overlap": lambda:
+            entrymod.q_kmv_value_overlap(spark, sf_dir),
+        "dedup_containment": lambda:
+            entrymod.q_dedup_containment(spark, sf_dir),
     }
 
 

@@ -499,6 +499,119 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return inter.unionByName(intra).select("id_a", "id_b", "jaccard")
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            threshold_num: int = 1,
+                            threshold_den: int = 2,
+                            verify_broadcast_limit: int | None = None
+                            ) -> DataFrame:
+    """EXACT directional n-gram containment pairs: every ordered pair
+    ``(id_a, id_b)`` with ``|A∩B| / |A| >= num/den`` over the docs'
+    k-shingle sets — "A is (nearly) contained in B".  The quote /
+    inclusion detector that Jaccard resemblance structurally misses: a
+    paragraph quoted inside a 100× longer page scores containment 1.0
+    but Jaccard ~0.01, so :func:`ngram_jaccard_pairs` never ranks it.
+
+    Candidate generation is the ASYMMETRIC prefix filter (Chaudhuri et
+    al. ICDE'06): a qualifying pair needs ``|A∩B| >= ceil(tau·|A|)``
+    shared shingles, so (ordering both sets by the same canonical
+    hash order) A must share a token within its first
+    ``|A| - ceil(tau·|A|) + 1`` elements with B — B gets NO prefix
+    bound (containment does not constrain ``|B|``), so the probe side
+    is A-prefixes and the indexed side is B's FULL token list (the
+    inverted-index shape `functions/relational.py` documents; the
+    per-token postings are what a real system would frequency-order —
+    hash order is kept here so the DuckDB oracle shares the exact
+    ordering).  The PPJoin-style positional bound prunes occurrences
+    before the pair-dedup exchange: a shared token at sorted positions
+    (pa, pb) leaves at most ``min(na-pa, nb-pb)+1`` joint elements,
+    which must reach ``ceil(tau·na)``.
+
+    Threshold is rational and the qualifying test pure integer
+    (``den·|A∩B| >= num·|A|``), mirroring the Jaccard op.  Exact
+    pre-collapse, persist-once candidates and the size-gated verify
+    prune are shared with the rest of the module (blowup controls
+    #1/#2).  Output: ``(id_a, id_b, containment)`` — DIRECTIONAL
+    (both orders appear when both directions qualify; exact-duplicate
+    groups emit both orders at containment 1.0)."""
+    membership, reps = _exact_groups(
+        df, F.md5(F.col(text_col)), id_col, F.col(text_col), "text")
+
+    sorted_grams = F.array_sort(
+        F.transform(shingles_col(F.col("text"), k),
+                    lambda s: F.xxhash64(s)))
+
+    def ceil_tau(n: Column) -> Column:
+        return F.floor((F.lit(threshold_num) * n
+                        + F.lit(threshold_den - 1))
+                       / F.lit(threshold_den)).cast("long")
+
+    def prefix_rows_of(gs: Column) -> Column:
+        n = F.size(gs).cast("long")
+        return F.transform(
+            F.slice(gs, 1, (n - ceil_tau(n) + 1).cast("int")),
+            lambda tokv, i: F.struct(
+                tokv.alias("tok"), n.alias("n"),
+                (i + 1).cast("long").alias("pos")))
+
+    def all_rows_of(gs: Column) -> Column:
+        n = F.size(gs).cast("long")
+        return F.transform(
+            gs, lambda tokv, i: F.struct(
+                tokv.alias("tok"), n.alias("n"),
+                (i + 1).cast("long").alias("pos")))
+
+    def exploded(rows_of) -> DataFrame:
+        return (reps.select(
+            "gkey", F.explode(bind_once(sorted_grams, rows_of))
+            .alias("_r"))
+            .select(F.col("_r.tok").alias("tok"), "gkey",
+                    F.col("_r.n").alias("n"),
+                    F.col("_r.pos").alias("pos")))
+
+    probe, index = exploded(prefix_rows_of), exploded(all_rows_of)
+    a, b = probe.alias("a"), index.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    ubound = F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1
+    cand = _persist_candidates(
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.gkey") != F.col("b.gkey")))
+        .filter(ubound >= ceil_tau(na))
+        .select(F.col("a.gkey").alias("gkey_a"),
+                F.col("b.gkey").alias("gkey_b"))
+        .dropDuplicates(["gkey_a", "gkey_b"]))
+    sh_verify = _pruned_reps(reps, cand, verify_broadcast_limit) \
+        .select("gkey", shingles_col(F.col("text"), k).alias("sh"))
+    sh_a = sh_verify.select(F.col("gkey").alias("gkey_a"),
+                            F.col("sh").alias("sh_a"))
+    sh_b = sh_verify.select(F.col("gkey").alias("gkey_b"),
+                            F.col("sh").alias("sh_b"))
+    inter_sz = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    a_sz = F.size("sh_a").cast("long")
+    rep_pairs = (
+        cand.join(sh_a, "gkey_a").join(sh_b, "gkey_b")
+        .filter(inter_sz * threshold_den >= a_sz * threshold_num)
+        .withColumn("containment",
+                    F.round(inter_sz.cast("double") / a_sz, 4))
+        .select("gkey_a", "gkey_b", "containment"))
+    # directional member expansion (no least/greatest reordering)
+    ma = membership.select(F.col("gkey").alias("gkey_a"),
+                           F.col("id").alias("id_a"))
+    mb = membership.select(F.col("gkey").alias("gkey_b"),
+                           F.col("id").alias("id_b"))
+    inter = (rep_pairs.join(ma, "gkey_a").join(mb, "gkey_b")
+             .select("id_a", "id_b", "containment"))
+    # exact-duplicate groups: containment 1.0 in BOTH directions
+    g1, g2 = membership.alias("g1"), membership.alias("g2")
+    intra = (g1.join(g2, (F.col("g1.gkey") == F.col("g2.gkey"))
+                     & (F.col("g1.id") != F.col("g2.id")))
+             .select(F.col("g1.id").alias("id_a"),
+                     F.col("g2.id").alias("id_b"),
+                     F.lit(1.0).alias("containment")))
+    return inter.unionByName(intra).select("id_a", "id_b",
+                                           "containment")
+
+
 # --- Winnowing fingerprints --------------------------------------------------
 
 def winnowing_fingerprints_col(text: Column, k: int = 8,

@@ -334,3 +334,168 @@ def quantile_sketch_grouped(df: DataFrame, key: str, value_col: str,
         F.col("pct").cast("int").alias("pct"),
         quantile_bucket_lo_col(F.col("b")).alias("estimate"),
         F.col("n").cast("long").alias("n"))
+
+
+# --- exact two-pass heavy hitters (Misra-Gries candidates) -------------------
+
+def _mg_candidates(df: DataFrame, k: int) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries summaries over ``df.item``
+    (already cast to string, NULL-free) — each task keeps at most
+    ``k`` counters in memory and emits at most ``k`` candidate rows,
+    whatever the partition's distinct cardinality.
+
+    Merge rule (Agarwal et al., "Mergeable Summaries", PODS'12): sum
+    counters, then if more than ``k`` survive, subtract the (k+1)-th
+    largest value from all and drop the non-positive — the summary
+    undercounts any item by at most N_p/(k+1), so every item with
+    partition count > N_p/(k+1) keeps a positive counter.  By
+    pigeonhole, any GLOBAL item with cnt·(k+1) > N appears with
+    c_p·(k+1) > N_p in at least one partition, so the union of
+    per-partition survivors is a complete candidate superset — the
+    exactness of the second pass never depends on this summary's
+    counts, only on that completeness."""
+    import pandas as pd
+
+    def mg(batches):
+        run = None
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            run = vc if run is None else run.add(vc, fill_value=0)
+            if len(run) > k:
+                cut = run.sort_values(ascending=False).iloc[k]
+                run = run - cut
+                run = run[run > 0]
+        items = [] if run is None else list(run.index)
+        yield pd.DataFrame({"item": pd.Series(items, dtype=str)})
+
+    return df.mapInPandas(mg, "item string")
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 8) -> DataFrame:
+    """EXACT phi-heavy hitters (phi = 1/(k+1)) in two scans and no
+    full-cardinality shuffle: every distinct value of ``df[col]``
+    whose count strictly exceeds N/(k+1), with its exact count.
+
+    A plain ``groupBy(col).count()`` answers this too — but its
+    shuffle carries every per-partition-distinct key (the 10^10
+    distinct-URL exchange at crawl scale).  Here pass 1 is MAP-ONLY
+    (``k`` bounded counters per task, ≤ k candidate rows emitted per
+    partition — see :func:`_mg_candidates`); pass 2 re-scans with the
+    ≤ k·P candidate set broadcast, and its groupBy key is
+    candidate-or-NULL, so the shuffle holds at most (candidates + 1)
+    distinct keys however many distinct values the data has.  The
+    result is partitioning-independent because the final test
+    ``cnt·(k+1) > N`` uses pass-2's exact counts only.
+
+    Output: ``(item, cnt, n)`` — n is the total non-NULL row count.
+    """
+    from pyspark.sql.window import Window
+
+    vals = (df.filter(F.col(col).isNotNull())
+            .select(F.col(col).cast("string").alias("item")))
+    cand = _mg_candidates(vals, k).distinct()
+    flagged = vals.join(
+        F.broadcast(cand.withColumn("_hh", F.lit(True))),
+        "item", "left")
+    agg = (flagged
+           .groupBy(F.when(F.col("_hh"), F.col("item")).alias("item"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    # the unpartitioned window runs over the POST-aggregation frame
+    # (<= candidates + 1 rows), not the data — one tiny single-task
+    # pass that avoids rescanning df for the total
+    n = F.sum("cnt").over(Window.partitionBy())
+    return (agg.withColumn("n", n.cast("long"))
+            .filter(F.col("item").isNotNull()
+                    & (F.col("cnt") * F.lit(k + 1) > F.col("n")))
+            .select("item", F.col("cnt").cast("long").alias("cnt"),
+                    "n"))
+
+
+# --- KMV distinct-set sketch (Bar-Yossef et al. 2002) ------------------------
+
+#: KMV default size: relative error ~ 1/sqrt(k-2) ~ 13% at k=64;
+#: estimates carry their integer anchors so callers can re-derive
+KMV_K = 64
+
+
+def _kmv_partition_mins(hashed: DataFrame, k: int) -> DataFrame:
+    """Per-partition k smallest DISTINCT hash values (bounded memory,
+    map-only) — the mergeable KMV summary: ≤ k rows per partition
+    leave the scan, whatever the partition's cardinality."""
+    import numpy as np
+    import pandas as pd
+
+    def mins(batches):
+        arr = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            arr = np.unique(np.concatenate(
+                [arr, pdf["h"].to_numpy(dtype=np.int64)]))[:k]
+        yield pd.DataFrame({"h": arr})
+
+    return hashed.mapInPandas(mins, "h long")
+
+
+def kmv_mins(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """The global KMV sketch of ``df[col]``'s distinct set: the k
+    smallest distinct values of the portable 60-bit md5 hash
+    (:func:`_hash60_col` — bit-identical in any engine with md5).
+
+    Scale shape: hash natively JVM-side, per-partition bounded k-min
+    pass (map-only), then distinct + ordered limit over ≤ k·P summary
+    rows — never a shuffle of the full distinct set."""
+    hashed = (df.filter(F.col(col).isNotNull())
+              .select(_hash60_col(F.col(col)).alias("h")))
+    return (_kmv_partition_mins(hashed, k)
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_overlap(df_a: DataFrame, col_a: str, df_b: DataFrame,
+                col_b: str, k: int = KMV_K) -> DataFrame:
+    """Distinct-set overlap between two corpora from their KMV
+    sketches (Beyer et al., SIGMOD'07 distinct-value synopses): union
+    cardinality from the k-th smallest hash of the merged sketch,
+    intersection by counting union-sketch members present in BOTH
+    input sketches.  The production shape for "how many distinct URLs
+    do two crawl snapshots share" — each side ships a k-row sketch,
+    never its key set, and sketches from different days/segments merge
+    by re-taking k minima.
+
+    Exact small regime: with fewer than k distinct union hashes the
+    sketch IS the distinct set, so estimates equal exact counts.
+
+    Output (one row): ``(k, n_union_sketch, kth_hash, matches_both,
+    est_union, est_intersection)`` — integer anchors first, float
+    estimates rounded to 2 (same IEEE ops in the oracle engine)."""
+    a = kmv_mins(df_a, col_a, k)
+    b = kmv_mins(df_b, col_b, k)
+    u = (a.unionByName(b).distinct().orderBy("h").limit(k)
+         .join(a.withColumn("_a", F.lit(True)), "h", "left")
+         .join(b.withColumn("_b", F.lit(True)), "h", "left"))
+    folded = u.agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("kth_hash"),
+        F.coalesce(F.sum(F.when(F.col("_a") & F.col("_b"), 1)
+                         .otherwise(0)), F.lit(0)).alias("matches"))
+    # (k-1)·2^60 / h_(k): both factors exactly representable doubles,
+    # identical cast+divide in the oracle engine
+    est_u = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("kth_hash").cast("double"))
+    step = folded.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_u").cast("long").alias("n_union_sketch"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        F.col("matches").cast("long").alias("matches_both"),
+        F.round(est_u, 2).alias("est_union"))
+    # intersection scales the ROUNDED union estimate so the oracle
+    # reproduces the arithmetic from the same published anchor; the
+    # divisor is the SKETCH size (min(k, n_u)): below k the union
+    # sketch is the complete distinct set, so the ratio collapses to
+    # the exact match count
+    return step.withColumn(
+        "est_intersection",
+        F.round(F.col("matches_both").cast("double")
+                * F.col("est_union")
+                / F.least(F.lit(k), F.col("n_union_sketch"))
+                .cast("double"), 2))

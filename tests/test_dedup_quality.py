@@ -385,3 +385,62 @@ def test_repetition_short_docs_get_zero_fractions(spark):
     assert got[1].top_trigram_frac == 0.0 and got[1].passes
     assert got[2].top_bigram_frac == 1.0   # exactly one bigram
     assert got[2].top_trigram_frac == 0.0
+
+
+def _exact_containment_pairs(corpus):
+    """ALL ordered pairs' exact shingle containment |A∩B|/|A| — the
+    directional ground truth.  Quadratic crossJoin: test-scale only."""
+    sh = corpus.select(
+        F.col("doc_id").alias("id"),
+        dedup.shingles_col(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("long")
+            .alias("i"),
+            F.size("a.sh").cast("long").alias("na")))
+
+
+def test_ngram_containment_equals_exact_all_pairs(spark, corpus):
+    """ngram_containment_pairs is EXACT and DIRECTIONAL: output ==
+    brute all-ordered-pairs {|A∩B|/|A| >= 1/2} — the asymmetric
+    prefix filter (A-prefix probe against B's full token index) is
+    lossless, and the near-dup rows appear in BOTH directions while
+    asymmetric-size inclusions appear in one."""
+    got = {(r.id_a, r.id_b): r.containment
+           for r in dedup.ngram_containment_pairs(
+               corpus, threshold_num=1, threshold_den=2).collect()}
+    exact = {(r.id_a, r.id_b): round(r.i / r.na, 4)
+             for r in _exact_containment_pairs(corpus).collect()
+             if 2 * r.i >= r.na}
+    assert len(exact) >= N_BASE          # non-vacuous
+    assert got == exact
+
+
+def test_ngram_containment_detects_quotes_jaccard_misses(spark):
+    """The operator's reason to exist: a short passage quoted inside a
+    much longer page has containment 1.0 (passage -> page) but Jaccard
+    far below any dedup threshold — and the reverse direction does NOT
+    qualify.  Identical docs emit both orders at 1.0 via the
+    exact-collapse path."""
+    passage = " ".join(f"q{j}" for j in range(12))
+    page = (" ".join(f"pre{j}" for j in range(60)) + " " + passage
+            + " " + " ".join(f"post{j}" for j in range(60)))
+    rows = [(1, passage), (2, page), (3, passage),
+            (4, "noise words all different everywhere")]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(3)
+    got = {(r.id_a, r.id_b): r.containment
+           for r in dedup.ngram_containment_pairs(
+               df, threshold_num=4, threshold_den=5).collect()}
+    assert got[(1, 2)] == 1.0 and got[(3, 2)] == 1.0
+    assert (2, 1) not in got             # direction matters
+    assert got[(1, 3)] == 1.0 and got[(3, 1)] == 1.0
+    assert (1, 2) in got and (4, 2) not in got
+    # Jaccard at the same threshold finds only the identical pair
+    jac = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        df, threshold_num=4, threshold_den=5).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac

@@ -740,3 +740,106 @@ def test_quantile_sketch_grouped_equals_per_group_ungrouped(spark):
         for r in sketch.quantile_sketch(sub, "x").collect():
             want.append((g, r["pct"], r["estimate"], r["n"]))
     assert got == sorted(want)
+
+
+# --- exact two-pass heavy hitters ---------------------------------------------
+
+def _zipfish_host_rows():
+    """Geometric host skew: host-j appears 2^j times (j in 0..11) plus
+    a 500-item distinct tail — the crawl hot-host shape."""
+    rows = []
+    for j in range(12):
+        rows += [(f"host-{j}",)] * (1 << j)
+    rows += [(f"tail-{i}",) for i in range(500)]
+    return rows
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    import collections
+    rows = _zipfish_host_rows()
+    cnt = collections.Counter(r[0] for r in rows)
+    n = sum(cnt.values())
+    k = 8
+    want = sorted((i, c, n) for i, c in cnt.items()
+                  if c * (k + 1) > n)
+    assert len(want) >= 2                 # non-vacuous
+    df = spark.createDataFrame(rows, "v string")
+    for parts in (1, 13):
+        got = sorted(map(tuple, sketch.heavy_hitters(
+            df.repartition(parts), "v", k).collect()))
+        assert got == want
+
+
+def test_heavy_hitters_candidate_pass_is_bounded(spark):
+    """Pass 1 (Misra-Gries) emits at most k rows from a partition
+    holding 5000 distinct values, and those rows still include every
+    item above the partition's N/(k+1) bar — the completeness the
+    exact pass relies on."""
+    import collections
+    rows = _zipfish_host_rows() + [(f"extra-{i}",) for i in range(4500)]
+    df = spark.createDataFrame(rows, "v string").coalesce(1) \
+        .select(F.col("v").alias("item"))
+    k = 8
+    cand = {r.item for r in sketch._mg_candidates(df, k).collect()}
+    assert len(cand) <= k
+    cnt = collections.Counter(r[0] for r in rows)
+    n = sum(cnt.values())
+    must = {i for i, c in cnt.items() if c * (k + 1) > n}
+    assert must and must <= cand
+
+
+def test_heavy_hitters_no_qualifiers_yields_empty(spark):
+    df = spark.createDataFrame(
+        [(f"u{i % 100}",) for i in range(1000)], "v string")
+    assert sketch.heavy_hitters(df, "v", k=8).count() == 0
+
+
+# --- KMV distinct-set sketch ---------------------------------------------------
+
+def _h60(s):
+    import hashlib
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_overlap_matches_python_reference(spark):
+    a_vals = list(range(3000))
+    b_vals = list(range(1500, 4500))
+    dfa = spark.createDataFrame([(x,) for x in a_vals], "x long") \
+        .repartition(7)
+    dfb = spark.createDataFrame([(x,) for x in b_vals], "x long") \
+        .repartition(5)
+    row = sketch.kmv_overlap(dfa, "x", dfb, "x").collect()[0]
+    ha = sorted({_h60(x) for x in a_vals})[:64]
+    hb = sorted({_h60(x) for x in b_vals})[:64]
+    hu = sorted(set(ha) | set(hb))[:64]
+    m = sum(1 for h in hu if h in set(ha) and h in set(hb))
+    assert (row.n_union_sketch, row.kth_hash, row.matches_both) == \
+        (len(hu), max(hu), m)
+    est_u = round(63 * (1 << 60) / max(hu), 2)
+    assert row.est_union == est_u
+    assert row.est_intersection == round(m * est_u / 64, 2)
+    # the estimates actually estimate: within 3/sqrt(k-2) relative
+    assert abs(row.est_union - 4500) / 4500 < 3 / (62 ** 0.5)
+    assert abs(row.est_intersection - 1500) / 1500 < 3 / (62 ** 0.5)
+
+
+def test_kmv_small_regime_is_exact(spark):
+    """Under k distinct union values the sketch IS the distinct set:
+    est_union / est_intersection equal the exact cardinalities."""
+    dfa = spark.createDataFrame(
+        [(x % 20,) for x in range(200)], "x long")
+    dfb = spark.createDataFrame(
+        [(x,) for x in range(10, 40)], "x long")
+    row = sketch.kmv_overlap(dfa, "x", dfb, "x").collect()[0]
+    assert row.n_union_sketch == 40      # |{0..39}|
+    assert row.est_union == 40.0
+    assert row.matches_both == 10 and row.est_intersection == 10.0
+
+
+def test_kmv_mins_partition_invariant(spark):
+    vals = [(f"url-{i % 777}",) for i in range(5000)]
+    df = spark.createDataFrame(vals, "u string")
+    one = [r.h for r in sketch.kmv_mins(df.coalesce(1), "u").collect()]
+    many = [r.h for r in sketch.kmv_mins(
+        df.repartition(17), "u").collect()]
+    assert one == many == sorted({_h60(f"url-{i}") for i in range(777)})[:64]
