@@ -2212,6 +2212,38 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          threshold_den=2)
 
 
+def q_url_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST-style parameter-insignificance mining (frontier/dust.py:
+    insignificant_params, Bar-Yossef WWW'07) over a planted alias
+    structure: per content group, a bare URL, a ?sid=<unique>&ref=home
+    alias and a ?ref=home alias share one digest while ?page=2 carries
+    different content — so the miner must report sid insignificant
+    (every strip has a same-digest witness), ref insignificant at the
+    1/2 ratio (witnessed only from the single-param form), and page
+    significant.  The oracle re-mines the verdicts with its own
+    split/strip/witness-join SQL (joining raw url+digest strings —
+    independent of the engine's md5 identity keys)."""
+    from cdx_writer_spark.frontier import dust
+
+    docs = _table(spark, sf_dir, "documents")
+    cid = F.expr("doc_id div 4")
+    v = F.col("doc_id") % 4
+    base = F.concat(F.lit("http://site"), (cid % 37).cast("string"),
+                    F.lit(".example.com/item/"), cid.cast("string"))
+    url = (F.when(v == 0, base)
+           .when(v == 1, F.concat(base, F.lit("?sid="),
+                                  F.col("doc_id").cast("string"),
+                                  F.lit("&ref=home")))
+           .when(v == 2, F.concat(base, F.lit("?ref=home")))
+           .otherwise(F.concat(base, F.lit("?page=2"))))
+    digest = F.when(
+        v == 3, F.md5(F.concat(F.lit("c"), cid.cast("string"),
+                               F.lit("p2")))).otherwise(
+        F.md5(F.concat(F.lit("c"), cid.cast("string"))))
+    pages = docs.select(url.alias("url"), digest.alias("digest"))
+    return dust.insignificant_params(pages)
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2324,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_heavy_hitters": q_host_heavy_hitters,
         "kmv_value_overlap": q_kmv_value_overlap,
         "dedup_containment": q_dedup_containment,
+        "url_param_rules": q_url_param_rules,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -3055,6 +3088,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, "
             "round(CAST(i AS DOUBLE) / na, 4) AS containment "
             "FROM scored WHERE i * 2 >= na"),
+        # DUST re-mined in SQL: same planted alias view, its own
+        # split/strip rebuild, witness join on RAW (url, digest)
+        # strings — independent of the engine's md5 identity keys
+        "url_param_rules": (
+            "WITH up AS (SELECT doc_id // 4 AS cid, doc_id % 4 AS v, "
+            "doc_id FROM documents), "
+            "pr AS (SELECT 'http://site' || (cid % 37) "
+            "|| '.example.com/item/' || cid AS base, v, doc_id, cid "
+            "FROM up), "
+            "obs AS (SELECT DISTINCT CASE v WHEN 0 THEN base "
+            "WHEN 1 THEN base || '?sid=' || doc_id || '&ref=home' "
+            "WHEN 2 THEN base || '?ref=home' "
+            "ELSE base || '?page=2' END AS url, "
+            "CASE WHEN v = 3 THEN md5('c' || cid || 'p2') "
+            "ELSE md5('c' || cid) END AS digest FROM pr), "
+            "wq AS (SELECT url, digest, split_part(url, '?', 1) "
+            "AS base, string_split(split_part(url, '?', 2), '&') "
+            "AS parts FROM obs WHERE contains(url, '?')), "
+            "pp AS (SELECT digest, base, parts, "
+            "unnest(list_distinct(list_transform(parts, "
+            "kv -> split_part(kv, '=', 1)))) AS param FROM wq), "
+            "st AS (SELECT param, digest, CASE WHEN len(rest) = 0 "
+            "THEN base ELSE base || '?' || "
+            "array_to_string(rest, '&') END AS stripped FROM "
+            "(SELECT param, digest, base, list_filter(parts, "
+            "kv -> split_part(kv, '=', 1) <> param) AS rest FROM pp)), "
+            "fl AS (SELECT st.param, CASE WHEN o.url IS NOT NULL "
+            "THEN 1 ELSE 0 END AS hit FROM st LEFT JOIN obs o "
+            "ON o.url = st.stripped AND o.digest = st.digest), "
+            "c AS (SELECT param, COUNT(*) AS n_urls, SUM(hit) "
+            "AS n_matched FROM fl GROUP BY 1) "
+            "SELECT param, CAST(n_urls AS BIGINT) AS n_urls, "
+            "CAST(n_matched AS BIGINT) AS n_matched, "
+            "n_matched * 2 >= n_urls * 1 AS insignificant "
+            "FROM c WHERE n_urls >= 2"),
         # CDX write->parse round trip: the oracle derives the fields
         # DIRECTLY (never rendering a line), so the engine's
         # render+parse must be a faithful inverse pair

@@ -188,6 +188,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_kmv_value_overlap(spark, sf_dir),
         "dedup_containment": lambda:
             entrymod.q_dedup_containment(spark, sf_dir),
+        "url_param_rules": lambda:
+            entrymod.q_url_param_rules(spark, sf_dir),
     }
 
 
