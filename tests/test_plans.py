@@ -469,3 +469,56 @@ def test_sampling_plans(spark):
     p2 = _plan(sampling.hash_sample(docs))
     assert "Exchange" not in p2
     assert "Python" not in p2
+
+
+def test_heavy_hitters_two_pass_shape(spark):
+    """Pass 1 is MAP-ONLY (no Exchange between the scan and the
+    Misra-Gries mapInPandas) and pass 2 probes the candidate set via
+    a BROADCAST join — nothing data-cardinality-sized crosses an
+    exchange.  The final total/filter window runs over the tiny
+    post-aggregation frame, not the data."""
+    from cdx_writer_spark.functions import sketch
+
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    vals = df.select(F.col("v").alias("item"))
+    pass1 = _plan(sketch._mg_candidates(vals, 8))
+    assert "Exchange" not in pass1          # map-only candidate sweep
+    full = _plan(sketch.heavy_hitters(df, "v", 8))
+    assert "BroadcastHashJoin" in full
+    # exactly: candidate distinct (1) + groupBy (1) + window (1)
+    # exchanges — none keyed by the raw value column's full set
+    assert full.count("Exchange") <= 4
+
+
+def test_kmv_partition_pass_is_map_only(spark):
+    """The per-partition k-min summary runs with no Exchange before
+    the mapInPandas (bounded memory, ≤ k rows out per partition); the
+    global k-min then operates on summary rows only."""
+    from cdx_writer_spark.functions import sketch
+
+    df = spark.createDataFrame([("u",)], "u string")
+    hashed = df.select(sketch._hash60_col(F.col("u")).alias("h"))
+    pass1 = _plan(sketch._kmv_partition_mins(hashed, 64))
+    assert "Exchange" not in pass1
+    assert "ArrowEvalPython" not in pass1   # mapInPandas, not per-row
+
+
+def test_dust_verdicts_one_key_join_and_broadcast_collapse(spark):
+    """insignificant_params exchanges only md5 identity keys (witness
+    join) plus the distinct/agg exchanges; collapse_aliases applies
+    the verdict table to a frontier via BROADCAST with zero additional
+    shuffles on the frontier side."""
+    from cdx_writer_spark.frontier import dust
+
+    pages = spark.createDataFrame(
+        [("http://h/p?a=1", "d"), ("http://h/p", "d")],
+        "url string, digest string")
+    verdicts = dust.insignificant_params(pages)
+    frontier = spark.createDataFrame([("http://x/a?a=1",)],
+                                     "url string")
+    plan = _plan(dust.collapse_aliases(frontier, verdicts))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the frontier side itself never shuffles: every Exchange in the
+    # plan belongs to the (tiny) verdict aggregation subtree
+    head = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange" not in head
