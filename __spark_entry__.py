@@ -2244,6 +2244,25 @@ def q_url_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dust.insignificant_params(pages)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout stats (functions/layout.py) — events
+    bucketed on (user, price-cent) dimensions, interleaved into a
+    Morton key, ntile'd into 16 files; output is each file's parquet-
+    footer-style min/max box per dimension — the stats a 100 TB scan
+    planner prunes on (a point query on EITHER dimension overlaps
+    ~sqrt(16) boxes; one-dimension sorts force full reads on the other
+    dimension, pytest-gated).  The oracle re-derives the interleave as
+    a sum of disjoint shifted bits and the identical ANSI ntile."""
+    from cdx_writer_spark.functions import layout
+
+    ev = _table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("u"),
+        (F.floor(F.col("value") * 100).cast("long") % 256).alias("p"),
+        "event_id")
+    return layout.zorder_file_stats(ev, ["u", "p"], "event_id",
+                                    bits=8, n_files=16)
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2357,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_value_overlap": q_kmv_value_overlap,
         "dedup_containment": q_dedup_containment,
         "url_param_rules": q_url_param_rules,
+        "zorder_layout": q_zorder_layout,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -3123,6 +3143,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_matched AS BIGINT) AS n_matched, "
             "n_matched * 2 >= n_urls * 1 AS insignificant "
             "FROM c WHERE n_urls >= 2"),
+        # Morton interleave as a sum of disjoint shifted bits (+ == |
+        # on non-overlapping positions), identical ANSI ntile
+        "zorder_layout": (
+            "WITH d AS (SELECT user_id % 256 AS u, "
+            "CAST(FLOOR(value * 100) AS BIGINT) % 256 AS p, "
+            "event_id FROM events), "
+            "z AS (SELECT u, p, event_id, "
+            + " + ".join(
+                f"(((u >> {b}) & 1) << {2 * b}) + "
+                f"(((p >> {b}) & 1) << {2 * b + 1})"
+                for b in range(8))
+            + " AS zv FROM d), "
+            "f AS (SELECT u, p, ntile(16) OVER "
+            "(ORDER BY zv, event_id) AS file_id FROM z) "
+            "SELECT CAST(file_id AS INT) AS file_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(MIN(u) AS BIGINT) AS min_u, "
+            "CAST(MAX(u) AS BIGINT) AS max_u, "
+            "CAST(MIN(p) AS BIGINT) AS min_p, "
+            "CAST(MAX(p) AS BIGINT) AS max_p "
+            "FROM f GROUP BY 1"),
         # CDX write->parse round trip: the oracle derives the fields
         # DIRECTLY (never rendering a line), so the engine's
         # render+parse must be a faithful inverse pair

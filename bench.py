@@ -190,6 +190,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_dedup_containment(spark, sf_dir),
         "url_param_rules": lambda:
             entrymod.q_url_param_rules(spark, sf_dir),
+        "zorder_layout": lambda:
+            entrymod.q_zorder_layout(spark, sf_dir),
     }
 
 
