@@ -2263,6 +2263,22 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     bits=8, n_files=16)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (functions/textstats.py:
+    phrase_occurrences) — per-document occurrence counts + first
+    position of the exact token sequence "merge data", evaluated as
+    one filtered anchor aggregation (the postings read touches ONLY
+    the query's terms before anything leaves the map side).  The
+    oracle evaluates the SAME phrase with the strategy the operator
+    avoids: an m-way positional self-join over unnested (doc, pos,
+    token) rows — a structurally different plan that must agree on
+    every count and position."""
+    from cdx_writer_spark.functions import textstats
+
+    return textstats.phrase_occurrences(_docs(spark, sf_dir),
+                                        "merge data")
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2377,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "url_param_rules": q_url_param_rules,
         "zorder_layout": q_zorder_layout,
+        "phrase_search": q_phrase_search,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -3164,6 +3181,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(p) AS BIGINT) AS min_p, "
             "CAST(MAX(p) AS BIGINT) AS max_p "
             "FROM f GROUP BY 1"),
+        # phrase search by the strategy the engine avoids: m-way
+        # positional self-join over unnested (doc, pos, token) rows
+        "phrase_search": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(lower(trim(text)), '\\s+') AS tk "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(tk) + 1), "
+            "i -> {'p': i, 'w': tk[i]})) AS u FROM tk), "
+            "p2 AS (SELECT doc_id, u.p AS p, u.w AS w FROM pos), "
+            "occ AS (SELECT a.doc_id, a.p FROM p2 a JOIN p2 b "
+            "ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+            "WHERE a.w = 'merge' AND b.w = 'data') "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_occurrences, CAST(MIN(p) AS INT) AS first_pos "
+            "FROM occ GROUP BY 1"),
         # CDX write->parse round trip: the oracle derives the fields
         # DIRECTLY (never rendering a line), so the engine's
         # render+parse must be a faithful inverse pair

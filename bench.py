@@ -192,6 +192,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_url_param_rules(spark, sf_dir),
         "zorder_layout": lambda:
             entrymod.q_zorder_layout(spark, sf_dir),
+        "phrase_search": lambda:
+            entrymod.q_phrase_search(spark, sf_dir),
     }
 
 

@@ -539,3 +539,53 @@ def bm25_topk(docs, query_terms: list[str], k: int = 20,
                               F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select(id_col, "score_micro", "n_terms", "rank"))
+
+
+def phrase_occurrences(docs, phrase: str, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Positional phrase search: per document, how many times the
+    exact token sequence ``phrase`` occurs (overlaps counted) and
+    where it first starts — the query-time half of a POSITIONAL
+    inverted index, evaluated as one aggregation instead of an
+    m-way postings self-join.
+
+    Method (the classic anchor trick): a token at position ``p``
+    matching phrase slot ``i`` votes for anchor ``p - i``; an anchor
+    with ALL ``m`` distinct slots present is a full occurrence
+    (slot ``i`` present ⇔ token at ``anchor+i`` equals ``phrase[i]``,
+    so m distinct slots ⇔ the whole sequence).  Repeated terms in the
+    phrase just vote for several slots.
+
+    Scale shape: the posexplode is FILTERED to the phrase's terms
+    before anything leaves the map side — the classic postings-read
+    (query terms only, a vanishing fraction of 100 TB); then ONE
+    (doc, anchor) aggregation of narrow int rows and ONE per-doc
+    rollup.  No positions self-join, no join state proportional to
+    postings length.  Output: ``(id_col, n_occurrences, first_pos)``
+    (1-based), rows only for documents containing the phrase."""
+    terms = phrase.split()
+    m = len(terms)
+    slot_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in sorted(set(terms))]),
+        F.array(*[F.array(*[F.lit(i) for i, pt in enumerate(terms)
+                            if pt == t])
+                  for t in sorted(set(terms))]))
+    toks = tokens_col(F.lower(F.col(text_col)))
+    hits = (docs.select(F.col(id_col),
+                        F.posexplode(toks).alias("pos", "term"))
+            .filter(F.col("term").isin(*sorted(set(terms))))
+            .select(id_col, "pos",
+                    F.explode(F.element_at(slot_map, F.col("term")))
+                    .alias("slot")))
+    anchored = (hits.select(
+        id_col, "slot", (F.col("pos") - F.col("slot")).alias("anchor"))
+        .filter(F.col("anchor") >= 0))
+    # (doc, anchor, slot) rows are unique by construction (anchor+slot
+    # determines the voting position), so a plain count equals the
+    # distinct-slot count without the two-phase distinct exchange
+    full = (anchored.groupBy(id_col, "anchor")
+            .agg(F.count(F.lit(1)).alias("n_slots"))
+            .filter(F.col("n_slots") == m))
+    return (full.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                 (F.min("anchor") + 1).cast("int").alias("first_pos")))

@@ -843,3 +843,47 @@ def test_kmv_mins_partition_invariant(spark):
     many = [r.h for r in sketch.kmv_mins(
         df.repartition(17), "u").collect()]
     assert one == many == sorted({_h60(f"url-{i}") for i in range(777)})[:64]
+
+
+# --- positional phrase search ---------------------------------------------------
+
+def _phrase_ref(rows, phrase):
+    out = []
+    p = phrase.split()
+    for i, t in rows:
+        w = t.lower().split()
+        occ = [s for s in range(len(w) - len(p) + 1)
+               if w[s:s + len(p)] == p]
+        if occ:
+            out.append((i, len(occ), occ[0] + 1))
+    return sorted(out)
+
+
+def test_phrase_occurrences_overlaps_and_repeats(spark):
+    rows = [(1, "a b a b a"), (2, "x a b a y"), (3, "a b b a"),
+            (4, "a a a a"), (5, "b"), (6, "A B a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(3)
+    for phrase in ("a b a", "a a a", "a b", "a"):
+        got = sorted(map(tuple, textstats.phrase_occurrences(
+            df, phrase).collect()))
+        assert got == _phrase_ref(rows, phrase), phrase
+    # lowercasing: doc 6 matches via lower()
+    got = sorted(map(tuple, textstats.phrase_occurrences(
+        df, "a b a").collect()))
+    assert (6, 1, 1) in got
+
+
+def test_phrase_occurrences_filters_before_shuffle(spark):
+    """The postings read is query-terms-only: the plan filters on the
+    phrase's term set BEFORE the first exchange (the 100 TB posting-
+    list discipline), and the exchanges carry narrow int rows."""
+    df = spark.createDataFrame([(1, "a b c")],
+                               "doc_id long, text string")
+    plan = textstats.phrase_occurrences(df, "a b") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # plans print outer-first, so "deeper than every Exchange" means
+    # the term IN filter appears AFTER the last Exchange in the string
+    assert plan.rindex("Exchange") < plan.index("IN (a,b)")  # noqa: E501 — sorted isin makes the rendering deterministic
+    assert plan.count("Exchange") == 2      # (doc,anchor) agg + doc rollup
+    assert "Python" not in plan
