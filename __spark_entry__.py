@@ -2279,6 +2279,58 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         "merge data")
 
 
+def _capture_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic capture log for the CDX query-side ops: every content
+    id (doc_id div 3) is captured three times at the same URL — twice
+    with one payload digest, once changed — so revisit structure and
+    closest-lookup distance ties are both exercised."""
+    docs = _table(spark, sf_dir, "documents")
+    cid = F.expr("doc_id div 3")
+    v = F.col("doc_id") % 3
+    url = F.concat(F.lit("http://site"), (cid % 37).cast("string"),
+                   F.lit(".example.com/p/"), cid.cast("string"))
+    digest = F.when(
+        v == 2, F.md5(F.concat(F.lit("c"), cid.cast("string"),
+                               F.lit("x")))).otherwise(
+        F.md5(F.concat(F.lit("c"), cid.cast("string"))))
+    return docs.select(F.col("doc_id"), url.alias("url"),
+                       F.col("doc_id").alias("ts"),
+                       digest.alias("digest"))
+
+
+_CAPTURE_CTE = (
+    "cap AS (SELECT doc_id, 'http://site' || ((doc_id // 3) % 37) "
+    "|| '.example.com/p/' || (doc_id // 3) AS url, "
+    "doc_id AS ts, "
+    "CASE WHEN doc_id % 3 = 2 THEN md5('c' || (doc_id // 3) || 'x') "
+    "ELSE md5('c' || (doc_id // 3)) END AS digest FROM documents)")
+
+
+def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heritrix-style revisit generation (cdxquery.revisit_dedup):
+    per payload digest the globally-first capture stays a response,
+    later ones become revisit records pointing at it — evaluated as
+    one min-struct aggregation + a digest join (never a window, so a
+    boilerplate digest captured 10^9 times folds map-side; plan test).
+    The oracle decides firsts with a correlated min subquery —
+    a different strategy that must agree row-for-row."""
+    from cdx_writer_spark import cdxquery
+
+    return cdxquery.revisit_dedup(_capture_view(spark, sf_dir))
+
+
+def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wayback closest-capture lookup (cdxquery.closest_capture): per
+    URL the capture minimizing |ts - target| with earlier-ts
+    tie-break, as one map-side-partial min-struct aggregation.  The
+    target sits mid-corpus so both sides of the distance are live.
+    Oracle = ANSI row_number over the same (distance, ts, id) order."""
+    from cdx_writer_spark import cdxquery
+
+    return cdxquery.closest_capture(_capture_view(spark, sf_dir),
+                                    target_ts=200)
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2394,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_rules": q_url_param_rules,
         "zorder_layout": q_zorder_layout,
         "phrase_search": q_phrase_search,
+        "warc_revisit_dedup": q_warc_revisit_dedup,
+        "cdx_closest": q_cdx_closest,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -3197,6 +3251,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
             "AS n_occurrences, CAST(MIN(p) AS INT) AS first_pos "
             "FROM occ GROUP BY 1"),
+        # revisit generation re-decided via a groupBy-firsts join in
+        # SQL (DuckDB min over a struct-ordered row), independent of
+        # the engine's struct-min aggregation
+        "warc_revisit_dedup": (
+            "WITH " + _CAPTURE_CTE + ", "
+            "fr AS (SELECT digest, MIN(ROW(ts, doc_id)) AS m "
+            "FROM cap GROUP BY 1), "
+            "fx AS (SELECT f.digest, c.ts AS fts, c.doc_id AS fid, "
+            "c.url AS furl FROM fr f JOIN cap c "
+            "ON c.digest = f.digest AND ROW(c.ts, c.doc_id) = f.m) "
+            "SELECT cap.doc_id AS id, cap.url, CAST(cap.ts AS BIGINT) "
+            "AS ts, CASE WHEN fx.fid IS NULL OR (cap.ts = fx.fts AND "
+            "cap.doc_id = fx.fid) THEN 'response' ELSE 'revisit' END "
+            "AS record_type, "
+            "CASE WHEN fx.fid IS NULL OR (cap.ts = fx.fts AND "
+            "cap.doc_id = fx.fid) THEN NULL ELSE fx.furl END "
+            "AS refers_to_url, "
+            "CAST(CASE WHEN fx.fid IS NULL OR (cap.ts = fx.fts AND "
+            "cap.doc_id = fx.fid) THEN NULL ELSE fx.fts END AS BIGINT) "
+            "AS refers_to_ts "
+            "FROM cap LEFT JOIN fx ON fx.digest = cap.digest"),
+        # closest lookup re-decided with an ANSI row_number window
+        "cdx_closest": (
+            "WITH " + _CAPTURE_CTE + ", "
+            "r AS (SELECT url, ts, doc_id, abs(ts - 200) AS d, "
+            "ROW_NUMBER() OVER (PARTITION BY url "
+            "ORDER BY abs(ts - 200), ts, doc_id) AS rn FROM cap) "
+            "SELECT url, CAST(ts AS BIGINT) AS ts, doc_id AS id, "
+            "CAST(d AS BIGINT) AS distance FROM r WHERE rn = 1"),
         # CDX write->parse round trip: the oracle derives the fields
         # DIRECTLY (never rendering a line), so the engine's
         # render+parse must be a faithful inverse pair

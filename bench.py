@@ -194,6 +194,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_zorder_layout(spark, sf_dir),
         "phrase_search": lambda:
             entrymod.q_phrase_search(spark, sf_dir),
+        "warc_revisit_dedup": lambda:
+            entrymod.q_warc_revisit_dedup(spark, sf_dir),
+        "cdx_closest": lambda:
+            entrymod.q_cdx_closest(spark, sf_dir),
     }
 
 

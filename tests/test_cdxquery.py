@@ -1,0 +1,73 @@
+"""CDX query-side operators (cdxquery.py): revisit-generation dedup
+and closest-capture lookup — python-reference equality, tie-breaks,
+NULL digests, partitioning invariance, and the no-window plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdx_writer_spark import cdxquery
+
+
+def _captures():
+    # digest dA captured 3 times (two urls), dB once, one NULL digest
+    return [
+        (1, "http://a/x", 100, "dA"),
+        (2, "http://a/x", 200, "dA"),
+        (3, "http://b/y", 150, "dA"),
+        (4, "http://c/z", 120, "dB"),
+        (5, "http://c/z", 120, None),
+        (6, "http://a/x", 100, "dC"),   # ts tie with id 1, own digest
+    ]
+
+
+def test_revisit_dedup_reference_and_nulls(spark):
+    df = spark.createDataFrame(
+        _captures(), "doc_id long, url string, ts long, digest string")
+    for parts in (1, 5):
+        got = sorted(map(tuple, cdxquery.revisit_dedup(
+            df.repartition(parts)).collect()))
+        assert got == sorted([
+            (1, "http://a/x", 100, "response", None, None),
+            (2, "http://a/x", 200, "revisit", "http://a/x", 100),
+            (3, "http://b/y", 150, "revisit", "http://a/x", 100),
+            (4, "http://c/z", 120, "response", None, None),
+            (5, "http://c/z", 120, "response", None, None),  # NULL digest
+            (6, "http://a/x", 100, "response", None, None),
+        ])
+
+
+def test_revisit_dedup_ts_then_id_tiebreak(spark):
+    rows = [(9, "u9", 50, "d"), (7, "u7", 50, "d"), (8, "u8", 40, "d")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, ts long, digest string")
+    got = {r.id: (r.record_type, r.refers_to_url)
+           for r in cdxquery.revisit_dedup(df).collect()}
+    assert got[8] == ("response", None)          # earliest ts wins
+    assert got[7] == ("revisit", "u8")
+    assert got[9] == ("revisit", "u8")
+
+
+def test_closest_capture_reference_and_ties(spark):
+    rows = [("u", 100, 1), ("u", 180, 2), ("u", 220, 3),
+            ("v", 90, 4), ("v", 310, 5), ("w", 200, 6)]
+    df = spark.createDataFrame(rows, "url string, ts long, doc_id long")
+    got = sorted(map(tuple, cdxquery.closest_capture(
+        df.repartition(4), target_ts=200).collect()))
+    # u: 180 and 220 both at distance 20 -> earlier (180) wins;
+    # v: 90 and 310 both at distance 110 -> earlier (90) wins
+    assert got == [("u", 180, 2, 20), ("v", 90, 4, 110),
+                   ("w", 200, 6, 0)]
+
+
+def test_cdxquery_plans_are_aggregations_not_windows(spark):
+    """Both ops must fold hot digests/URLs map-side: plans contain
+    partial-aggregated HashAggregates and NO Window/Sort operator."""
+    df = spark.createDataFrame(
+        [(1, "u", 1, "d")], "doc_id long, url string, ts long, "
+        "digest string")
+    for frame in (cdxquery.revisit_dedup(df),
+                  cdxquery.closest_capture(df, 5)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial_min" in plan
