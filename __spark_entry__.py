@@ -2331,6 +2331,19 @@ def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     target_ts=200)
 
 
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation scores (textstats.pmi_collocations, Church &
+    Hanks 1990) over window-2 co-occurrences — exact int64 anchors
+    (pair count, both marginals, total) with the ln evaluated over the
+    identical double products in both engines.  The oracle generates
+    pairs with the positions SELF-JOIN the engine deliberately avoids
+    (in-array generation), then the same marginal/total arithmetic."""
+    from cdx_writer_spark.functions import textstats
+
+    return textstats.pmi_collocations(_docs(spark, sf_dir),
+                                      window=2, min_count=5)
+
+
 def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → parse round trip of the CDX text format
     (sink.parse_cdx_lines, the read half that makes existing CDX
@@ -2471,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "warc_revisit_dedup": q_warc_revisit_dedup,
         "cdx_closest": q_cdx_closest,
+        "term_pmi": q_term_pmi,
         "crawl_depth": q_crawl_depth,
         "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
@@ -3284,6 +3298,35 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY abs(ts - 200), ts, doc_id) AS rn FROM cap) "
             "SELECT url, CAST(ts AS BIGINT) AS ts, doc_id AS id, "
             "CAST(d AS BIGINT) AS distance FROM r WHERE rn = 1"),
+        # PMI from positions-self-join pairs (the strategy the engine
+        # avoids), marginals and total re-aggregated, same double
+        # product/association order inside the ln
+        "term_pmi": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "p AS (SELECT doc_id, i AS pos, w[i] AS term "
+            "FROM tk, unnest(range(1, len(w) + 1)) AS t(i)), "
+            "pairs AS (SELECT least(p1.term, p2.term) AS term_a, "
+            "greatest(p1.term, p2.term) AS term_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cooc "
+            "FROM p p1 JOIN p p2 ON p2.doc_id = p1.doc_id "
+            "AND p2.pos > p1.pos AND p2.pos <= p1.pos + 2 "
+            "GROUP BY term_a, term_b), "
+            "marg AS (SELECT t, SUM(n_cooc) AS m FROM ("
+            "SELECT term_a AS t, n_cooc FROM pairs "
+            "UNION ALL SELECT term_b AS t, n_cooc FROM pairs) "
+            "GROUP BY 1), "
+            "tot AS (SELECT SUM(n_cooc) AS total FROM pairs) "
+            "SELECT term_a, term_b, n_cooc, "
+            "CAST(ma.m AS BIGINT) AS m_a, CAST(mb.m AS BIGINT) AS m_b, "
+            "CAST(total AS BIGINT) AS total, "
+            "round(ln((CAST(n_cooc AS DOUBLE) * CAST(total AS DOUBLE)) "
+            "/ (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 4) "
+            "AS pmi "
+            "FROM pairs JOIN marg ma ON ma.t = pairs.term_a "
+            "JOIN marg mb ON mb.t = pairs.term_b CROSS JOIN tot "
+            "WHERE n_cooc >= 5"),
         # CDX write->parse round trip: the oracle derives the fields
         # DIRECTLY (never rendering a line), so the engine's
         # render+parse must be a faithful inverse pair

@@ -198,6 +198,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_warc_revisit_dedup(spark, sf_dir),
         "cdx_closest": lambda:
             entrymod.q_cdx_closest(spark, sf_dir),
+        "term_pmi": lambda:
+            entrymod.q_term_pmi(spark, sf_dir),
     }
 
 

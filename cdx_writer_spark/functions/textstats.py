@@ -589,3 +589,46 @@ def phrase_occurrences(docs, phrase: str, id_col: str = "doc_id",
     return (full.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
                  (F.min("anchor") + 1).cast("int").alias("first_pos")))
+
+
+def pmi_collocations(docs, window: int = 2, min_count: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Pointwise mutual information over windowed co-occurrence counts
+    (Church & Hanks 1990) — the collocation score behind phrase
+    mining and query suggestion: ``pmi = ln(n_cooc·T / (m_a·m_b))``
+    with the marginals taken from the pair distribution itself
+    (``m_x`` = sum of pair counts involving x, T = total pair count).
+
+    Everything up to the final ``ln`` is exact int64 (n_cooc, m_a,
+    m_b, T ship as columns so a verifier can re-derive the score);
+    the products are evaluated in double as ``(n·T) / (m_a·m_b)``
+    because at corpus scale n_cooc·T overflows int64 — the oracle
+    mirrors the exact same cast/association order.
+
+    Scale shape: one :func:`term_cooccurrence` aggregation (nothing
+    data-sized exchanged beyond aggregated pair rows), ONE marginal
+    aggregation over the pair-cardinality table joined back on each
+    term (AQE-planned), and a broadcast 1-row total.  Output:
+    ``(term_a, term_b, n_cooc, m_a, m_b, total, pmi)`` for pairs with
+    ``n_cooc >= min_count``."""
+    pairs = term_cooccurrence(docs, window=window, id_col=id_col,
+                              text_col=text_col)
+    sides = pairs.select(F.col("term_a").alias("t"),
+                         F.col("n_cooc")).unionByName(
+        pairs.select(F.col("term_b").alias("t"), F.col("n_cooc")))
+    marg = sides.groupBy("t").agg(F.sum("n_cooc").alias("m"))
+    total = pairs.agg(F.sum("n_cooc").alias("total"))
+    ma = marg.select(F.col("t").alias("term_a"), F.col("m").alias("m_a"))
+    mb = marg.select(F.col("t").alias("term_b"), F.col("m").alias("m_b"))
+    scored = (pairs.filter(F.col("n_cooc") >= min_count)
+              .join(ma, "term_a").join(mb, "term_b")
+              .crossJoin(F.broadcast(total)))
+    pmi = F.round(F.log(
+        (F.col("n_cooc").cast("double") * F.col("total").cast("double"))
+        / (F.col("m_a").cast("double") * F.col("m_b").cast("double"))),
+        4)
+    return scored.select(
+        "term_a", "term_b", F.col("n_cooc").cast("long").alias("n_cooc"),
+        F.col("m_a").cast("long").alias("m_a"),
+        F.col("m_b").cast("long").alias("m_b"),
+        F.col("total").cast("long").alias("total"), pmi.alias("pmi"))

@@ -887,3 +887,32 @@ def test_phrase_occurrences_filters_before_shuffle(spark):
     assert plan.rindex("Exchange") < plan.index("IN (a,b)")  # noqa: E501 — sorted isin makes the rendering deterministic
     assert plan.count("Exchange") == 2      # (doc,anchor) agg + doc rollup
     assert "Python" not in plan
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    import collections
+    import math
+    rows = [(1, "a b a b c"), (2, "b c b c d"), (3, "a c a c d d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(2)
+    pc = collections.Counter()
+    for _, t in rows:
+        w = t.split()
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + 3, len(w))):
+                pc[tuple(sorted((w[i], w[j])))] += 1
+    total = sum(pc.values())
+    m = collections.Counter()
+    for (a, b), n in pc.items():
+        m[a] += n
+        m[b] += n
+    want = sorted(
+        (a, b, n, m[a], m[b], total,
+         round(math.log((n * total) / (m[a] * m[b])), 4))
+        for (a, b), n in pc.items() if n >= 2)
+    got = sorted(map(tuple, textstats.pmi_collocations(
+        df, window=2, min_count=2).collect()))
+    assert got == want
+    # min_count gates
+    assert all(r[2] >= 3 for r in textstats.pmi_collocations(
+        df, window=2, min_count=3).collect())
