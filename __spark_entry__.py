@@ -2331,6 +2331,220 @@ def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     target_ts=200)
 
 
+def _surt_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capture view keyed by SURT — the shape of the standing CDX
+    index the query-side prefix/merge operators serve."""
+    docs = _table(spark, sf_dir, "documents")
+    cid = F.expr("doc_id div 3")
+    key = F.concat(F.lit("com,example,site"), (cid % 37).cast("string"),
+                   F.lit(")/p/"), cid.cast("string"))
+    return docs.select("doc_id", key.alias("surt_key"),
+                       F.col("doc_id").alias("ts"),
+                       F.md5(F.concat(F.lit("d"),
+                                      F.col("doc_id").cast("string")))
+                       .alias("digest"))
+
+
+_SURT_INDEX_CTE = (
+    "idx AS (SELECT doc_id, 'com,example,site' || ((doc_id // 3) % 37) "
+    "|| ')/p/' || (doc_id // 3) AS surt_key, doc_id AS ts, "
+    "md5('d' || doc_id) AS digest FROM documents)")
+
+
+# The dHash oracle: re-derive every 2x2 cell sum of the synthetic
+# pixel rule pixel(x, y) = (a*x^2 + b*y^2 + x*y) % 200 + v*5 (spiked
+# top-left cell = 4*255 for v == 4), then the 64 adjacent-cell
+# comparison bits — pure integer arithmetic, no decode.  Cell j of the
+# 9x8 grid covers x in {2*(j%9), +1}, y in {2*(j//9), +1}.
+_DHASH_CTES = (
+    "par AS (SELECT doc_id, 3 + ((doc_id // 5) % 35) % 7 AS a, "
+    "1 + ((doc_id // 5) % 35) % 5 AS b, doc_id % 5 AS v "
+    "FROM documents WHERE doc_id % 13 <> 0), "
+    "cells AS (SELECT doc_id, list_transform(range(0, 72), j -> "
+    "CASE WHEN v = 4 AND j = 0 THEN 1020 ELSE "
+    "((a * (2*(j%9))*(2*(j%9)) + b * (2*(j//9))*(2*(j//9)) "
+    "+ (2*(j%9))*(2*(j//9))) % 200 + v * 5) "
+    "+ ((a * (2*(j%9)+1)*(2*(j%9)+1) + b * (2*(j//9))*(2*(j//9)) "
+    "+ (2*(j%9)+1)*(2*(j//9))) % 200 + v * 5) "
+    "+ ((a * (2*(j%9))*(2*(j%9)) + b * (2*(j//9)+1)*(2*(j//9)+1) "
+    "+ (2*(j%9))*(2*(j//9)+1)) % 200 + v * 5) "
+    "+ ((a * (2*(j%9)+1)*(2*(j%9)+1) + b * (2*(j//9)+1)*(2*(j//9)+1) "
+    "+ (2*(j%9)+1)*(2*(j//9)+1)) % 200 + v * 5) END) AS cs FROM par), "
+    "dh AS (SELECT doc_id, "
+    "list_aggregate(list_transform(range(0, 64), i -> "
+    "CASE WHEN cs[(i // 8) * 9 + (i % 8) + 1] "
+    "> cs[(i // 8) * 9 + (i % 8) + 2] THEN '1' ELSE '0' END), "
+    "'string_agg', '') AS bits FROM cells)")
+
+
+def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-server ``matchType=prefix`` lookup (cdxquery.prefix_scan):
+    captures under a SURT prefix within a timestamp window, index
+    order, capped — planned as a pushed ``StringStartsWith`` +
+    ``TakeOrderedAndProject`` (per-partition heaps, no global sort;
+    plan test).  The prefix 'com,example,site1' genuinely exercises
+    prefix (not host-equality) semantics: site1, site10..site19 all
+    match.  Oracle = LIKE + ORDER BY + LIMIT over the same view."""
+    from cdx_writer_spark import cdxquery
+
+    return cdxquery.prefix_scan(_surt_index_view(spark, sf_dir),
+                                "com,example,site1", ts_from=20,
+                                ts_to=1_000_000, limit=150)
+
+
+def q_cdx_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index upsert (cdxquery.merge_captures): a delta
+    crawl batch folds into the standing index, delta winning per
+    (surt_key, ts) — one union + one max-struct aggregation whose
+    partials combine map-side (never a window sort on a hot key).
+    Base drops doc_id%5==0, delta re-captures doc_id%3==0 with new
+    digests, so the output exercises insert / replace / carry-over
+    rows.  Oracle = row_number() OVER latest-generation-wins."""
+    from cdx_writer_spark import cdxquery
+
+    idx = _surt_index_view(spark, sf_dir)
+    base = idx.filter(F.col("doc_id") % 5 != 0)
+    delta = (idx.filter(F.col("doc_id") % 3 == 0)
+             .withColumn("digest",
+                         F.md5(F.concat(F.lit("n"),
+                                        F.col("doc_id").cast("string")))))
+    return cdxquery.merge_captures(base, delta)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: events.props is a JSON string;
+    ``get_json_object`` pulls ``$.k`` natively (JVM-side Jackson, no
+    Python), then one grouped aggregation over the typed value.  At
+    100 TB the JSON parse is a per-row projection inside whole-stage
+    codegen — the schema-on-read path every clickstream pipeline
+    needs.  Oracle = DuckDB json_extract_string over the same rows."""
+    ev = _table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(k).alias("sum_k"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k"),
+                 F.sum(F.when(k % 2 == 0, 1).otherwise(0))
+                 .cast("long").alias("n_even")))
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL election (dedup.elect_canonical): alias chains
+    (base url / trailing-slash / ?utm_source variant) resolve to one
+    canonical spelling per connected component — components from the
+    O(log n) star alternation, the election itself ONE map-side
+    min(struct(len, url, id)) aggregation + a component-keyed join
+    back.  The oracle closes the same chains with a recursive CTE and
+    elects with a window."""
+    docs = _table(spark, sf_dir, "documents")
+    cid = F.expr("doc_id div 3")
+    base = F.concat(F.lit("http://site"), (cid % 37).cast("string"),
+                    F.lit(".example.com/p/"), cid.cast("string"))
+    url = (F.when(F.col("doc_id") % 3 == 1, F.concat(base, F.lit("/")))
+           .when(F.col("doc_id") % 3 == 2,
+                 F.concat(base, F.lit("?utm_source=feed")))
+           .otherwise(base))
+    attrs = docs.select("doc_id", url.alias("url"))
+    pairs = (docs.filter(F.col("doc_id") % 3 != 0)
+             .select((F.col("doc_id") - 1).alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    return dedup.elect_canonical(pairs, attrs, id_col="doc_id")
+
+
+def q_host_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay-level-domain extraction (urlstats.registrable_domain):
+    longest-suffix match against a broadcast public-suffix-style rule
+    table over candidate last-k-label slices — the grouping key
+    per-site crawl policy wants (github.io private registry beats io;
+    co.uk/org.uk beat uk; unknown TLDs yield NULL).  Oracle = the
+    same candidate/longest-match algorithm in SQL over a VALUES rule
+    table."""
+    from cdx_writer_spark.functions import urlstats
+
+    docs = _table(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 40).cast("string")
+    host = (F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit("www.site"), n, F.lit(".com")))
+            .when(F.col("doc_id") % 6 == 1,
+                  F.concat(F.lit("site"), n, F.lit(".co.uk")))
+            .when(F.col("doc_id") % 6 == 2,
+                  F.concat(F.lit("a.b.site"), n, F.lit(".org.uk")))
+            .when(F.col("doc_id") % 6 == 3,
+                  F.concat(F.lit("user"), n, F.lit(".github.io")))
+            .when(F.col("doc_id") % 6 == 4,
+                  F.concat(F.lit("site"), n, F.lit(".internal")))
+            .otherwise(F.concat(F.lit("deep.cdn.site"), n,
+                                F.lit(".com.au"))))
+    return urlstats.registrable_domain(docs.select(host.alias("host")))
+
+
+def _dhash_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 18x16 grayscale PNGs for the perceptual-hash ops:
+    pixel(x, y) = (a*x^2 + b*y^2 + x*y) % 200 + v*5 with (a, b) from
+    the doc's group g = (doc_id div 5) % 35 and v = doc_id % 5 a
+    per-doc brightness shift — a uniform shift cancels in every
+    adjacent-cell comparison, so group members dHash identically from
+    DIFFERENT bytes (the exact property perceptual dedup exists to
+    catch); v == 4 additionally saturates the top-left 2x2 pixel
+    block to 255, flipping exactly the bit that compares cell (0,0)
+    to (0,1) — a single-region edit, Hamming 1.  doc_id % 13 == 0
+    gets width 20 (not a multiple of 9) to exercise the
+    unsupported_geometry status row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def png_udf(ids):
+        import pandas as pd
+
+        from cdx_writer_spark.functions import png as pnglib
+
+        out = []
+        for d in ids:
+            d = int(d)
+            g, v = (d // 5) % 35, d % 5
+            a, b = 3 + g % 7, 1 + g % 5
+            w = 20 if d % 13 == 0 else 18
+            h = 16
+            pix = bytearray(w * h)
+            for y in range(h):
+                for x in range(w):
+                    pix[y * w + x] = ((a * x * x + b * y * y + x * y)
+                                      % 200 + v * 5)
+            if v == 4:
+                for y in (0, 1):
+                    for x in (0, 1):
+                        pix[y * w + x] = 255
+            out.append(pnglib.encode_png(w, h, 1, bytes(pix)))
+        return pd.Series(out)
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return docs.withColumn("payload", png_udf("doc_id"))
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dHash (multimodal.image_dhash): REAL PNG
+    decode (stdlib codec) -> integer-exact 9x8 cell-sum grid ->
+    64-bit adjacent-cell difference hash as a portable bit string.
+    The DuckDB oracle re-derives every bit from the pixel generation
+    rule alone (cell sums -> comparisons -> string), so any mis-step
+    in decode, luma, cell binning or bit order breaks the hash."""
+    return multimodal.image_dhash(_dhash_png_payloads(spark, sf_dir))
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs (dedup.bits_near_pairs over
+    multimodal.image_dhash): 4x16-bit banding (pigeonhole recall
+    guarantee for Hamming <= 3) + exact Hamming verify <= 2 — the
+    image-dedup stage of a multimodal corpus build, catching
+    brightness-shifted and single-region-edited copies whose exact
+    digests all differ.  Oracle = brute-force all-pairs Hamming over
+    the arithmetically re-derived hashes."""
+    hashes = multimodal.image_dhash(_dhash_png_payloads(spark, sf_dir))
+    return dedup.bits_near_pairs(hashes, "dhash_bits", id_col="doc_id",
+                                 bit_len=64, max_hamming=2, n_bands=4)
+
+
 def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation scores (textstats.pmi_collocations, Church &
     Hanks 1990) over window-2 co-occurrences — exact int64 anchors
@@ -2445,9 +2659,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose last driver row is r03).
     return {
         # lead with the queries that lack a fresh driver CORRECTNESS
-        # row (r04 never sampled the first five; the next block was
-        # last sampled in r03) so a capped driver run covers them
-        # before re-confirming the 50 rows r04 already recorded
+        # row (newest first; r04 never sampled the next five; the
+        # block after was last sampled in r03) so a capped driver run
+        # covers them before re-confirming the rows r04 already
+        # recorded
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
+        "cdx_prefix_scan": q_cdx_prefix_scan,
+        "cdx_index_merge": q_cdx_index_merge,
+        "events_json": q_events_json,
+        "dedup_canonical": q_dedup_canonical,
+        "host_domains": q_host_domains,
         "bmp_decode": q_bmp_decode,
         "tiff_decode": q_tiff_decode,
         "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
@@ -3031,6 +3253,125 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # snapshot diff: the oracle is the NAIVE full outer join the
+        # perceptual image dHash: every bit re-derived arithmetically
+        # from the pixel generation rule (the engine decodes REAL PNG
+        # bytes; the oracle never sees them)
+        "image_dhash": (
+            "WITH " + _DHASH_CTES + " "
+            "SELECT doc_id, CAST(18 AS INTEGER) AS width, "
+            "CAST(16 AS INTEGER) AS height, bits AS dhash_bits, "
+            "'ok_png' AS decode_status FROM dh "
+            "UNION ALL SELECT doc_id, CAST(NULL AS INTEGER), "
+            "CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), "
+            "'unsupported_geometry' FROM documents "
+            "WHERE doc_id % 13 = 0"),
+        # image near-dup: brute-force all-pairs Hamming <= 2 — the
+        # engine must reach the identical pair set through banding +
+        # verify (pigeonhole recall holds: 4 bands cover Hamming <= 3)
+        "image_near_dup": (
+            "WITH " + _DHASH_CTES + " "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_filter(range(1, 65), i -> "
+            "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) "
+            "AS INTEGER) AS hamming "
+            "FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_filter(range(1, 65), i -> "
+            "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 2"),
+        # CDX-server prefix lookup: LIKE + ORDER BY + LIMIT — the
+        # engine must reach the same capped row set through the pushed
+        # StringStartsWith + TakeOrderedAndProject plan
+        "cdx_prefix_scan": (
+            "WITH " + _SURT_INDEX_CTE + " "
+            "SELECT surt_key, ts, doc_id AS id FROM idx "
+            "WHERE surt_key LIKE 'com,example,site1%' "
+            "AND ts >= 20 AND ts < 1000000 "
+            "ORDER BY surt_key, ts, id LIMIT 150"),
+        # incremental index upsert: latest-generation-wins expressed as
+        # the window the engine deliberately avoids (max-struct agg)
+        "cdx_index_merge": (
+            "WITH " + _SURT_INDEX_CTE + ", "
+            "base AS (SELECT surt_key, ts, digest, doc_id AS id, "
+            "0 AS generation FROM idx WHERE doc_id % 5 <> 0), "
+            "delta AS (SELECT surt_key, ts, md5('n' || doc_id), "
+            "doc_id, 1 FROM idx WHERE doc_id % 3 = 0), "
+            "u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY surt_key, ts "
+            "ORDER BY generation DESC, id DESC) AS rn FROM u) "
+            "SELECT surt_key, ts, digest, id, "
+            "CAST(generation AS INTEGER) AS generation "
+            "FROM r WHERE rn = 1"),
+        # semi-structured extraction: DuckDB's JSON reader against
+        # Spark's get_json_object over the same rows
+        "events_json": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, "
+            "MAX(k) AS max_k, "
+            "CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_even "
+            "FROM (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events) GROUP BY event_type"),
+        # canonical-URL election: recursive closure over the alias
+        # chains + a window election — vs the engine's star-alternation
+        # components + map-side min-struct election
+        "dedup_canonical": (
+            "WITH RECURSIVE als AS (SELECT doc_id, "
+            "'http://site' || ((doc_id // 3) % 37) || '.example.com/p/' "
+            "|| (doc_id // 3) || "
+            "CASE WHEN doc_id % 3 = 1 THEN '/' "
+            "WHEN doc_id % 3 = 2 THEN '?utm_source=feed' "
+            "ELSE '' END AS url FROM documents), "
+            "pr AS (SELECT doc_id - 1 AS u, doc_id AS v "
+            "FROM documents WHERE doc_id % 3 <> 0), "
+            "edges AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr), "
+            "reach AS (SELECT u AS id, u AS lab FROM edges "
+            "UNION SELECT e.v, r.lab FROM reach r "
+            "JOIN edges e ON e.u = r.id), "
+            "comp AS (SELECT id, MIN(lab) AS c FROM reach GROUP BY id), "
+            "lab AS (SELECT a.doc_id AS id, a.url, "
+            "COALESCE(comp.c, a.doc_id) AS c "
+            "FROM als a LEFT JOIN comp ON comp.id = a.doc_id), "
+            "win AS (SELECT *, row_number() OVER (PARTITION BY c "
+            "ORDER BY length(url), url, id) AS rn FROM lab), "
+            "best AS (SELECT c, id AS cid, url AS curl "
+            "FROM win WHERE rn = 1) "
+            "SELECT lab.id, lab.url, best.cid AS canonical_id, "
+            "best.curl AS canonical_url, "
+            "lab.id = best.cid AS is_canonical "
+            "FROM lab JOIN best ON best.c = lab.c"),
+        # eTLD+1: the same candidate-slice / longest-match algorithm
+        # over a VALUES rule table
+        "host_domains": (
+            "WITH hosts AS (SELECT DISTINCT CASE doc_id % 6 "
+            "WHEN 0 THEN 'www.site' || (doc_id % 40) || '.com' "
+            "WHEN 1 THEN 'site' || (doc_id % 40) || '.co.uk' "
+            "WHEN 2 THEN 'a.b.site' || (doc_id % 40) || '.org.uk' "
+            "WHEN 3 THEN 'user' || (doc_id % 40) || '.github.io' "
+            "WHEN 4 THEN 'site' || (doc_id % 40) || '.internal' "
+            "ELSE 'deep.cdn.site' || (doc_id % 40) || '.com.au' END "
+            "AS host FROM documents), "
+            "rules(suffix, rk) AS (VALUES ('ac.uk', 2), ('au', 1), "
+            "('blogspot.com', 2), ('co.jp', 2), ('co.uk', 2), "
+            "('com', 1), ('com.au', 2), ('de', 1), ('edu', 1), "
+            "('fr', 1), ('github.io', 2), ('gov', 1), ('gov.uk', 2), "
+            "('io', 1), ('jp', 1), ('net', 1), ('net.au', 2), "
+            "('org', 1), ('org.uk', 2), ('uk', 1)), "
+            "parts AS (SELECT host, string_split(host, '.') AS p "
+            "FROM hosts), "
+            "cand AS (SELECT host, p, CAST(t.k AS INTEGER) AS k "
+            "FROM parts, unnest([1, 2]) AS t(k) "
+            "WHERE t.k <= len(p) - 1), "
+            "m AS (SELECT c.host, c.k, r.suffix, "
+            "array_to_string(list_slice(c.p, len(c.p) - c.k, "
+            "len(c.p)), '.') AS dom FROM cand c JOIN rules r "
+            "ON r.suffix = array_to_string(list_slice(c.p, "
+            "len(c.p) - c.k + 1, len(c.p)), '.') AND r.rk = c.k), "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY host "
+            "ORDER BY k DESC) AS rn FROM m) "
+            "SELECT h.host, w.suffix AS public_suffix, "
+            "w.dom AS registrable_domain FROM hosts h "
+            "LEFT JOIN w ON w.host = h.host AND w.rn = 1"),
         # engine's union-tag decomposition replaces — same rows or bust
         "cdx_snapshot_delta": (
             "WITH old AS (SELECT 'com,site' || (doc_id % 37) || ')/p' "

@@ -200,6 +200,20 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_cdx_closest(spark, sf_dir),
         "term_pmi": lambda:
             entrymod.q_term_pmi(spark, sf_dir),
+        "image_dhash": lambda:
+            entrymod.q_image_dhash(spark, sf_dir),
+        "image_near_dup": lambda:
+            entrymod.q_image_near_dup(spark, sf_dir),
+        "cdx_prefix_scan": lambda:
+            entrymod.q_cdx_prefix_scan(spark, sf_dir),
+        "cdx_index_merge": lambda:
+            entrymod.q_cdx_index_merge(spark, sf_dir),
+        "events_json": lambda:
+            entrymod.q_events_json(spark, sf_dir),
+        "dedup_canonical": lambda:
+            entrymod.q_dedup_canonical(spark, sf_dir),
+        "host_domains": lambda:
+            entrymod.q_host_domains(spark, sf_dir),
     }
 
 

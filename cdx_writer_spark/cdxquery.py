@@ -10,13 +10,25 @@ against the index the write path produces.
   records this op would emit).
 * :func:`closest_capture` — the Wayback "closest timestamp" query: per
   URL, the capture minimizing |ts - target| (earlier wins ties).
+* :func:`prefix_scan` — the CDX-server ``matchType=prefix`` lookup:
+  all captures whose SURT key starts with a prefix, optionally bounded
+  to a timestamp window, in index order with an optional result cap.
+* :func:`merge_captures` — incremental index maintenance: upsert a
+  delta batch of captures into an existing index with
+  latest-generation-wins semantics per ``(surt_key, ts)`` — the CDC
+  step that folds a new crawl's CDX lines into the standing index
+  without rewriting it.
 
-Both are single aggregations with map-side partial ``min(struct(...))``
-combines — deliberately NOT windows: a boilerplate payload captured
-10^9 times is ONE group whose partial minima fold map-side, where a
-``row_number`` window would sort the hot digest's captures in one
-task.  The join back (revisit_dedup) is digest-keyed and AQE
-skew-splittable.
+revisit_dedup / closest_capture / merge_captures are single
+aggregations with map-side partial ``min``/``max`` ``struct`` combines
+— deliberately NOT windows: a boilerplate payload captured 10^9 times
+is ONE group whose partial extrema fold map-side, where a
+``row_number`` window would sort the hot key's captures in one task.
+The join back (revisit_dedup) is digest-keyed and AQE skew-splittable.
+prefix_scan is filter + top-k: the prefix predicate compiles to a
+``StringStartsWith`` parquet pushdown (row groups outside the key
+range never leave the scan) and the capped form plans as
+``TakeOrderedAndProject`` — per-partition heaps, no global sort.
 """
 
 from __future__ import annotations
@@ -77,3 +89,68 @@ def closest_capture(captures: DataFrame, target_ts: int,
     return best.select(
         "url", F.col("b.ts").alias("ts"), F.col("b.id").alias("id"),
         F.col("b.d").cast("long").alias("distance"))
+
+
+def prefix_scan(index: DataFrame, surt_prefix: str,
+                ts_from: int | None = None, ts_to: int | None = None,
+                limit: int | None = None, key_col: str = "surt_key",
+                ts_col: str = "ts", id_col: str = "doc_id") -> DataFrame:
+    """CDX-server ``matchType=prefix`` (pywb / OpenWayback semantics):
+    every capture whose SURT key starts with ``surt_prefix``, within
+    the optional half-open ``[ts_from, ts_to)`` window, ordered by
+    ``(key, ts, id)`` — the index's total order — and capped to
+    ``limit`` rows when given (the server's ``limit=`` parameter).
+
+    Scale shape: ``startswith`` compiles to a ``StringStartsWith``
+    pushed filter, so a sorted/Z-ordered index prunes row groups by
+    the key's min/max stats before any row is read; the timestamp
+    bounds push the same way.  With ``limit``, Spark plans
+    ``TakeOrderedAndProject`` — each scan partition keeps a
+    ``limit``-row heap and only those heaps cross the wire, so a
+    10^10-row index answers a capped prefix query without a global
+    sort.  Output: ``(surt_key, ts, id)``."""
+    out = index.select(
+        F.col(key_col).alias("surt_key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(id_col).alias("id"))
+    out = out.filter(F.col("surt_key").startswith(surt_prefix))
+    if ts_from is not None:
+        out = out.filter(F.col("ts") >= int(ts_from))
+    if ts_to is not None:
+        out = out.filter(F.col("ts") < int(ts_to))
+    out = out.orderBy("surt_key", "ts", "id")
+    return out.limit(int(limit)) if limit is not None else out
+
+
+def merge_captures(base: DataFrame, delta: DataFrame,
+                   key_col: str = "surt_key", ts_col: str = "ts",
+                   digest_col: str = "digest",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Upsert ``delta`` into ``base``: one output row per
+    ``(surt_key, ts)``, the delta's version winning where both carry
+    the key (CDC latest-generation-wins — the nightly job that folds a
+    fresh crawl's CDX lines into the standing index).  Ties inside one
+    side resolve by highest id (a re-emitted capture supersedes).
+
+    One union + one aggregation: ``max(struct(generation, id,
+    payload...))`` folds map-side, so a hot key re-captured 10^9 times
+    never concentrates in a window sort; the shuffle carries exactly
+    one partially-combined row per (key, ts) per map partition.
+    Output: ``(surt_key, ts, digest, id, generation)`` with
+    ``generation`` 0 = base survivor, 1 = delta survivor."""
+    def keyed(df: DataFrame, gen: int) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias("surt_key"),
+            F.col(ts_col).cast("long").alias("ts"),
+            F.col(digest_col).alias("digest"),
+            F.col(id_col).alias("id"),
+            F.lit(gen).alias("generation"))
+
+    both = keyed(base, 0).unionByName(keyed(delta, 1))
+    best = (both.groupBy("surt_key", "ts")
+            .agg(F.max(F.struct("generation", "id", "digest"))
+                 .alias("w")))
+    return best.select(
+        "surt_key", "ts", F.col("w.digest").alias("digest"),
+        F.col("w.id").alias("id"),
+        F.col("w.generation").alias("generation"))

@@ -799,6 +799,59 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return inter.unionByName(intra).select("id_a", "id_b", "hamming")
 
 
+def bits_near_pairs(df: DataFrame, bits_col: str, id_col: str = "doc_id",
+                    bit_len: int = 64, max_hamming: int = 2,
+                    n_bands: int = 4,
+                    max_bucket_size: int | None = None,
+                    verify_broadcast_limit: int | None = None) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, hamming)`` over ANY precomputed
+    fixed-width bit-string column — perceptual image dHashes, audio
+    fingerprints, any 0/1-string signature.  Same machinery as
+    :func:`simhash_near_pairs` (exact pre-collapse, band buckets,
+    verify on survivors) but the signature arrives as data instead of
+    being derived from text, so one pair engine serves every
+    perceptual-hash modality.
+
+    Banding: ``n_bands`` equal substrings; the pigeonhole bound
+    guarantees full recall for Hamming <= ``n_bands - 1``
+    (``max_hamming`` above that trades recall, same as LSH).  Rows
+    with NULL bits (decode failures upstream) are skipped.  ``bit_len``
+    must split evenly into ``n_bands``."""
+    if bit_len % n_bands:
+        raise ValueError(f"bit_len {bit_len} not divisible by "
+                         f"n_bands {n_bands}")
+    band_len = bit_len // n_bands
+    src = df.filter(F.col(bits_col).isNotNull())
+    # the bits string IS the exact-group key (byte-identical hashes are
+    # Hamming 0 by construction and never reach the band join)
+    membership, reps = _exact_groups(
+        src, F.col(bits_col), id_col, F.col(bits_col), "bits")
+    banded = reps.select(
+        "gkey",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.substr("bits", b * band_len + 1,
+                               F.lit(band_len)))).alias("band", "bval"))
+    cand = _persist_candidates(_banded_candidate_pairs(
+        banded, ["band", "bval"], max_bucket_size))
+    verify = _pruned_reps(reps, cand, verify_broadcast_limit)
+    v_a = verify.select(F.col("gkey").alias("gkey_a"),
+                        F.col("bits").alias("bits_a"))
+    v_b = verify.select(F.col("gkey").alias("gkey_b"),
+                        F.col("bits").alias("bits_b"))
+    ham = F.expr(
+        f"aggregate(sequence(1, {bit_len}), 0, (acc, i) -> acc + "
+        "if(substring(bits_a, i, 1) <> substring(bits_b, i, 1), 1, 0))")
+    rep_pairs = (
+        cand.join(v_a, "gkey_a").join(v_b, "gkey_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("gkey_a", "gkey_b", "hamming"))
+    inter = _expand_rep_pairs(rep_pairs, membership, "hamming")
+    intra = _intra_group_pairs(membership, F.lit(0).cast("int"), "hamming")
+    return inter.unionByName(intra).select("id_a", "id_b", "hamming")
+
+
 # --- duplicate-span removal (C4-style line/paragraph dedup) ------------------
 
 def spans_col(text: Column, span_words: int) -> Column:
@@ -1026,6 +1079,41 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     out = _persist_candidates(out)
     out.count()
     return out
+
+
+def elect_canonical(pairs: DataFrame, attrs: DataFrame,
+                    id_col: str = "id", url_col: str = "url",
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Canonical-URL election over an alias-pair graph: connected
+    components over ``pairs`` (trailing-slash / tracking-param /
+    index.html aliases discovered by DUST mining or redirect chains),
+    then per component elect the canonical member — SHORTEST url, then
+    lexicographic url, then lowest id (the usual crawler
+    canonicalization rule: the cleanest spelling wins).  Rows of
+    ``attrs`` that never appear in ``pairs`` are their own canonical.
+
+    Output: ``(id, url, canonical_id, canonical_url, is_canonical)``
+    — one row per ``attrs`` row.
+
+    Scale shape: components come from the O(log n) star alternation
+    (:func:`connected_components`); the election itself is ONE
+    ``min(struct(len, url, id))`` aggregation whose partial minima
+    fold map-side — a boilerplate alias cluster with 10^9 members is
+    one group, never a window sort — and the answer joins back on the
+    component key (AQE skew-splittable)."""
+    comps = connected_components(pairs, id_a, id_b)
+    labeled = (attrs.select(F.col(id_col).alias("id"),
+                            F.col(url_col).alias("url"))
+               .join(comps, "id", "left")
+               .withColumn("comp", F.coalesce("component", F.col("id"))))
+    best = (labeled.groupBy("comp")
+            .agg(F.min(F.struct(F.length("url").alias("l"), "url",
+                                "id")).alias("c")))
+    return (labeled.join(best, "comp")
+            .select("id", "url",
+                    F.col("c.id").alias("canonical_id"),
+                    F.col("c.url").alias("canonical_url"),
+                    (F.col("c.id") == F.col("id")).alias("is_canonical")))
 
 
 # --- overlapping-window duplicate-substring removal --------------------------

@@ -71,3 +71,58 @@ def test_cdxquery_plans_are_aggregations_not_windows(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "partial_min" in plan
+
+
+def test_prefix_scan_semantics_and_cap(spark):
+    rows = [("com,a)/p", 10, 1), ("com,a)/q", 30, 2), ("com,ab)/r", 20, 3),
+            ("com,b)/s", 15, 4), ("com,a)/p", 5, 5)]
+    df = spark.createDataFrame(
+        rows, "surt_key string, ts long, doc_id long")
+    got = [tuple(r) for r in cdxquery.prefix_scan(
+        df.repartition(3), "com,a", ts_from=6, ts_to=25).collect()]
+    # prefix matches com,a AND com,ab (prefix, not host equality);
+    # ts 5 (below from) and 30 (at/above to) are out; index order
+    assert got == [("com,a)/p", 10, 1), ("com,ab)/r", 20, 3)]
+    capped = cdxquery.prefix_scan(df.repartition(3), "com,a", limit=2)
+    assert [r.id for r in capped.collect()] == [5, 1]
+
+
+def test_prefix_scan_plan_pushdown_and_topk(spark, tmp_path):
+    """The prefix predicate must reach the parquet scan as a pushed
+    StringStartsWith, and the capped form must plan TakeOrdered (per-
+    partition heaps), not a global Sort + CollectLimit."""
+    p = str(tmp_path / "idx")
+    spark.range(1000).selectExpr(
+        "concat('com,site', id % 37, ')/p/', id) AS surt_key",
+        "id AS ts", "id AS doc_id").write.parquet(p)
+    scan = cdxquery.prefix_scan(spark.read.parquet(p), "com,site1",
+                                limit=10)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith(surt_key,com,site1" in plan.replace(" ", ""), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_merge_captures_insert_replace_carry(spark):
+    base = spark.createDataFrame(
+        [("k1", 1, "d1", 10), ("k2", 2, "d2", 20)],
+        "surt_key string, ts long, digest string, doc_id long")
+    delta = spark.createDataFrame(
+        [("k2", 2, "n2", 21), ("k3", 3, "n3", 30)],
+        "surt_key string, ts long, digest string, doc_id long")
+    got = {(r.surt_key, r.ts): (r.digest, r.id, r.generation)
+           for r in cdxquery.merge_captures(base, delta).collect()}
+    assert got == {
+        ("k1", 1): ("d1", 10, 0),   # carry-over
+        ("k2", 2): ("n2", 21, 1),   # delta replaces
+        ("k3", 3): ("n3", 30, 1),   # insert
+    }
+
+
+def test_merge_captures_plan_is_mapside_agg(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "d", 1)],
+        "surt_key string, ts long, digest string, doc_id long")
+    plan = (cdxquery.merge_captures(df, df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "partial_max" in plan
