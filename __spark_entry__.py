@@ -2377,6 +2377,28 @@ _DHASH_CTES = (
     "'string_agg', '') AS bits FROM cells)")
 
 
+# The audio-fingerprint oracle: re-derive the waveform, the 65 exact
+# int64 frame energies and the 64 comparison bits from the generation
+# rule (see _fingerprint_wav_payloads) — no decode.
+_AUDIO_FP_CTES = (
+    "apar AS (SELECT doc_id, 2 + ((doc_id // 3) % 21) % 5 AS a, "
+    "1 + ((doc_id // 3) % 21) % 4 AS b, doc_id % 3 AS v, "
+    "1 + (doc_id % 3) AS c, "
+    "65 * (2 + ((doc_id // 3) % 21) % 3) AS n FROM documents), "
+    "smp AS (SELECT doc_id, n, n // 65 AS L, "
+    "list_transform(range(0, n), i -> "
+    "CASE WHEN v = 2 AND i < n // 65 THEN 0 "
+    "ELSE c * ((a * i * i + b * i) % 512 - 256) END) AS ss FROM apar), "
+    "en AS (SELECT doc_id, n, L, "
+    "list_transform(range(0, 65), f -> "
+    "list_aggregate(list_transform(list_slice(ss, f * L + 1, "
+    "f * L + L), s -> s * s), 'sum')) AS es FROM smp), "
+    "fp AS (SELECT doc_id, n, L, "
+    "list_aggregate(list_transform(range(1, 65), i -> "
+    "CASE WHEN es[i] > es[i + 1] THEN '1' ELSE '0' END), "
+    "'string_agg', '') AS bits FROM en)")
+
+
 def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-server ``matchType=prefix`` lookup (cdxquery.prefix_scan):
     captures under a SURT prefix within a timestamp window, index
@@ -2545,6 +2567,76 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  bit_len=64, max_hamming=2, n_bands=4)
 
 
+def _fingerprint_wav_payloads(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Deterministic 16-bit mono WAVs for the audio-fingerprint ops:
+    sample(i) = c * ((a*i^2 + b*i) % 512 - 256) with (a, b) from the
+    doc's group g = (doc_id div 3) % 21, c = 1 + doc_id % 3 a per-doc
+    amplitude scale (energy scales by c^2 uniformly, so scaled copies
+    fingerprint identically from different bytes), n = 65 * (2 + g%3)
+    samples; v == 2 additionally silences frame 0 (a dropout edit —
+    flips exactly the bit comparing energy(0) to energy(1))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def wav_udf(ids):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        out = []
+        for d in ids:
+            d = int(d)
+            g, v = (d // 3) % 21, d % 3
+            a, b, c = 2 + g % 5, 1 + g % 4, 1 + v
+            n = 65 * (2 + g % 3)
+            frame_len = n // 65
+            samples = [0 if (v == 2 and i < frame_len)
+                       else c * ((a * i * i + b * i) % 512 - 256)
+                       for i in range(n)]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return docs.withColumn("payload", wav_udf("doc_id"))
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-delta fingerprint (audio.audio_fingerprint): REAL
+    WAV decode -> 65 exact int64 frame energies -> 64 adjacent-frame
+    comparison bits as a portable bit string.  The DuckDB oracle
+    re-derives every bit from the waveform generation rule alone —
+    any mis-step in RIFF parsing, sample unpacking, framing or bit
+    order breaks the hash."""
+    from cdx_writer_spark.functions import audio as audiolib
+
+    return audiolib.audio_fingerprint(
+        _fingerprint_wav_payloads(spark, sf_dir))
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs — the SAME generic bit-string pair engine
+    as the image tier (dedup.bits_near_pairs), fed by the audio
+    fingerprint: amplitude-scaled copies land at Hamming 0, dropout
+    edits at Hamming 1.  Oracle = brute-force all-pairs Hamming over
+    the arithmetically re-derived fingerprints."""
+    from cdx_writer_spark.functions import audio as audiolib
+
+    fps = audiolib.audio_fingerprint(
+        _fingerprint_wav_payloads(spark, sf_dir))
+    return dedup.bits_near_pairs(fps, "fingerprint_bits",
+                                 id_col="doc_id", bit_len=64,
+                                 max_hamming=2, n_bands=4)
+
+
 def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation scores (textstats.pmi_collocations, Church &
     Hanks 1990) over window-2 co-occurrences — exact int64 anchors
@@ -2665,6 +2757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recorded
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_near_dup": q_audio_near_dup,
         "cdx_prefix_scan": q_cdx_prefix_scan,
         "cdx_index_merge": q_cdx_index_merge,
         "events_json": q_events_json,
@@ -3275,6 +3369,26 @@ def oracle_sql() -> dict[str, str]:
             "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) "
             "AS INTEGER) AS hamming "
             "FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_filter(range(1, 65), i -> "
+            "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 2"),
+        # audio fingerprint: every bit re-derived arithmetically from
+        # the waveform rule (the engine decodes REAL WAV bytes)
+        "audio_fingerprint": (
+            "WITH " + _AUDIO_FP_CTES + " "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_samples, "
+            "CAST(L AS INTEGER) AS frame_len, "
+            "bits AS fingerprint_bits, 'ok_wav' AS decode_status "
+            "FROM fp"),
+        # audio near-dup: brute-force all-pairs Hamming <= 2 — the
+        # engine reaches the identical pair set through the SAME
+        # banding engine as the image tier
+        "audio_near_dup": (
+            "WITH " + _AUDIO_FP_CTES + " "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_filter(range(1, 65), i -> "
+            "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) "
+            "AS INTEGER) AS hamming "
+            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
             "WHERE len(list_filter(range(1, 65), i -> "
             "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 2"),
         # CDX-server prefix lookup: LIKE + ORDER BY + LIMIT — the

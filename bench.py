@@ -204,6 +204,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_image_dhash(spark, sf_dir),
         "image_near_dup": lambda:
             entrymod.q_image_near_dup(spark, sf_dir),
+        "audio_near_dup": lambda:
+            entrymod.q_audio_near_dup(spark, sf_dir),
         "cdx_prefix_scan": lambda:
             entrymod.q_cdx_prefix_scan(spark, sf_dir),
         "cdx_index_merge": lambda:

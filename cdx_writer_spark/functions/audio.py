@@ -65,7 +65,10 @@ def synth_wav_bytes(doc_id: int, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def _decode_wav(data: bytes):
+def _wav_samples(data: bytes):
+    """``wav bytes -> (channels, rate, width, n_frames, samples)``
+    with ``n_frames`` the DECLARED header frame count and ``samples``
+    the interleaved int list actually present."""
     with wave.open(io.BytesIO(data), "rb") as w:
         ch = w.getnchannels()
         rate = w.getframerate()
@@ -78,6 +81,11 @@ def _decode_wav(data: bytes):
         samples = [b - 128 for b in raw]
     else:
         raise ValueError(f"unsupported sample width {width}")
+    return ch, rate, width, n, samples
+
+
+def _decode_wav(data: bytes):
+    ch, rate, width, n, samples = _wav_samples(data)
     peak = max((abs(s) for s in samples), default=0)
     sum_sq = sum(s * s for s in samples)
     return ch, rate, width, n, peak, sum_sq
@@ -123,3 +131,80 @@ def audio_features(df: DataFrame, bin_col: str = "payload",
 
     return df.select(id_col, bin_col).mapInPandas(
         kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FINGERPRINT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("frame_len", IntegerType()),
+    StructField("fingerprint_bits", StringType()),
+    StructField("decode_status", StringType()),
+])
+
+
+def audio_fingerprint(df: DataFrame, bin_col: str = "payload",
+                      id_col: str = "doc_id",
+                      n_frames: int = 65) -> DataFrame:
+    """Chromaprint-style energy-delta fingerprint over REAL decoded
+    WAV payloads — the audio-side near-dup signature that feeds the
+    SAME generic pair engine as the image tier
+    (:func:`cdx_writer_spark.functions.dedup.bits_near_pairs`): a
+    re-encoded or uniformly amplitude-scaled copy fingerprints
+    identically from different bytes (energy scales by c^2 in every
+    frame, so adjacent-frame comparisons are invariant), while exact
+    digests all differ.
+
+    Integer-exact variant: the sample stream splits into ``n_frames``
+    fixed frames of ``len(samples) // n_frames`` samples (the tail
+    remainder is dropped; interleaved channels are fingerprinted as
+    one stream), each frame's value is the exact int64 SUM OF SQUARES,
+    and ``bit(f) = energy(f) > energy(f+1)`` — ``n_frames - 1`` bits
+    (64 at the 65-frame default), MSB-first as a portable '0'/'1'
+    string.  Payloads with fewer than ``n_frames`` samples surface as
+    per-row ``too_short``; malformed bytes as ``decode_error:*``.
+
+    Output: ``(doc_id, n_samples, frame_len, fingerprint_bits,
+    decode_status)``."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def err_row(doc_id, status):
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(None)
+            out["frame_len"].append(None)
+            out["fingerprint_bits"].append(None)
+            out["decode_status"].append(status)
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "frame_len": [],
+                   "fingerprint_bits": [], "decode_status": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    err_row(doc_id, "null_payload")
+                    continue
+                try:
+                    _, _, _, _, samples = _wav_samples(bytes(payload))
+                except Exception as e:
+                    err_row(doc_id, f"decode_error:{type(e).__name__}")
+                    continue
+                frame_len = len(samples) // n_frames
+                if frame_len == 0:
+                    err_row(doc_id, "too_short")
+                    continue
+                energies = [
+                    sum(s * s
+                        for s in samples[f * frame_len:(f + 1) * frame_len])
+                    for f in range(n_frames)]
+                bits = "".join(
+                    "1" if energies[f] > energies[f + 1] else "0"
+                    for f in range(n_frames - 1))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["frame_len"].append(frame_len)
+                out["fingerprint_bits"].append(bits)
+                out["decode_status"].append("ok_wav")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        kernel, schema=AUDIO_FINGERPRINT_SCHEMA)

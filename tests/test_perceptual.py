@@ -129,3 +129,70 @@ def test_elect_canonical_plan_no_window(spark):
     # inside are over the EDGE list, bounded per round); the election
     # agg itself must be a partial min
     assert "partial_min" in plan
+
+
+def _wav_df(spark, rows):
+    """rows: list of (doc_id, samples list[int])."""
+    import io
+    import struct
+    import wave
+
+    out = []
+    for doc_id, samples in rows:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        out.append((doc_id, buf.getvalue()))
+    return spark.createDataFrame(out, "doc_id long, payload binary")
+
+
+def test_audio_fingerprint_scaling_invariance_and_reference(spark):
+    from cdx_writer_spark.functions import audio as audiolib
+
+    base = [((7 * i * i + 3 * i) % 512 - 256) for i in range(130)]
+    scaled = [3 * s for s in base]
+    df = _wav_df(spark, [(1, base), (2, scaled)])
+    got = {r.doc_id: r for r in audiolib.audio_fingerprint(df).collect()}
+    # uniform amplitude scale: different bytes, identical fingerprint
+    assert got[1].fingerprint_bits == got[2].fingerprint_bits
+    assert got[1].frame_len == 2 and got[1].n_samples == 130
+    # reference arithmetic
+    es = [sum(s * s for s in base[f * 2:(f + 1) * 2]) for f in range(65)]
+    exp = "".join("1" if es[f] > es[f + 1] else "0" for f in range(64))
+    assert got[1].fingerprint_bits == exp
+
+
+def test_audio_fingerprint_tail_drop_and_statuses(spark):
+    from cdx_writer_spark.functions import audio as audiolib
+
+    base = [((5 * i * i + i) % 512 - 256) for i in range(130)]
+    df = _wav_df(spark, [(1, base), (2, base + [9999]),  # 131: tail drops
+                         (3, base[:64])])                 # too short
+    df = df.unionByName(spark.createDataFrame(
+        [(4, b"RIFFgarbage"), (5, None)],
+        "doc_id long, payload binary"))
+    got = {r.doc_id: r for r in audiolib.audio_fingerprint(df).collect()}
+    # 131 samples // 65 frames -> frame_len 2, sample 130 ignored
+    assert got[2].fingerprint_bits == got[1].fingerprint_bits
+    assert got[2].n_samples == 131
+    assert got[3].decode_status == "too_short"
+    assert got[4].decode_status.startswith("decode_error:")
+    assert got[5].decode_status == "null_payload"
+
+
+def test_audio_near_dup_silence_edit_is_hamming_one(spark):
+    from cdx_writer_spark.functions import audio as audiolib
+
+    base = [((9 * i * i + 2 * i) % 512 - 256) for i in range(130)]
+    silenced = [0, 0] + base[2:]           # frame 0 dropout
+    df = _wav_df(spark, [(1, base), (2, silenced), (3, base)])
+    fps = audiolib.audio_fingerprint(df)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.bits_near_pairs(
+               fps, "fingerprint_bits", max_hamming=2).collect()}
+    dedup.release_candidate_caches()
+    # energy(0) drops to 0 < energy(1): exactly bit 0 flips
+    assert got == {(1, 3): 0, (1, 2): 1, (2, 3): 1}
