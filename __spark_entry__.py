@@ -2377,6 +2377,40 @@ _DHASH_CTES = (
     "'string_agg', '') AS bits FROM cells)")
 
 
+# Shared host/eTLD+1 oracle CTEs: per-doc host view (hv), distinct
+# hosts, the VALUES rule table and the longest-match winner (w) — the
+# same candidate/longest-match algorithm as urlstats.registrable_domain
+# run in SQL.
+_HOST_DOMAIN_CTES = (
+    "hv AS (SELECT doc_id, n_chars, CASE doc_id % 6 "
+    "WHEN 0 THEN 'www.site' || (doc_id % 40) || '.com' "
+    "WHEN 1 THEN 'site' || (doc_id % 40) || '.co.uk' "
+    "WHEN 2 THEN 'a.b.site' || (doc_id % 40) || '.org.uk' "
+    "WHEN 3 THEN 'user' || (doc_id % 40) || '.github.io' "
+    "WHEN 4 THEN 'site' || (doc_id % 40) || '.internal' "
+    "ELSE 'deep.cdn.site' || (doc_id % 40) || '.com.au' END "
+    "AS host FROM documents), "
+    "hosts AS (SELECT DISTINCT host FROM hv), "
+    "rules(suffix, rk) AS (VALUES ('ac.uk', 2), ('au', 1), "
+    "('blogspot.com', 2), ('co.jp', 2), ('co.uk', 2), "
+    "('com', 1), ('com.au', 2), ('de', 1), ('edu', 1), "
+    "('fr', 1), ('github.io', 2), ('gov', 1), ('gov.uk', 2), "
+    "('io', 1), ('jp', 1), ('net', 1), ('net.au', 2), "
+    "('org', 1), ('org.uk', 2), ('uk', 1)), "
+    "parts AS (SELECT host, string_split(host, '.') AS p "
+    "FROM hosts), "
+    "cand AS (SELECT host, p, CAST(t.k AS INTEGER) AS k "
+    "FROM parts, unnest([1, 2]) AS t(k) "
+    "WHERE t.k <= len(p) - 1), "
+    "m AS (SELECT c.host, c.k, r.suffix, "
+    "array_to_string(list_slice(c.p, len(c.p) - c.k, "
+    "len(c.p)), '.') AS dom FROM cand c JOIN rules r "
+    "ON r.suffix = array_to_string(list_slice(c.p, "
+    "len(c.p) - c.k + 1, len(c.p)), '.') AND r.rk = c.k), "
+    "w AS (SELECT *, row_number() OVER (PARTITION BY host "
+    "ORDER BY k DESC) AS rn FROM m)")
+
+
 # The audio-fingerprint oracle: re-derive the waveform, the 65 exact
 # int64 frame energies and the 64 comparison bits from the generation
 # rule (see _fingerprint_wav_payloads) — no decode.
@@ -2485,8 +2519,16 @@ def q_host_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdx_writer_spark.functions import urlstats
 
     docs = _table(spark, sf_dir, "documents")
+    return urlstats.registrable_domain(
+        docs.select(_doc_host_col().alias("host")))
+
+
+def _doc_host_col() -> F.Column:
+    """The synthetic per-doc host (six shapes: www-prefixed gTLD,
+    second-level ccTLDs, a private-registry user site, an unknown TLD,
+    a deep subdomain)."""
     n = (F.col("doc_id") % 40).cast("string")
-    host = (F.when(F.col("doc_id") % 6 == 0,
+    return (F.when(F.col("doc_id") % 6 == 0,
                    F.concat(F.lit("www.site"), n, F.lit(".com")))
             .when(F.col("doc_id") % 6 == 1,
                   F.concat(F.lit("site"), n, F.lit(".co.uk")))
@@ -2498,7 +2540,30 @@ def q_host_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat(F.lit("site"), n, F.lit(".internal")))
             .otherwise(F.concat(F.lit("deep.cdn.site"), n,
                                 F.lit(".com.au"))))
-    return urlstats.registrable_domain(docs.select(host.alias("host")))
+
+
+def q_site_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SITE corpus rollup — the curation unit domain-level quality
+    filtering actually wants (C4-style domain blocklists, per-site
+    caps): hosts dedupe FIRST, the eTLD+1 map computes once per
+    distinct host (urlstats.registrable_domain) and BROADCASTS back
+    onto the page rows, then one grouped aggregation keyed by
+    coalesce(registrable_domain, host).  At 100 TB the explode runs
+    per host (10^7), the page-side cost is one broadcast-join
+    projection + a map-side-combined agg.  Oracle = the same
+    longest-match CTEs + join + GROUP BY."""
+    from cdx_writer_spark.functions import urlstats
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _doc_host_col().alias("host"))
+    domains = urlstats.registrable_domain(docs.select("host"))
+    joined = docs.join(F.broadcast(domains), "host")
+    site = F.coalesce("registrable_domain", F.col("host"))
+    return (joined.groupBy(site.alias("site"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.max("n_chars").alias("max_chars")))
 
 
 def _dhash_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2764,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "dedup_canonical": q_dedup_canonical,
         "host_domains": q_host_domains,
+        "site_quality": q_site_quality,
         "bmp_decode": q_bmp_decode,
         "tiff_decode": q_tiff_decode,
         "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
@@ -3457,35 +3523,23 @@ def oracle_sql() -> dict[str, str]:
         # eTLD+1: the same candidate-slice / longest-match algorithm
         # over a VALUES rule table
         "host_domains": (
-            "WITH hosts AS (SELECT DISTINCT CASE doc_id % 6 "
-            "WHEN 0 THEN 'www.site' || (doc_id % 40) || '.com' "
-            "WHEN 1 THEN 'site' || (doc_id % 40) || '.co.uk' "
-            "WHEN 2 THEN 'a.b.site' || (doc_id % 40) || '.org.uk' "
-            "WHEN 3 THEN 'user' || (doc_id % 40) || '.github.io' "
-            "WHEN 4 THEN 'site' || (doc_id % 40) || '.internal' "
-            "ELSE 'deep.cdn.site' || (doc_id % 40) || '.com.au' END "
-            "AS host FROM documents), "
-            "rules(suffix, rk) AS (VALUES ('ac.uk', 2), ('au', 1), "
-            "('blogspot.com', 2), ('co.jp', 2), ('co.uk', 2), "
-            "('com', 1), ('com.au', 2), ('de', 1), ('edu', 1), "
-            "('fr', 1), ('github.io', 2), ('gov', 1), ('gov.uk', 2), "
-            "('io', 1), ('jp', 1), ('net', 1), ('net.au', 2), "
-            "('org', 1), ('org.uk', 2), ('uk', 1)), "
-            "parts AS (SELECT host, string_split(host, '.') AS p "
-            "FROM hosts), "
-            "cand AS (SELECT host, p, CAST(t.k AS INTEGER) AS k "
-            "FROM parts, unnest([1, 2]) AS t(k) "
-            "WHERE t.k <= len(p) - 1), "
-            "m AS (SELECT c.host, c.k, r.suffix, "
-            "array_to_string(list_slice(c.p, len(c.p) - c.k, "
-            "len(c.p)), '.') AS dom FROM cand c JOIN rules r "
-            "ON r.suffix = array_to_string(list_slice(c.p, "
-            "len(c.p) - c.k + 1, len(c.p)), '.') AND r.rk = c.k), "
-            "w AS (SELECT *, row_number() OVER (PARTITION BY host "
-            "ORDER BY k DESC) AS rn FROM m) "
+            "WITH " + _HOST_DOMAIN_CTES + " "
             "SELECT h.host, w.suffix AS public_suffix, "
             "w.dom AS registrable_domain FROM hosts h "
             "LEFT JOIN w ON w.host = h.host AND w.rn = 1"),
+        # per-site rollup: the distinct-host domain map joined back
+        # onto the page rows, sites keyed by eTLD+1 (host fallback)
+        "site_quality": (
+            "WITH " + _HOST_DOMAIN_CTES + ", "
+            "dom AS (SELECT h.host, w.dom FROM hosts h "
+            "LEFT JOIN w ON w.host = h.host AND w.rn = 1) "
+            "SELECT COALESCE(dom.dom, hv.host) AS site, "
+            "COUNT(*) AS n_docs, "
+            "COUNT(DISTINCT hv.host) AS n_hosts, "
+            "CAST(SUM(hv.n_chars) AS BIGINT) AS sum_chars, "
+            "MAX(hv.n_chars) AS max_chars "
+            "FROM hv JOIN dom ON dom.host = hv.host "
+            "GROUP BY 1"),
         # engine's union-tag decomposition replaces — same rows or bust
         "cdx_snapshot_delta": (
             "WITH old AS (SELECT 'com,site' || (doc_id % 37) || ')/p' "

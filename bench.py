@@ -216,6 +216,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_dedup_canonical(spark, sf_dir),
         "host_domains": lambda:
             entrymod.q_host_domains(spark, sf_dir),
+        "site_quality": lambda:
+            entrymod.q_site_quality(spark, sf_dir),
     }
 
 

@@ -522,3 +522,25 @@ def test_dust_verdicts_one_key_join_and_broadcast_collapse(spark):
     # plan belongs to the (tiny) verdict aggregation subtree
     head = plan.split("BroadcastNestedLoopJoin")[0]
     assert "Exchange" not in head
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A date/host-partitioned fact table joined to a filtered dim
+    must plan a dynamicpruning subquery on the partition column — the
+    runtime analog of static partition pruning: at 100 TB the scan
+    reads only the partitions the (broadcast) dim side actually
+    selects, without the query author naming them."""
+    p = str(tmp_path / "fact")
+    (spark.range(2000)
+     .selectExpr("id", "id % 20 AS part_key")
+     .write.partitionBy("part_key").parquet(p))
+    fact = spark.read.parquet(p)
+    dim = (spark.range(20)
+           .selectExpr("id AS part_key", "id % 10 AS grp")
+           .filter("grp = 0"))           # selects 2 of 20 partitions
+    joined = fact.join(dim, "part_key").select("part_key", "id", "grp")
+    plan = _plan(joined)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    # semantics: only part_key 0 and 10 survive
+    got = sorted({r.part_key for r in joined.collect()})
+    assert got == [0, 10]
