@@ -2467,6 +2467,38 @@ def q_cdx_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdxquery.merge_captures(base, delta)
 
 
+def q_cdx_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-server collapse=timestamp:N (cdxquery.collapse_captures):
+    per (surt_key, truncated-ts bucket) keep the first capture with a
+    collapsed-count — the Wayback calendar dedup — as ONE map-side
+    min-struct aggregation (an hourly-captured URL folds map-side,
+    never a window).  Oracle = min/min_by/count GROUP BY over the same
+    buckets."""
+    from cdx_writer_spark import cdxquery
+
+    return cdxquery.collapse_captures(_surt_index_view(spark, sf_dir),
+                                      digits=13)
+
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (TPC-H Q17/Q22 shape): orders
+    whose price exceeds their customer's average — decorrelated into
+    one customer aggregate + an equi-join, with the comparison done in
+    exact integer cents (price*n > sum, no float average ambiguity).
+    One agg with map-side partials + one AQE-planned join; never a
+    per-customer subquery loop.  Oracle = the same integer inequality
+    in SQL."""
+    orders = _table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum(cents).alias("sum_c"),
+                     F.count(F.lit(1)).alias("n")))
+    j = orders.join(per_cust, "o_custkey")
+    return (j.filter(cents * F.col("n") > F.col("sum_c"))
+            .select("o_orderkey", "o_custkey",
+                    cents.alias("price_cents")))
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: events.props is a JSON string;
     ``get_json_object`` pulls ``$.k`` natively (JVM-side Jackson, no
@@ -2830,6 +2862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "host_domains": q_host_domains,
         "site_quality": q_site_quality,
+        "cdx_collapse": q_cdx_collapse,
+        "orders_above_avg": q_orders_above_avg,
         "bmp_decode": q_bmp_decode,
         "tiff_decode": q_tiff_decode,
         "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
@@ -3481,6 +3515,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT surt_key, ts, digest, id, "
             "CAST(generation AS INTEGER) AS generation "
             "FROM r WHERE rn = 1"),
+        # Wayback calendar collapse: min/min_by/count per truncated-ts
+        # bucket — vs the engine's single min-struct aggregation
+        "cdx_collapse": (
+            "WITH " + _SURT_INDEX_CTE + ", "
+            "r AS (SELECT surt_key, ts, doc_id AS id, "
+            "ts - ts % 10 AS b FROM idx) "
+            "SELECT surt_key, MIN(ts) AS ts, min_by(id, ts) AS id, "
+            "COUNT(*) AS n_collapsed FROM r GROUP BY surt_key, b"),
+        # correlated-aggregate filter in exact integer cents
+        "orders_above_avg": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS pc "
+            "FROM orders), "
+            "a AS (SELECT o_custkey, CAST(SUM(pc) AS BIGINT) AS sum_c, "
+            "COUNT(*) AS n FROM c GROUP BY o_custkey) "
+            "SELECT c.o_orderkey, c.o_custkey, c.pc AS price_cents "
+            "FROM c JOIN a USING (o_custkey) "
+            "WHERE c.pc * a.n > a.sum_c"),
         # semi-structured extraction: DuckDB's JSON reader against
         # Spark's get_json_object over the same rows
         "events_json": (

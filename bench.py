@@ -218,6 +218,10 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_host_domains(spark, sf_dir),
         "site_quality": lambda:
             entrymod.q_site_quality(spark, sf_dir),
+        "cdx_collapse": lambda:
+            entrymod.q_cdx_collapse(spark, sf_dir),
+        "orders_above_avg": lambda:
+            entrymod.q_orders_above_avg(spark, sf_dir),
     }
 
 

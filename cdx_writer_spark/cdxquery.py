@@ -122,6 +122,33 @@ def prefix_scan(index: DataFrame, surt_prefix: str,
     return out.limit(int(limit)) if limit is not None else out
 
 
+def collapse_captures(index: DataFrame, digits: int = 8,
+                      key_col: str = "surt_key", ts_col: str = "ts",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CDX-server ``collapse=timestamp:N``: within each
+    ``(surt_key, ts div 10^(14-digits))`` group keep only the FIRST
+    capture — the dedup the Wayback calendar view runs so a page
+    captured hourly renders one entry per day (``digits=8`` on
+    14-digit timestamps).  Here ``ts`` is a plain integer timeline,
+    so the collapse unit is ``10^(14-digits)`` ticks.
+
+    One aggregation, map-side partial ``min(struct(ts, id))`` — a URL
+    captured 10^9 times inside one collapse bucket folds map-side.
+    Output: ``(surt_key, ts, id, n_collapsed)``."""
+    unit = 10 ** (14 - digits)
+    keyed = index.select(
+        F.col(key_col).alias("surt_key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(id_col).alias("id"))
+    best = (keyed.groupBy("surt_key",
+                          (F.col("ts") - F.col("ts") % unit)
+                          .alias("_bucket"))
+            .agg(F.min(F.struct("ts", "id")).alias("f"),
+                 F.count(F.lit(1)).alias("n_collapsed")))
+    return best.select("surt_key", F.col("f.ts").alias("ts"),
+                       F.col("f.id").alias("id"), "n_collapsed")
+
+
 def merge_captures(base: DataFrame, delta: DataFrame,
                    key_col: str = "surt_key", ts_col: str = "ts",
                    digest_col: str = "digest",

@@ -126,3 +126,20 @@ def test_merge_captures_plan_is_mapside_agg(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
     assert "partial_max" in plan
+
+
+def test_collapse_captures_calendar_dedup(spark):
+    # unit = 10 ticks (digits=13); key u: ts 8,9 in bucket 0, 11,15 in
+    # bucket 10; key v: ts 9 alone
+    rows = [("u", 9, 1), ("u", 8, 2), ("u", 11, 3), ("u", 15, 4),
+            ("v", 9, 5)]
+    df = spark.createDataFrame(
+        rows, "surt_key string, ts long, doc_id long")
+    got = {(r.surt_key, r.ts): (r.id, r.n_collapsed)
+           for r in cdxquery.collapse_captures(
+               df.repartition(3), digits=13).collect()}
+    assert got == {("u", 8): (2, 2), ("u", 11): (3, 2),
+                   ("v", 9): (5, 1)}
+    plan = (cdxquery.collapse_captures(df, digits=13)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "partial_min" in plan
