@@ -2411,6 +2411,32 @@ _HOST_DOMAIN_CTES = (
     "ORDER BY k DESC) AS rn FROM m)")
 
 
+# The video-dHash oracle: the image-dHash arithmetic per frame f with
+# the frame-shifted parameter (a + f); spike = frame 0's top-left cell
+# for v == 4 (see _video_gif_payloads).
+_VDHASH_CTES = (
+    "vpar AS (SELECT doc_id, CAST(t.f AS INTEGER) AS f, "
+    "3 + ((doc_id // 5) % 35) % 7 + t.f AS a, "
+    "1 + ((doc_id // 5) % 35) % 5 AS b, doc_id % 5 AS v "
+    "FROM documents, unnest([0, 1, 2, 3]) AS t(f)), "
+    "vcells AS (SELECT doc_id, f, list_transform(range(0, 72), j -> "
+    "CASE WHEN v = 4 AND f = 0 AND j = 0 THEN 1020 ELSE "
+    "((a * (2*(j%9))*(2*(j%9)) + b * (2*(j//9))*(2*(j//9)) "
+    "+ (2*(j%9))*(2*(j//9))) % 200 + v * 5) "
+    "+ ((a * (2*(j%9)+1)*(2*(j%9)+1) + b * (2*(j//9))*(2*(j//9)) "
+    "+ (2*(j%9)+1)*(2*(j//9))) % 200 + v * 5) "
+    "+ ((a * (2*(j%9))*(2*(j%9)) + b * (2*(j//9)+1)*(2*(j//9)+1) "
+    "+ (2*(j%9))*(2*(j//9)+1)) % 200 + v * 5) "
+    "+ ((a * (2*(j%9)+1)*(2*(j%9)+1) + b * (2*(j//9)+1)*(2*(j//9)+1) "
+    "+ (2*(j%9)+1)*(2*(j//9)+1)) % 200 + v * 5) END) AS cs "
+    "FROM vpar), "
+    "vdh AS (SELECT doc_id, f, "
+    "list_aggregate(list_transform(range(0, 64), i -> "
+    "CASE WHEN cs[(i // 8) * 9 + (i % 8) + 1] "
+    "> cs[(i // 8) * 9 + (i % 8) + 2] THEN '1' ELSE '0' END), "
+    "'string_agg', '') AS bits FROM vcells)")
+
+
 # The audio-fingerprint oracle: re-derive the waveform, the 65 exact
 # int64 frame energies and the 64 comparison bits from the generation
 # rule (see _fingerprint_wav_payloads) — no decode.
@@ -2664,6 +2690,79 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  bit_len=64, max_hamming=2, n_bands=4)
 
 
+def _video_gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-frame 18x16 animated GIFs for the video
+    perceptual-dedup ops: frame f's pixel(x, y) =
+    ((a+f)*x^2 + b*y^2 + x*y) % 200 + v*5 over the grayscale-ramp
+    palette (index == luma) — group members (same (a, b)) are
+    brightness-shifted copies agreeing on EVERY frame's dHash; v == 4
+    saturates frame 0's top-left 2x2 cell, so those copies agree on
+    3 of 4 frames (the re-edited-copy case frame-voting exists to
+    catch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gif_udf(ids):
+        import pandas as pd
+
+        from cdx_writer_spark.functions import gif as giflib
+
+        out = []
+        for d in ids:
+            d = int(d)
+            g, v = (d // 5) % 35, d % 5
+            a, b = 3 + g % 7, 1 + g % 5
+            w, h = 18, 16
+            frames = []
+            for f in range(4):
+                idx = bytearray(
+                    ((a + f) * x * x + b * y * y + x * y) % 200 + v * 5
+                    for y in range(h) for x in range(w))
+                if v == 4 and f == 0:
+                    for y in (0, 1):
+                        for x in (0, 1):
+                            idx[y * w + x] = 255
+                frames.append((w, h, bytes(idx)))
+            out.append(giflib.encode_gif(frames))
+        return pd.Series(out)
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return docs.withColumn("payload", gif_udf("doc_id"))
+
+
+def q_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video dHash (multimodal.video_frame_dhash): REAL
+    animated-GIF decode (stdlib LZW) -> one integer-exact dHash per
+    frame (1 row in, 4 rows out).  The DuckDB oracle re-derives every
+    frame's 64 bits from the generation rule alone."""
+    return multimodal.video_frame_dhash(
+        _video_gif_payloads(spark, sf_dir))
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-vote video near-dup: frame hashes pair through the SAME
+    generic bits_near_pairs engine (composite (doc, frame) id), then
+    one aggregation counts agreeing frames per video pair — >= 3 of 4
+    frames at Hamming <= 1 declares a near-duplicate video (the
+    shot-level vote that catches re-encoded, brightness-shifted and
+    single-frame-edited copies).  Oracle = brute-force per-frame
+    Hamming + the same vote in SQL."""
+    frames = multimodal.video_frame_dhash(
+        _video_gif_payloads(spark, sf_dir))
+    fid = (F.col("doc_id") * 8 + F.col("frame_idx")).alias("fid")
+    keyed = frames.select(fid, "dhash_bits")
+    pairs = dedup.bits_near_pairs(keyed, "dhash_bits", id_col="fid",
+                                  bit_len=64, max_hamming=1, n_bands=4)
+    same_frame = pairs.filter(
+        (F.col("id_a") % 8) == (F.col("id_b") % 8))
+    votes = (same_frame
+             .groupBy(F.expr("id_a div 8").alias("vid_a"),
+                      F.expr("id_b div 8").alias("vid_b"))
+             .agg(F.count(F.lit(1)).alias("n_frames_matched"),
+                  F.max("hamming").alias("max_hamming")))
+    return votes.filter(F.col("n_frames_matched") >= 3)
+
+
 def _fingerprint_wav_payloads(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Deterministic 16-bit mono WAVs for the audio-fingerprint ops:
@@ -2856,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
+        "video_dhash": q_video_dhash,
+        "video_near_dup": q_video_near_dup,
         "cdx_prefix_scan": q_cdx_prefix_scan,
         "cdx_index_merge": q_cdx_index_merge,
         "events_json": q_events_json,
@@ -3471,6 +3572,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM dh a JOIN dh b ON a.doc_id < b.doc_id "
             "WHERE len(list_filter(range(1, 65), i -> "
             "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 2"),
+        # per-frame video dHash: every frame's 64 bits re-derived
+        # arithmetically (the engine LZW-decodes REAL GIF bytes)
+        "video_dhash": (
+            "WITH " + _VDHASH_CTES + " "
+            "SELECT doc_id, f AS frame_idx, CAST(18 AS INTEGER) AS "
+            "width, CAST(16 AS INTEGER) AS height, bits AS dhash_bits, "
+            "'ok_gif' AS decode_status FROM vdh"),
+        # frame-vote video near-dup: brute-force per-frame Hamming +
+        # the same >= 3-of-4 vote in SQL
+        "video_near_dup": (
+            "WITH " + _VDHASH_CTES + ", "
+            "pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+            "len(list_filter(range(1, 65), i -> "
+            "substr(a.bits, i, 1) <> substr(b.bits, i, 1))) AS h "
+            "FROM vdh a JOIN vdh b "
+            "ON a.doc_id < b.doc_id AND a.f = b.f) "
+            "SELECT ia AS vid_a, ib AS vid_b, "
+            "COUNT(*) AS n_frames_matched, "
+            "CAST(MAX(h) AS INTEGER) AS max_hamming "
+            "FROM pr WHERE h <= 1 GROUP BY 1, 2 "
+            "HAVING COUNT(*) >= 3"),
         # audio fingerprint: every bit re-derived arithmetically from
         # the waveform rule (the engine decodes REAL WAV bytes)
         "audio_fingerprint": (

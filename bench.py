@@ -206,6 +206,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_image_near_dup(spark, sf_dir),
         "audio_near_dup": lambda:
             entrymod.q_audio_near_dup(spark, sf_dir),
+        "video_near_dup": lambda:
+            entrymod.q_video_near_dup(spark, sf_dir),
         "cdx_prefix_scan": lambda:
             entrymod.q_cdx_prefix_scan(spark, sf_dir),
         "cdx_index_merge": lambda:

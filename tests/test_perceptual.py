@@ -196,3 +196,58 @@ def test_audio_near_dup_silence_edit_is_hamming_one(spark):
     dedup.release_candidate_caches()
     # energy(0) drops to 0 < energy(1): exactly bit 0 flips
     assert got == {(1, 3): 0, (1, 2): 1, (2, 3): 1}
+
+
+def _gif_df(spark, videos):
+    """videos: list of (doc_id, [frame pixel_fn(x, y)]) — 18x16."""
+    from cdx_writer_spark.functions import gif as giflib
+
+    rows = []
+    for doc_id, fns in videos:
+        frames = [(18, 16, bytes(fn(x, y) for y in range(16)
+                                 for x in range(18))) for fn in fns]
+        rows.append((doc_id, giflib.encode_gif(frames)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_video_frame_dhash_fanout_and_reference(spark):
+    f0 = lambda x, y: (3 * x * x + 2 * y) % 240  # noqa: E731
+    f1 = lambda x, y: (5 * x + 7 * y * y) % 240  # noqa: E731
+    df = _gif_df(spark, [(1, [f0, f1])])
+    got = sorted(multimodal.video_frame_dhash(df).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 1]    # 1 row -> 2 rows
+    assert got[0].dhash_bits == _dhash_py(18, 16, f0)
+    assert got[1].dhash_bits == _dhash_py(18, 16, f1)
+    assert all(r.decode_status == "ok_gif" for r in got)
+
+
+def test_video_frame_vote_semantics(spark):
+    base = lambda x, y: (4 * x * x + 3 * y) % 200  # noqa: E731
+    shifted = lambda x, y: base(x, y) + 30  # noqa: E731
+
+    def edited0(x, y):                      # frame 0 edited hard
+        return 255 - base(x, y)
+
+    other = lambda x, y: (9 * x + 11 * y * y + x * y) % 251  # noqa: E731
+    # video 1: base x4; video 2: brightness-shifted (all 4 agree);
+    # video 3: frame 0 replaced (3 of 4 agree); video 4: unrelated
+    df = _gif_df(spark, [
+        (1, [base] * 4), (2, [shifted] * 4),
+        (3, [edited0] + [base] * 3), (4, [other] * 4)])
+    frames = multimodal.video_frame_dhash(df)
+    fid = (F.col("doc_id") * 8 + F.col("frame_idx")).alias("fid")
+    pairs = dedup.bits_near_pairs(frames.select(fid, "dhash_bits"),
+                                  "dhash_bits", id_col="fid",
+                                  max_hamming=1)
+    votes = (pairs.filter((F.col("id_a") % 8) == (F.col("id_b") % 8))
+             .groupBy(F.expr("id_a div 8").alias("a"),
+                      F.expr("id_b div 8").alias("b"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 3))
+    got = {(r.a, r.b): r.n for r in votes.collect()}
+    dedup.release_candidate_caches()
+    assert got.get((1, 2)) == 4     # all frames agree
+    assert got.get((1, 3)) == 3     # edited frame 0 disagrees
+    assert got.get((2, 3)) == 3
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
