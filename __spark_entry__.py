@@ -2525,6 +2525,32 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cents.alias("price_cents")))
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the classic product-analytics rollup): users
+    cohorted by first-active week, then distinct active users per
+    (cohort, weeks-since-cohort) cell.  Two aggregations — a per-user
+    min (map-side partials) and a distinct-count over the deduped
+    (user, week) activity — joined on the user key; all arithmetic in
+    exact epoch-derived integers.  At 100 TB the (user, week) distinct
+    is the only data-sized exchange and it carries two int64s.
+    Oracle = the same two-level aggregation in SQL."""
+    ev = _table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: integer seconds from the NTZ epoch, so the
+    # week index is session-timezone-independent (matches DuckDB's
+    # tz-free epoch() on naive timestamps)
+    secs = F.expr("timestampdiff(SECOND, "
+                  "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    week = F.floor(secs / F.lit(7 * 86400))
+    act = (ev.select(F.col("user_id"), week.alias("week"))
+           .distinct())
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (act.join(first, "user_id")
+            .groupBy("cohort",
+                     (F.col("week") - F.col("cohort"))
+                     .alias("weeks_since"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: events.props is a JSON string;
     ``get_json_object`` pulls ``$.k`` natively (JVM-side Jackson, no
@@ -2965,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_quality": q_site_quality,
         "cdx_collapse": q_cdx_collapse,
         "orders_above_avg": q_orders_above_avg,
+        "events_retention": q_events_retention,
         "bmp_decode": q_bmp_decode,
         "tiff_decode": q_tiff_decode,
         "frontier_seen_cuckoo": q_frontier_seen_cuckoo,
@@ -3645,6 +3672,17 @@ def oracle_sql() -> dict[str, str]:
             "ts - ts % 10 AS b FROM idx) "
             "SELECT surt_key, MIN(ts) AS ts, min_by(id, ts) AS id, "
             "COUNT(*) AS n_collapsed FROM r GROUP BY surt_key, b"),
+        # cohort retention: the same two-level aggregation in SQL
+        "events_retention": (
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week "
+            "FROM events), "
+            "fw AS (SELECT user_id, MIN(week) AS cohort FROM act "
+            "GROUP BY user_id) "
+            "SELECT fw.cohort, act.week - fw.cohort AS weeks_since, "
+            "COUNT(DISTINCT act.user_id) AS n_users "
+            "FROM act JOIN fw ON fw.user_id = act.user_id "
+            "GROUP BY 1, 2"),
         # correlated-aggregate filter in exact integer cents
         "orders_above_avg": (
             "WITH c AS (SELECT o_orderkey, o_custkey, "

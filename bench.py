@@ -224,6 +224,8 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_cdx_collapse(spark, sf_dir),
         "orders_above_avg": lambda:
             entrymod.q_orders_above_avg(spark, sf_dir),
+        "events_retention": lambda:
+            entrymod.q_events_retention(spark, sf_dir),
     }
 
 
