@@ -821,7 +821,14 @@ def bits_near_pairs(df: DataFrame, bits_col: str, id_col: str = "doc_id",
         raise ValueError(f"bit_len {bit_len} not divisible by "
                          f"n_bands {n_bands}")
     band_len = bit_len // n_bands
-    src = df.filter(F.col(bits_col).isNotNull())
+    # persist the NARROW (id, bits) projection: the signatures feed
+    # three consumers (membership, reps, verify) and typically arrive
+    # from an expensive decode kernel (PNG/GIF/WAV) — without this the
+    # decode would re-run once per consumer.  ~(8 + bit_len) bytes per
+    # row, spill-safe, released via release_candidate_caches()
+    src = _persist_candidates(
+        df.filter(F.col(bits_col).isNotNull())
+        .select(F.col(id_col), F.col(bits_col)))
     # the bits string IS the exact-group key (byte-identical hashes are
     # Hamming 0 by construction and never reach the band join)
     membership, reps = _exact_groups(
