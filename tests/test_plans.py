@@ -539,7 +539,15 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
            .selectExpr("id AS part_key", "id % 10 AS grp")
            .filter("grp = 0"))           # selects 2 of 20 partitions
     joined = fact.join(dim, "part_key").select("part_key", "id", "grp")
-    plan = _plan(joined)
+    # PartitionFilters is a metadata string truncated at 100 chars by
+    # default — long expr ids in a shared session can cut the marker
+    # mid-token, so widen the limit for the assertion
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
     assert "dynamicpruningexpression" in plan.lower(), plan
     # semantics: only part_key 0 and 10 survive
     got = sorted({r.part_key for r in joined.collect()})
