@@ -1420,6 +1420,34 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("rank").alias("pr_scaled"))
 
 
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-biased trust propagation (TrustRank, Gyöngyi et al. VLDB
+    2004) over the SAME planted 37-host graph as host_pagerank, with
+    hosts 0-4 as the trusted whitelist — the web-spam demotion signal
+    a crawl scheduler blends into its priority key (link farms
+    unreachable from any seed converge to rank 0, so they sink to the
+    back of the frontier).  Exact integer arithmetic end-to-end
+    (functions/graph.py trustrank_exact): the biased teleport, the
+    per-edge ``rank div outdeg`` sends and the dangling-mass return
+    to the seeds are all integer divisions in a documented order, so
+    the 2-iteration fixpoint is a pure function of (edge set, seed
+    set) and the DuckDB oracle re-derives it as two unrolled
+    relational iterations — any divergence hash-mismatches."""
+    from cdx_writer_spark.functions import graph
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    e1 = docs.filter(d % 37 < 34).select(
+        (d % 37).alias("src"),
+        (F.expr("doc_id div 7") % 37).alias("dst"))
+    e2 = docs.filter(F.expr("(doc_id div 3) % 37 < 34")).select(
+        F.expr("(doc_id div 3) % 37").alias("src"),
+        (F.expr("doc_id div 11") % 37).alias("dst"))
+    seeds = spark.range(5).select(F.col("id").alias("node"))
+    ranks = graph.trustrank_exact(e1.union(e2), seeds, iterations=2)
+    return ranks.select("node", F.col("rank").alias("trust_scaled"))
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _table(spark, sf_dir, "customer")
     o = _table(spark, sf_dir, "orders")
@@ -3049,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": q_agg_grouping_sets,
         "orders_rank_dist": q_orders_rank_dist,
         "host_pagerank": q_host_pagerank,
+        "host_trustrank": q_host_trustrank,
         "hll_hosts": q_hll_hosts,
         "events_tumbling": q_events_tumbling,
         "events_funnel": q_events_funnel,
@@ -5828,4 +5857,59 @@ def oracle_sql() -> dict[str, str]:
             "+ (SELECT dm FROM d3) // (SELECT n FROM c))) // 100 "
             "AS pr FROM nodes LEFT JOIN i3 USING (node)) "
             "SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM r3"),
+        # integer-exact TrustRank, 2 iterations unrolled; the biased
+        # teleport (base only on trusted nodes) and the dangling-mass
+        # return to the seed set follow the trustrank_exact spec
+        # (functions/graph.py) operation-for-operation
+        "host_trustrank": (
+            "WITH e AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT doc_id % 37 AS src, (doc_id // 7) % 37 AS dst "
+            "FROM documents WHERE doc_id % 37 < 34 "
+            "UNION ALL "
+            "SELECT (doc_id // 3) % 37, (doc_id // 11) % 37 "
+            "FROM documents WHERE (doc_id // 3) % 37 < 34"
+            ") WHERE src <> dst), "
+            "nodes AS (SELECT src AS node FROM e "
+            "UNION SELECT dst FROM e), "
+            "seeds AS (SELECT s FROM (VALUES (0), (1), (2), (3), (4)"
+            ") t(s) WHERE s IN (SELECT node FROM nodes)), "
+            "deg AS (SELECT src, COUNT(*) AS outdeg FROM e "
+            "GROUP BY src), "
+            "c AS (SELECT COUNT(*) AS ns, "
+            "1099511627776 // COUNT(*) AS init, "
+            "(15 * (1099511627776 // COUNT(*))) // 100 AS base "
+            "FROM seeds), "
+            "r0 AS (SELECT node, CASE WHEN node IN "
+            "(SELECT s FROM seeds) THEN (SELECT init FROM c) "
+            "ELSE 0 END AS pr FROM nodes), "
+            "i1 AS (SELECT e.dst AS node, "
+            "SUM(r0.pr // deg.outdeg) AS inflow FROM e "
+            "JOIN deg USING (src) JOIN r0 ON r0.node = e.src "
+            "GROUP BY e.dst), "
+            "d1 AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM r0 "
+            "WHERE node NOT IN (SELECT src FROM deg)), "
+            "r1 AS (SELECT nodes.node, "
+            "CASE WHEN nodes.node IN (SELECT s FROM seeds) "
+            "THEN (SELECT base FROM c) ELSE 0 END "
+            "+ (85 * (COALESCE(i1.inflow, 0) "
+            "+ CASE WHEN nodes.node IN (SELECT s FROM seeds) "
+            "THEN (SELECT dm FROM d1) // (SELECT ns FROM c) "
+            "ELSE 0 END)) // 100 AS pr "
+            "FROM nodes LEFT JOIN i1 USING (node)), "
+            "i2 AS (SELECT e.dst AS node, "
+            "SUM(r1.pr // deg.outdeg) AS inflow FROM e "
+            "JOIN deg USING (src) JOIN r1 ON r1.node = e.src "
+            "GROUP BY e.dst), "
+            "d2 AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM r1 "
+            "WHERE node NOT IN (SELECT src FROM deg)), "
+            "r2 AS (SELECT nodes.node, "
+            "CASE WHEN nodes.node IN (SELECT s FROM seeds) "
+            "THEN (SELECT base FROM c) ELSE 0 END "
+            "+ (85 * (COALESCE(i2.inflow, 0) "
+            "+ CASE WHEN nodes.node IN (SELECT s FROM seeds) "
+            "THEN (SELECT dm FROM d2) // (SELECT ns FROM c) "
+            "ELSE 0 END)) // 100 AS pr "
+            "FROM nodes LEFT JOIN i2 USING (node)) "
+            "SELECT node, CAST(pr AS BIGINT) AS trust_scaled "
+            "FROM r2"),
     }

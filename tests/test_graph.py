@@ -331,3 +331,123 @@ def test_hits_partitioning_invariance(spark):
     r2 = sorted(map(tuple,
                     graph.hits_exact(df.repartition(11)).collect()))
     assert r1 == r2
+
+
+# --- trustrank ------------------------------------------------------------------
+
+
+def _py_trustrank(edges, seeds, iterations=3, scale=SCALE, num=85,
+                  den=100):
+    """Reference implementation of the trustrank_exact spec, straight
+    from the graph.py docstring, in plain dicts."""
+    eset = {(s, d) for s, d in edges if s != d}
+    nodes = sorted({s for s, _ in eset} | {d for _, d in eset})
+    trusted = sorted(set(seeds) & set(nodes))
+    if not nodes:
+        return {}
+    if not trusted:
+        return {v: 0 for v in nodes}
+    s_count = len(trusted)
+    init = scale // s_count
+    base = ((den - num) * init) // den
+    outdeg = {}
+    for s, _ in eset:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: (init if v in trusted else 0) for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for s, d in eset:
+            inflow[d] += rank[s] // outdeg[s]
+        dm = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {
+            v: (base if v in trusted else 0)
+            + (num * (inflow[v]
+                      + (dm // s_count if v in trusted else 0))) // den
+            for v in nodes}
+    return rank
+
+
+def _run_trust(spark, edges, seeds, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    out = graph.trustrank_exact(df, sdf, **kw)
+    return {r["node"]: r["rank"] for r in out.collect()}
+
+
+def test_trustrank_matches_python_reference(spark):
+    import random
+    rng = random.Random(23)
+    edges = [(rng.randrange(40), rng.randrange(40))
+             for _ in range(120)]
+    seeds = [0, 1, 2, 3, 4]
+    got = _run_trust(spark, edges, seeds, iterations=4)
+    assert got == _py_trustrank(edges, seeds, iterations=4)
+
+
+def test_trustrank_unreachable_nodes_get_zero(spark):
+    # two disjoint rings; seeds only in the first — the second ring is
+    # unreachable from any trusted node, so every rank there is 0
+    # (the spam-demotion property that motivates the operator)
+    ring1 = [(1, 2), (2, 3), (3, 1)]
+    ring2 = [(10, 11), (11, 12), (12, 10)]
+    got = _run_trust(spark, ring1 + ring2, [1], iterations=4)
+    assert got == _py_trustrank(ring1 + ring2, [1], iterations=4)
+    assert all(got[v] == 0 for v in (10, 11, 12))
+    assert all(got[v] > 0 for v in (1, 2, 3))
+
+
+def test_trustrank_dangling_mass_returns_to_seeds(spark):
+    # 1 -> 9 (sink): the sink's rank drains back to the trusted set
+    # each iteration, never to untrusted nodes
+    edges = [(1, 2), (2, 1), (1, 9)]
+    got = _run_trust(spark, edges, [1], iterations=3)
+    want = _py_trustrank(edges, [1], iterations=3)
+    assert got == want
+    assert want[9] > 0          # the sink holds rank it received
+    assert got[2] > 0           # reachable untrusted node holds rank
+
+
+def test_trustrank_seeds_absent_from_graph_are_ignored(spark):
+    edges = [(1, 2), (2, 1)]
+    got = _run_trust(spark, edges, [1, 999], iterations=3)
+    assert got == _py_trustrank(edges, [1, 999], iterations=3)
+    # 999 is not a node: the trusted share splits over {1} alone
+    assert got == _run_trust(spark, edges, [1], iterations=3)
+
+
+def test_trustrank_no_live_seeds_is_all_zero(spark):
+    edges = [(1, 2), (2, 3)]
+    got = _run_trust(spark, edges, [999], iterations=3)
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_trustrank_partitioning_invariance(spark):
+    import random
+    rng = random.Random(29)
+    edges = [(rng.randrange(25), rng.randrange(25))
+             for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,), (3,)], "node long")
+    a = sorted(map(tuple, graph.trustrank_exact(
+        df.repartition(1), sdf).collect()))
+    b = sorted(map(tuple, graph.trustrank_exact(
+        df.repartition(16, "dst"), sdf).collect()))
+    assert a == b
+
+
+def test_trustrank_checkpoint_blocks_are_released(spark):
+    sc = spark.sparkContext
+
+    def ids():
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = ids()
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,), (1,)], "node long")
+    out = graph.trustrank_exact(df, sdf, iterations=6)
+    out.count()
+    leftover = ids() - before
+    assert len(leftover) <= 1, (
+        f"{len(leftover)} persistent RDDs leaked: {sorted(leftover)}")
