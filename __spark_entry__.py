@@ -1448,6 +1448,29 @@ def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("rank").alias("trust_scaled"))
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the undirected view of the planted
+    37-host graph via synchronous label propagation (Raghavan et al.
+    2007; functions/graph.py label_propagation) — the mirror-site /
+    template-farm grouping a scheduler uses to spread crawl budget
+    across communities.  Two synchronous rounds with the documented
+    (max multiplicity, min label) tie-break make the labeling a pure
+    function of the edge set; the DuckDB oracle re-derives both
+    rounds relationally (count + row_number argmax), so an
+    update-order or tie-break divergence hash-mismatches."""
+    from cdx_writer_spark.functions import graph
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    e1 = docs.filter(d % 37 < 34).select(
+        (d % 37).alias("src"),
+        (F.expr("doc_id div 7") % 37).alias("dst"))
+    e2 = docs.filter(F.expr("(doc_id div 3) % 37 < 34")).select(
+        F.expr("(doc_id div 3) % 37").alias("src"),
+        (F.expr("doc_id div 11") % 37).alias("dst"))
+    return graph.label_propagation(e1.union(e2), rounds=2)
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _table(spark, sf_dir, "customer")
     o = _table(spark, sf_dir, "orders")
@@ -3078,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rank_dist": q_orders_rank_dist,
         "host_pagerank": q_host_pagerank,
         "host_trustrank": q_host_trustrank,
+        "host_communities": q_host_communities,
         "hll_hosts": q_hll_hosts,
         "events_tumbling": q_events_tumbling,
         "events_funnel": q_events_funnel,
@@ -5857,6 +5881,34 @@ def oracle_sql() -> dict[str, str]:
             "+ (SELECT dm FROM d3) // (SELECT n FROM c))) // 100 "
             "AS pr FROM nodes LEFT JOIN i3 USING (node)) "
             "SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM r3"),
+        # synchronous label propagation, 2 rounds unrolled: per
+        # round a (node, label) neighbor-count + row_number argmax
+        # with the (count DESC, label ASC) tie-break of the spec
+        "host_communities": (
+            "WITH raw AS (SELECT src AS a, dst AS b FROM ("
+            "SELECT doc_id % 37 AS src, (doc_id // 7) % 37 AS dst "
+            "FROM documents WHERE doc_id % 37 < 34 "
+            "UNION ALL "
+            "SELECT (doc_id // 3) % 37, (doc_id // 11) % 37 "
+            "FROM documents WHERE (doc_id // 3) % 37 < 34"
+            ") WHERE src <> dst), "
+            "e AS (SELECT DISTINCT s, d FROM ("
+            "SELECT a AS s, b AS d FROM raw "
+            "UNION ALL SELECT b, a FROM raw)), "
+            "l0 AS (SELECT DISTINCT s AS node, s AS label FROM e), "
+            "c1 AS (SELECT e.d AS node, l0.label, COUNT(*) AS c "
+            "FROM e JOIN l0 ON l0.node = e.s GROUP BY e.d, l0.label), "
+            "l1 AS (SELECT node, label FROM ("
+            "SELECT node, label, row_number() OVER ("
+            "PARTITION BY node ORDER BY c DESC, label ASC) AS rn "
+            "FROM c1) WHERE rn = 1), "
+            "c2 AS (SELECT e.d AS node, l1.label, COUNT(*) AS c "
+            "FROM e JOIN l1 ON l1.node = e.s GROUP BY e.d, l1.label), "
+            "l2 AS (SELECT node, label FROM ("
+            "SELECT node, label, row_number() OVER ("
+            "PARTITION BY node ORDER BY c DESC, label ASC) AS rn "
+            "FROM c2) WHERE rn = 1) "
+            "SELECT node, CAST(label AS BIGINT) AS label FROM l2"),
         # integer-exact TrustRank, 2 iterations unrolled; the biased
         # teleport (base only on trusted nodes) and the dangling-mass
         # return to the seed set follow the trustrank_exact spec

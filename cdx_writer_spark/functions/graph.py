@@ -343,6 +343,94 @@ def triangle_count(edges: DataFrame, src: str = "src",
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", rounds: int = 2) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over an UNDIRECTED view of the edge list:
+    returns ``(node, label)`` after ``rounds`` synchronous updates —
+    the mirror-site / template-farm grouping signal a crawl scheduler
+    uses to spread budget across communities instead of drowning in
+    one heavily-interlinked cluster.
+
+    The spec (deterministic — an oracle must follow it exactly):
+
+    * the undirected edge set is ``{(u,v)} ∪ {(v,u)}`` after dropping
+      self-loops and duplicates; isolated nodes don't exist (every
+      node has ≥ 1 neighbor by construction).
+    * ``label₀(v) = v``.
+    * per round, ALL nodes update simultaneously (synchronous — no
+      update-order dependence, unlike the paper's asynchronous
+      variant): ``label'(v)`` = the neighbor label with the highest
+      multiplicity, ties broken by the SMALLEST label.
+
+    A fixed round count keeps the result a pure function of
+    (edge set, rounds) — synchronous LPA can oscillate on bipartite
+    structures, so convergence detection would be data-dependent;
+    callers pick rounds ~ O(graph diameter of interest).
+
+    Scale shape: per round ONE equi-join of the static symmetrized
+    edge list with the (node, label) int64 frame, ONE (node, label)
+    count aggregation with map-side partials, and ONE per-node argmax
+    via ``max(struct(count, -label))`` — an aggregation, not a
+    window, so no per-node sort and skewed high-degree nodes stay
+    inside partial aggregation.  Rounds ``localCheckpoint`` eagerly
+    with the same release-previous-round discipline as
+    :func:`pagerank_exact`."""
+    raw = (edges.select(F.col(src).cast("long").alias("a"),
+                        F.col(dst).cast("long").alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    e = (raw.select(F.col("a").alias("s"), F.col("b").alias("d"))
+         .union(raw.select(F.col("b").alias("s"),
+                           F.col("a").alias("d")))
+         .distinct())
+
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids) -> None:
+        reg = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            ref = reg.get(i)
+            if ref is not None:
+                ref.unpersist(False)
+
+    seen = _persistent_ids()
+    e = e.localCheckpoint(eager=True)
+    static_ids = _persistent_ids() - seen
+
+    labels = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label"))
+    seen = _persistent_ids()
+    labels = labels.localCheckpoint(eager=True)
+    cur_ids = _persistent_ids() - seen
+
+    for _ in range(int(rounds)):
+        counts = (e.join(
+            labels.select(F.col("node").alias("s"), "label"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c")))
+        # argmax by (count, -label): highest multiplicity wins, ties
+        # to the smallest label — one aggregation, no window sort
+        nxt = (counts.groupBy("node")
+               .agg(F.max(F.struct(
+                   F.col("__c").alias("c"),
+                   (-F.col("label")).alias("nl"))).alias("__m"))
+               .select("node",
+                       (-F.col("__m.nl")).cast("long").alias("label")))
+        seen = _persistent_ids()
+        nxt = nxt.localCheckpoint(eager=True)
+        nxt_ids = _persistent_ids() - seen
+        _release(cur_ids)
+        labels, cur_ids = nxt, nxt_ids
+
+    out = labels
+    _release(static_ids)
+    return out
+
+
 def bfs_depths(edges: DataFrame, seeds: DataFrame,
                src: str = "src", dst: str = "dst",
                node: str = "node", max_depth: int = 3) -> DataFrame:

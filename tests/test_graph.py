@@ -451,3 +451,97 @@ def test_trustrank_checkpoint_blocks_are_released(spark):
     leftover = ids() - before
     assert len(leftover) <= 1, (
         f"{len(leftover)} persistent RDDs leaked: {sorted(leftover)}")
+
+
+# --- label propagation ----------------------------------------------------------
+
+
+def _py_lpa(edges, rounds=2):
+    """Reference implementation of the label_propagation spec in
+    plain dicts: symmetrize, label=id, synchronous argmax updates
+    with (max multiplicity, min label) tie-break."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    neigh = {}
+    for s, d in und:
+        neigh.setdefault(d, []).append(s)
+    labels = {v: v for v in neigh}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in neigh.items():
+            counts = {}
+            for u in ns:
+                lb = labels[u]
+                counts[lb] = counts.get(lb, 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+def _run_lpa(spark, edges, rounds=2):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.label_propagation(df, rounds=rounds)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_lpa_matches_python_reference(spark):
+    import random
+    rng = random.Random(31)
+    edges = [(rng.randrange(30), rng.randrange(30))
+             for _ in range(90)]
+    edges = [e for e in edges if e[0] != e[1]]
+    for rounds in (1, 2, 3):
+        assert _run_lpa(spark, edges, rounds) == _py_lpa(edges, rounds)
+
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    # two 4-cliques bridged by one edge: after 2 rounds each clique
+    # carries its min id; the bridge does not merge them
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    got = _run_lpa(spark, edges, rounds=3)
+    assert got == _py_lpa(edges, rounds=3)
+    assert {got[v] for v in (0, 1, 2)} == {0}
+    assert {got[v] for v in (11, 12, 13)} == {10}
+
+
+def test_lpa_direction_is_ignored(spark):
+    edges = [(1, 2), (2, 3), (3, 4)]
+    rev = [(b, a) for a, b in edges]
+    assert _run_lpa(spark, edges) == _run_lpa(spark, rev)
+
+
+def test_lpa_partitioning_invariance(spark):
+    import random
+    rng = random.Random(37)
+    edges = [(rng.randrange(25), rng.randrange(25))
+             for _ in range(80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, graph.label_propagation(
+        df.repartition(1)).collect()))
+    b = sorted(map(tuple, graph.label_propagation(
+        df.repartition(16, "dst")).collect()))
+    assert a == b
+
+
+def test_lpa_checkpoint_blocks_are_released(spark):
+    sc = spark.sparkContext
+
+    def ids():
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = ids()
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.label_propagation(df, rounds=5)
+    out.count()
+    leftover = ids() - before
+    assert len(leftover) <= 1, (
+        f"{len(leftover)} persistent RDDs leaked: {sorted(leftover)}")
