@@ -215,6 +215,21 @@ def q_cdx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion records (the Common Crawl text derivative,
+    WARC 1.0 §6.8) over the crawl table: dispatch → extraction →
+    one fully-assembled 'WARC-Type: conversion' record string per
+    eligible response, with octet-exact Content-Length and
+    content-derived urn:uuid Record-ID / Refers-To (resumable-writer
+    requirement — re-running a partition mints the SAME ids).  The
+    oracle rebuilds every record character-for-character in SQL:
+    same strip spec, same md5-grouped uuids, same CRLF framing —
+    any drift in headers, ids, ISO date or byte count
+    hash-mismatches."""
+    pages = pages_from_documents(spark, sf_dir)
+    return extract.wet_records(pages)
+
+
 def q_web_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-ingest path composed end-to-end over the crawl table:
     pages -> dispatch -> HTML extraction (functions/extract.py) ->
@@ -3123,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_charset": q_cdx_charset,
         "cdx_extract_text": q_cdx_extract_text,
         "web_text_pipeline": q_web_text_pipeline,
+        "wet_records": q_wet_records,
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "web_corpus_full": q_web_corpus_full,
         "cdx_checksum_fast": q_cdx_checksum_fast,
@@ -4271,6 +4287,45 @@ def oracle_sql() -> dict[str, str]:
             _W + _EXTRACT_ELIG_CTE
             + " SELECT doc_id, url, " + _strip_sql("body")
             + " AS text FROM elig"),
+        # WET conversion records rebuilt character-for-character:
+        # the extraction strip spec feeds the same CRLF-framed header
+        # block, md5-derived 8-4-4-4-12 uuids and octet Content-Length
+        "wet_records": (
+            _W + _EXTRACT_ELIG_CTE
+            + ", xt AS (SELECT doc_id, url, " + _strip_sql("body")
+            + " AS text FROM elig), "
+            "w AS (SELECT p.url, p.warc_file, p.\"offset\", "
+            "strftime(TIMESTAMP '2011-02-18 23:32:56' "
+            "+ to_seconds(p.doc_id), '%Y-%m-%dT%H:%M:%SZ') AS iso, "
+            "xt.text, md5('wet:' || p.url || ':' || "
+            "strftime(TIMESTAMP '2011-02-18 23:32:56' "
+            "+ to_seconds(p.doc_id), '%Y-%m-%dT%H:%M:%SZ')) AS hr, "
+            "md5('resp:' || p.url || ':' || "
+            "strftime(TIMESTAMP '2011-02-18 23:32:56' "
+            "+ to_seconds(p.doc_id), '%Y-%m-%dT%H:%M:%SZ')) AS hf "
+            "FROM pages p JOIN xt USING (doc_id)) "
+            "SELECT url, warc_file, CAST(\"offset\" AS BIGINT) "
+            "AS \"offset\", "
+            "CAST(octet_length(encode(text)) AS BIGINT) "
+            "AS content_length, "
+            "'WARC/1.0' || chr(13) || chr(10) "
+            "|| 'WARC-Type: conversion' || chr(13) || chr(10) "
+            "|| 'WARC-Target-URI: ' || url || chr(13) || chr(10) "
+            "|| 'WARC-Date: ' || iso || chr(13) || chr(10) "
+            "|| 'WARC-Record-ID: <urn:uuid:' "
+            "|| substr(hr, 1, 8) || '-' || substr(hr, 9, 4) || '-' "
+            "|| substr(hr, 13, 4) || '-' || substr(hr, 17, 4) || '-' "
+            "|| substr(hr, 21, 12) || '>' || chr(13) || chr(10) "
+            "|| 'WARC-Refers-To: <urn:uuid:' "
+            "|| substr(hf, 1, 8) || '-' || substr(hf, 9, 4) || '-' "
+            "|| substr(hf, 13, 4) || '-' || substr(hf, 17, 4) || '-' "
+            "|| substr(hf, 21, 12) || '>' || chr(13) || chr(10) "
+            "|| 'Content-Type: text/plain' || chr(13) || chr(10) "
+            "|| 'Content-Length: ' "
+            "|| CAST(octet_length(encode(text)) AS VARCHAR) "
+            "|| chr(13) || chr(10) || chr(13) || chr(10) "
+            "|| text || chr(13) || chr(10) || chr(13) || chr(10) "
+            "AS wet_record FROM w"),
         # crawl-table -> text pipeline: the extraction composed with
         # the language-ID / quality / token operators — the whole LLM
         # ingest path (pages -> extract -> analyze) re-derived in SQL

@@ -155,6 +155,102 @@ def extracted_text_column(handler: Column, mime_type: Column,
     return strip_html_column(decode_payload_udf(body, charset))
 
 
+# --- WET conversion records ------------------------------------------------------
+
+#: header timestamp format (WARC 1.0 §5.4 requires UTC 'Z' form)
+_WET_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def _uuid_from_md5(seed: Column) -> Column:
+    """Deterministic urn:uuid body from md5(seed): the 32 hex digits
+    grouped 8-4-4-4-12.  Real WET writers mint random UUIDv4s; a
+    distributed, resumable writer needs record ids that are a pure
+    function of the row (re-running a failed partition must emit the
+    SAME ids or a resumed job double-registers records), so the id is
+    content-derived — the WARC spec only asks for global uniqueness,
+    which md5 over (url, date) provides at corpus scale."""
+    h = F.md5(seed)
+    return F.concat_ws(
+        "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+        F.substring(h, 13, 4), F.substring(h, 17, 4),
+        F.substring(h, 21, 12))
+
+
+def wet_record_col(url: Column, warc_ts: Column, text: Column) -> Column:
+    """One WET 'conversion' record (the Common Crawl text derivative —
+    WARC 1.0 §6.8: a record holding the extracted-text rendition of a
+    response record) as a single string:
+
+    * ``WARC/1.0`` + the 7 header lines (Type, Target-URI, Date,
+      Record-ID, Refers-To, Content-Type, Content-Length), CRLF
+      line ends,
+    * blank line, then the text block, then the two CRLFs that
+      terminate a WARC record.
+
+    ``Content-Length`` is the OCTET length of the UTF-8 text (WARC
+    counts bytes, not characters — multibyte text diverges), and both
+    record ids are content-derived (see :func:`_uuid_from_md5`):
+    ``Record-ID`` seeds on ``wet:url:date``, ``Refers-To`` on
+    ``resp:url:date`` — the id the corresponding response record
+    would carry, so CDX + WET outputs cross-link deterministically.
+
+    All-native Catalyst (concat/date_format/md5): zero Python, zero
+    shuffle — the record column pipelines into whatever sink
+    partitioning the caller wants."""
+    iso = F.date_format(warc_ts, _WET_DATE_FMT)
+    rid = _uuid_from_md5(F.concat(F.lit("wet:"), url, F.lit(":"), iso))
+    ref = _uuid_from_md5(F.concat(F.lit("resp:"), url, F.lit(":"), iso))
+    return F.concat(
+        F.lit("WARC/1.0\r\n"
+              "WARC-Type: conversion\r\n"
+              "WARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: "), iso,
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"), rid,
+        F.lit(">\r\nWARC-Refers-To: <urn:uuid:"), ref,
+        F.lit(">\r\nContent-Type: text/plain\r\n"
+              "Content-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"), text, F.lit("\r\n\r\n"))
+
+
+def wet_records(pages: DataFrame, cfg=None) -> DataFrame:
+    """``pages`` -> one WET conversion record per extractable response:
+    ``(url, warc_file, offset, content_length, wet_record)``, in the
+    same eligibility set as :func:`extract_text` (admitted text/html
+    responses; rows whose extraction is NULL emit nothing — the Common
+    Crawl convention: WET files skip records with no text rendition).
+
+    ``warc_file``/``offset`` ride along so a sink can group records
+    per source archive in record order — the layout real WET files
+    mirror (one ``.warc.wet.gz`` per input ``.warc.gz``).  Pure
+    projection + filter over the extraction — no shuffle here; the
+    per-file grouping is the SINK's one exchange."""
+    ext = extract_text(pages, cfg)
+    return (ext.filter(F.col("text").isNotNull())
+            .select("url", "warc_file", "offset",
+                    F.octet_length("text").cast("long")
+                    .alias("content_length"),
+                    wet_record_col(F.col("url"), F.col("warc_ts"),
+                                   F.col("text")).alias("wet_record")))
+
+
+def write_wet(pages: DataFrame, out_dir: str, cfg=None) -> None:
+    """Write WET text parts partitioned by source archive file, records
+    in archive order within each file — the distributed equivalent of
+    Common Crawl's one-WET-per-WARC layout (concatenate a partition's
+    parts for the logical ``.warc.wet``; a real deployment points the
+    writer at a ``.gz`` codec for the member-per-record form).  Same
+    sink shape as ``sink.write_per_file_cdx``: one exchange on
+    ``warc_file``, in-partition sort on the record offset, single-
+    data-column text sink."""
+    recs = wet_records(pages, cfg)
+    (recs.repartition(F.col("warc_file"))
+     .sortWithinPartitions("offset")
+     .select("warc_file", "wet_record")
+     .write.mode("overwrite").partitionBy("warc_file")
+     .text(out_dir))
+
+
 def extract_text(pages: DataFrame, cfg=None) -> DataFrame:
     """``pages`` -> the same frame with the ``text`` column populated
     from ``html`` (NULL where ineligible).
