@@ -702,6 +702,20 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("doc_id") % 5 != 0)
 
 
+def q_lm_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney count table (Kneser & Ney 1995) for a bigram LM
+    over the documents corpus: per vocabulary word the raw token
+    count plus the distinct left-context (N1+(·w), KN's continuation
+    numerator) and right-continuation (N1+(w·), the backoff-weight
+    numerator) type counts — the aggregation pass an n-gram LM build
+    runs before smoothing.  All exact BIGINTs (probabilities are
+    caller-side divisions), so the oracle's independent lockstep
+    unnest re-derivation must match hash-for-hash."""
+    from cdx_writer_spark.functions import lm
+
+    return lm.kn_continuation_counts(_docs(spark, sf_dir))
+
+
 def q_corpus_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog cardinality sketch over the document
     texts — the one-pass distinct counter a 10^10-URL crawl uses
@@ -3160,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "quality_c4": q_quality_c4,
         "quality_perplexity": q_quality_perplexity,
+        "lm_kn_counts": q_lm_kn_counts,
         "corpus_chunks": q_corpus_chunks,
         "corpus_mix": q_corpus_mix,
         "corpus_hll": q_corpus_hll,
@@ -4784,6 +4799,30 @@ def oracle_sql() -> dict[str, str]:
         # CCNet bigram-LM retrained in SQL: same (prev,cur) counts off
         # the doc_id%5<>0 slice, same add-one smoothing, same dyadic
         # nll quantization (exact BIGINT sums), same ntile tiering
+        # Kneser-Ney counts re-derived with lockstep parallel unnest
+        # of the token list against its shift — distinct pair types,
+        # then two vocabulary-sized aggregations
+        "lm_kn_counts": (
+            "WITH tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "uc AS (SELECT unnest(w) AS token FROM tk), "
+            "uni AS (SELECT token, COUNT(*) AS c_uni FROM uc "
+            "GROUP BY 1), "
+            "bg AS (SELECT DISTINCT prev, cur FROM ("
+            "SELECT unnest(w[1:len(w)-1]) AS prev, "
+            "unnest(w[2:len(w)]) AS cur FROM tk WHERE len(w) >= 2)), "
+            "lt AS (SELECT cur AS token, COUNT(*) AS n_left_types "
+            "FROM bg GROUP BY 1), "
+            "rt AS (SELECT prev AS token, COUNT(*) AS n_right_types "
+            "FROM bg GROUP BY 1) "
+            "SELECT uni.token, CAST(c_uni AS BIGINT) AS c_uni, "
+            "CAST(COALESCE(n_left_types, 0) AS BIGINT) "
+            "AS n_left_types, "
+            "CAST(COALESCE(n_right_types, 0) AS BIGINT) "
+            "AS n_right_types "
+            "FROM uni LEFT JOIN lt USING (token) "
+            "LEFT JOIN rt USING (token)"),
         "quality_perplexity": (
             "WITH " + _PPL_CTES
             + " SELECT doc_id, n_bigrams, nll_q, ppl, bucket FROM tiers"),

@@ -117,6 +117,55 @@ def bigram_lm_scores(docs: DataFrame, train_filter: Column,
         .alias("bucket"))
 
 
+def kn_continuation_counts(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The Kneser-Ney count table (Kneser & Ney 1995; Chen & Goodman
+    1999) for a bigram LM over the corpus — the aggregation pass an
+    n-gram LM build runs before any smoothing arithmetic.  One row
+    per vocabulary word ``w``:
+
+    * ``c_uni``         — raw token count ``c(w)``,
+    * ``n_left_types``  — ``N1+(·w)``: distinct words observed
+      immediately BEFORE ``w`` (the continuation count — KN's
+      unigram numerator: "how many contexts does ``w`` complete",
+      which demotes high-frequency-but-context-bound words like the
+      'Francisco' in 'San Francisco'),
+    * ``n_right_types`` — ``N1+(w·)``: distinct words observed after
+      ``w`` — the backoff-weight ``λ(w)`` numerator.
+
+    ``Σ n_left_types`` over all rows is the distinct-bigram-type
+    total (the continuation denominator), so the table carries every
+    ingredient of interpolated KN; the probabilities themselves are
+    divisions the caller applies (kept out so the outputs stay exact
+    BIGINTs — hash-stable across engines, like the rest of the LM
+    tier).  Tokenization matches :func:`bigram_lm_scores`
+    (lowercase, whitespace split).
+
+    Scale shape: ONE tokenize/explode pass feeds both the unigram
+    count (map-side partials) and the distinct-(prev,cur) reduction —
+    the one corpus-sized exchange, keyed on the pair, after which
+    both type counts are vocabulary-sized aggregations; the final
+    assembly is two vocabulary-sized left joins (AQE broadcasts
+    them).  No Python, no windows, no driver collects."""
+    inst = _bigram_instances(docs, id_col, text_col)
+    pairs = inst.select("prev", "cur").distinct()
+    uni = (docs.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("c_uni")))
+    left = (pairs.groupBy(F.col("cur").alias("token"))
+            .agg(F.count(F.lit(1)).alias("n_left_types")))
+    right = (pairs.groupBy(F.col("prev").alias("token"))
+             .agg(F.count(F.lit(1)).alias("n_right_types")))
+    return (uni.join(left, "token", "left")
+            .join(right, "token", "left")
+            .select(
+                "token", F.col("c_uni").cast("long").alias("c_uni"),
+                F.coalesce("n_left_types", F.lit(0)).cast("long")
+                .alias("n_left_types"),
+                F.coalesce("n_right_types", F.lit(0)).cast("long")
+                .alias("n_right_types")))
+
+
 #: DSIR hashed-feature bucket count (the paper uses 10^4; 2^10 keeps
 #: the oracle's bucket tables tiny at test scale — a constructor arg)
 DSIR_BUCKETS = 1024

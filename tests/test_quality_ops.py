@@ -916,3 +916,89 @@ def test_pmi_collocations_matches_python_reference(spark):
     # min_count gates
     assert all(r[2] >= 3 for r in textstats.pmi_collocations(
         df, window=2, min_count=3).collect())
+
+
+# --- Kneser-Ney continuation counts ---------------------------------------------
+
+
+def _py_kn(texts):
+    """Independent dict-based reference for kn_continuation_counts:
+    lowercase whitespace tokens, raw unigram counts, distinct
+    left/right neighbor types."""
+    uni, pairs = {}, set()
+    for t in texts:
+        toks = t.strip().lower().split()
+        if t.strip() == "":
+            toks = [""]
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            pairs.add((a, b))
+    left, right = {}, {}
+    for a, b in pairs:
+        left[b] = left.get(b, 0) + 1
+        right[a] = right.get(a, 0) + 1
+    return {w: (c, left.get(w, 0), right.get(w, 0))
+            for w, c in uni.items()}
+
+
+def test_kn_counts_match_python_reference(spark):
+    texts = [
+        "san francisco is in california",
+        "the san francisco bay",
+        "francisco lives in the bay area",
+        "the the the repeated francisco",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["token"]: (r["c_uni"], r["n_left_types"],
+                        r["n_right_types"])
+           for r in lm.kn_continuation_counts(docs).collect()}
+    assert got == _py_kn(texts)
+    # the KN motivation: 'francisco' is frequent (4 occurrences) but
+    # nearly context-bound — fewer left types than 'the'-like words
+    c, nl, nr = got["francisco"]
+    assert c == 4 and nl == 2           # only 'san' and 'repeated'
+    # 'the' has the same type count here ({'in','the'}) but far more
+    # RIGHT continuations — it opens contexts, francisco closes them
+    assert got["the"][2] > got["francisco"][2]
+
+
+def test_kn_single_token_docs_have_no_pairs(spark):
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "solo"), (2, "alpha beta")],
+        "doc_id long, text string")
+    got = {r["token"]: (r["c_uni"], r["n_left_types"],
+                        r["n_right_types"])
+           for r in lm.kn_continuation_counts(docs).collect()}
+    assert got["solo"] == (2, 0, 0)
+    assert got["alpha"] == (1, 0, 1)
+    assert got["beta"] == (1, 1, 0)
+
+
+def test_kn_type_counts_ignore_pair_frequency(spark):
+    # 'x y' appears 3 times but contributes ONE left/right type
+    docs = spark.createDataFrame(
+        [(0, "x y x y"), (1, "x y")], "doc_id long, text string")
+    got = {r["token"]: (r["c_uni"], r["n_left_types"],
+                        r["n_right_types"])
+           for r in lm.kn_continuation_counts(docs).collect()}
+    assert got == _py_kn(["x y x y", "x y"])
+    assert got["y"][1] == 1     # N1+(. y) counts types, not tokens
+    assert got["x"][2] == 1
+
+
+def test_kn_left_type_sum_equals_distinct_bigrams(spark):
+    import random
+    rng = random.Random(41)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(12))
+             for _ in range(20)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = lm.kn_continuation_counts(docs).collect()
+    distinct_bigrams = len({
+        p for t in texts
+        for p in zip(t.split(), t.split()[1:])})
+    assert sum(r["n_left_types"] for r in rows) == distinct_bigrams
+    assert sum(r["n_right_types"] for r in rows) == distinct_bigrams
