@@ -716,6 +716,21 @@ def q_lm_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.kn_continuation_counts(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (Sennrich et al. 2016) over the documents
+    corpus: the top-2 subword merges by summed word frequency, with
+    overlap-counting pair stats, (weight, lexicographic) tie-break
+    and greedy left-to-right application between rounds — the
+    tokenizer-training step of an LLM pipeline as a Spark job.  The
+    DuckDB oracle re-learns both rounds from scratch (lockstep
+    unnest pair counts, scalar-subquery argmax, the same double-
+    delimiter replace), so a divergence in counting, tie-break or
+    application order hash-mismatches."""
+    from cdx_writer_spark.functions import lm
+
+    return lm.bpe_merges(_docs(spark, sf_dir), rounds=2)
+
+
 def q_corpus_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog cardinality sketch over the document
     texts — the one-pass distinct counter a 10^10-URL crawl uses
@@ -3175,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_c4": q_quality_c4,
         "quality_perplexity": q_quality_perplexity,
         "lm_kn_counts": q_lm_kn_counts,
+        "bpe_merges": q_bpe_merges,
         "corpus_chunks": q_corpus_chunks,
         "corpus_mix": q_corpus_mix,
         "corpus_hll": q_corpus_hll,
@@ -4799,6 +4815,44 @@ def oracle_sql() -> dict[str, str]:
         # CCNet bigram-LM retrained in SQL: same (prev,cur) counts off
         # the doc_id%5<>0 slice, same add-one smoothing, same dyadic
         # nll quantization (exact BIGINT sums), same ntile tiering
+        # BPE merges re-learned from scratch: word-frequency table,
+        # double-delimiter framed character form, lockstep-unnest
+        # pair counting (overlaps included), argmax with the
+        # (weight DESC, pair ASC) tie-break, greedy replace, round 2
+        "bpe_merges": (
+            "WITH tk AS (SELECT "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "wd AS (SELECT word, COUNT(*) AS freq FROM ("
+            "SELECT replace(unnest(w), chr(31), '') AS word FROM tk) "
+            "WHERE word <> '' GROUP BY 1), "
+            "w0 AS (SELECT chr(31) || regexp_replace(word, '(.)', "
+            "chr(31) || '\\1' || chr(31), 'g') || chr(31) AS syms, "
+            "freq FROM wd), "
+            "p1 AS (SELECT s1, s2, SUM(freq) AS wt FROM ("
+            "SELECT unnest(s[2:len(s)-2]) AS s1, "
+            "unnest(s[3:len(s)-1]) AS s2, freq FROM ("
+            "SELECT string_split(syms, chr(31) || chr(31)) AS s, "
+            "freq FROM w0)) GROUP BY 1, 2), "
+            "b1 AS (SELECT s1, s2, wt FROM p1 "
+            "ORDER BY wt DESC, s1, s2 LIMIT 1), "
+            "w1 AS (SELECT replace(syms, "
+            "chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31), "
+            "chr(31) || b.s1 || b.s2 || chr(31)) AS syms, freq "
+            "FROM w0 CROSS JOIN b1 b), "
+            "p2 AS (SELECT s1, s2, SUM(freq) AS wt FROM ("
+            "SELECT unnest(s[2:len(s)-2]) AS s1, "
+            "unnest(s[3:len(s)-1]) AS s2, freq FROM ("
+            "SELECT string_split(syms, chr(31) || chr(31)) AS s, "
+            "freq FROM w1)) GROUP BY 1, 2), "
+            "b2 AS (SELECT s1, s2, wt FROM p2 "
+            "ORDER BY wt DESC, s1, s2 LIMIT 1) "
+            "SELECT CAST(1 AS BIGINT) AS \"round\", s1 AS left_sym, "
+            "s2 AS right_sym, s1 || s2 AS merged, "
+            "CAST(wt AS BIGINT) AS pair_weight FROM b1 "
+            "UNION ALL "
+            "SELECT CAST(2 AS BIGINT), s1, s2, s1 || s2, "
+            "CAST(wt AS BIGINT) FROM b2"),
         # Kneser-Ney counts re-derived with lockstep parallel unnest
         # of the token list against its shift — distinct pair types,
         # then two vocabulary-sized aggregations

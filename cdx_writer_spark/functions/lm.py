@@ -261,6 +261,134 @@ def dsir_importance(docs: DataFrame, target_filter: Column,
         (rk == 1).alias("selected"))
 
 
+#: symbol delimiter for BPE word representations (U+001F unit
+#: separator — stripped from input words first, so it can never
+#: collide with a real symbol)
+BPE_SEP = "\u001f"
+
+
+def bpe_merges(docs: DataFrame, rounds: int = 2,
+               text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich, Haddow & Birch,
+    ACL 2016 — the subword-tokenizer training step every LLM corpus
+    pipeline runs): learn the top ``rounds`` merges over the corpus
+    and return them as the merge table ``(round, left_sym,
+    right_sym, merged, pair_weight)`` — the distributed analogue of
+    a tokenizer's ``merges.txt``, one row per round in learned
+    order.
+
+    The spec (deterministic; an oracle must follow it exactly):
+
+    * words = lowercase whitespace tokens, U+001F stripped, empties
+      dropped; train on the (word, frequency) table, as classic BPE
+      does.
+    * each word starts as its character sequence; per round, pair
+      weight = Σ word_freq over ALL adjacent symbol occurrences
+      (overlaps count: 'aaa' holds (a,a) twice — Sennrich's
+      get_stats), the winning pair is argmax by (weight, then
+      lexicographically smallest (left, right)), and it is applied
+      to every word greedily LEFT-TO-RIGHT without overlap —
+      realized as plain SQL ``replace`` over a DOUBLE-delimiter
+      framing (see the inline note), which makes string-replace
+      semantics coincide exactly with symbol-level greedy
+      application in both engines.
+    * a corpus with no remaining pairs learns nothing further: later
+      rounds emit no row.
+
+    Scale shape: the (word, freq) aggregation is the ONE corpus-
+    sized exchange; every round after it runs on the vocabulary-
+    sized word table — one narrow (s1, s2) aggregation with map-side
+    partials, a 1-row argmax broadcast back via ``crossJoin``
+    (never collected into the plan), and a pure ``replace``
+    projection.  Rounds ``localCheckpoint`` eagerly with the
+    release-previous-round discipline of the graph operators, so
+    plan depth stays one round deep at any merge count.  At 10^5
+    merges a production build would drain the same loop from a
+    persisted word table — the per-round cost is vocabulary-sized,
+    independent of corpus bytes."""
+    sc = docs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids) -> None:
+        reg = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            ref = reg.get(i)
+            if ref is not None:
+                ref.unpersist(False)
+
+    word = F.replace(F.col("word"), F.lit(BPE_SEP), F.lit(""))
+    words = (docs.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("word"))
+        .select(word.alias("word")).filter(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    # DOUBLE-delimiter framing ␟␟c1␟␟c2␟␟...: the merge search
+    # pattern ␟s1␟␟s2␟ consumes one delimiter from each boundary and
+    # the replacement ␟s1s2␟ restores them, so consecutive merge
+    # sites ('abab' -> ab|ab) stay matchable — with single
+    # delimiters the first match would eat the shared boundary and
+    # plain string replace would skip every second site, silently
+    # diverging from greedy left-to-right semantics
+    syms0 = F.concat(
+        F.lit(BPE_SEP),
+        F.regexp_replace(F.col("word"), "(.)",
+                         BPE_SEP + "$1" + BPE_SEP),
+        F.lit(BPE_SEP))
+    w = words.select(syms0.alias("syms"), "freq")
+    seen = _persistent_ids()
+    w = w.localCheckpoint(eager=True)
+    cur_ids = _persistent_ids() - seen
+
+    merge_rows = []
+    for r in range(1, int(rounds) + 1):
+        arr = F.split(F.col("syms"), BPE_SEP + BPE_SEP)
+        n = F.size(arr)
+        # arr = ['', c1..cm, '']: pairs (element i, i+1) for i in
+        # [2, n-2]; a 1-symbol word (n = 3) holds none
+        pairs = F.when(
+            n >= 4,
+            F.transform(
+                F.sequence(F.lit(2), n - 2),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("s1"),
+                    F.element_at(arr, i + 1).alias("s2")))
+        ).otherwise(F.array().cast(
+            "array<struct<s1:string,s2:string>>"))
+        cnts = (w.select(F.col("freq"),
+                         F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.s1").alias("s1"),
+                         F.col("p.s2").alias("s2"))
+                .agg(F.sum("freq").alias("wt")))
+        # the winning pair is ONE row — a driver scalar like the
+        # graph operators' node counts, never a data-sized collect
+        top = (cnts.orderBy(F.col("wt").desc(), F.col("s1").asc(),
+                            F.col("s2").asc())
+               .limit(1).collect())
+        if not top:
+            break  # no adjacent pairs left anywhere in the corpus
+        s1, s2, wt = top[0]["s1"], top[0]["s2"], int(top[0]["wt"])
+        merge_rows.append((r, s1, s2, s1 + s2, wt))
+        nxt = w.select(
+            F.replace(
+                F.col("syms"),
+                F.lit(BPE_SEP + s1 + BPE_SEP * 2 + s2 + BPE_SEP),
+                F.lit(BPE_SEP + s1 + s2 + BPE_SEP))
+            .alias("syms"), "freq")
+        seen = _persistent_ids()
+        nxt = nxt.localCheckpoint(eager=True)
+        nxt_ids = _persistent_ids() - seen
+        _release(cur_ids)
+        w, cur_ids = nxt, nxt_ids
+
+    _release(cur_ids)
+    return docs.sparkSession.createDataFrame(
+        merge_rows,
+        "round long, left_sym string, right_sym string, "
+        "merged string, pair_weight long")
+
+
 #: default per-tier keep rates in thousandths (CCNet keeps the head,
 #: thins the middle, mostly drops the tail)
 DEFAULT_MIX_MILLIS = {"head": 1000, "middle": 500, "tail": 125}

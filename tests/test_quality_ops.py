@@ -1002,3 +1002,136 @@ def test_kn_left_type_sum_equals_distinct_bigrams(spark):
         for p in zip(t.split(), t.split()[1:])})
     assert sum(r["n_left_types"] for r in rows) == distinct_bigrams
     assert sum(r["n_right_types"] for r in rows) == distinct_bigrams
+
+
+# --- BPE merge learning ---------------------------------------------------------
+
+
+def _py_bpe(texts, rounds):
+    """Independent reference for lm.bpe_merges: word-frequency BPE
+    with overlap-counting pair stats and greedy left-to-right merge
+    application (Sennrich 2016 semantics, the documented spec)."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            w = w.replace("\x1f", "")
+            if w:
+                wc[w] += 1
+    reps = [(list(w), f) for w, f in wc.items()]
+    merges = []
+    for r in range(1, rounds + 1):
+        cnt = Counter()
+        for syms, f in reps:
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += f
+        if not cnt:
+            break
+        (a, b), wt = sorted(cnt.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r, a, b, a + b, wt))
+        new = []
+        for syms, f in reps:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new.append((out, f))
+        reps = new
+    return merges
+
+
+def _run_bpe(spark, texts, rounds):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return sorted(map(tuple, lm.bpe_merges(docs, rounds=rounds)
+                      .collect()))
+
+
+def test_bpe_matches_python_reference(spark):
+    texts = [
+        "the theme of the thesis",
+        "there is the other theory",
+        "then the weather was better",
+    ]
+    assert _run_bpe(spark, texts, 4) == _py_bpe(texts, 4)
+
+
+def test_bpe_learns_the_dominant_digraph_first(spark):
+    texts = ["the the the thin then", "this that"]
+    got = _run_bpe(spark, texts, 2)
+    assert got == _py_bpe(texts, 2)
+    # round 1 must merge (t, h): it occurs in every word
+    r1 = [m for m in got if m[0] == 1][0]
+    assert (r1[1], r1[2], r1[3]) == ("t", "h", "th")
+
+
+def test_bpe_overlap_counting_and_greedy_application(spark):
+    # 'aaaa': three (a,a) occurrences counted, but greedy application
+    # yields 'aa'+'aa', so round 2's top pair is (aa, aa)
+    texts = ["aaaa aaaa b"]
+    got = _run_bpe(spark, texts, 2)
+    assert got == _py_bpe(texts, 2)
+    by_round = {m[0]: m for m in got}
+    assert by_round[1][1:] == ("a", "a", "aa", 6)
+    assert by_round[2][1:] == ("aa", "aa", "aaaa", 2)
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    # 'ab' and 'ba' pairs tie at weight 2: (a,b) < (b,a) wins
+    texts = ["ab ab ba ba"]
+    got = _run_bpe(spark, texts, 1)
+    assert got == _py_bpe(texts, 1)
+    assert got[0][1:] == ("a", "b", "ab", 2)
+
+
+def test_bpe_exhausted_corpus_stops_emitting(spark):
+    # single-character words: no adjacent pairs at all
+    texts = ["a b c a b"]
+    assert _run_bpe(spark, texts, 3) == []
+    # one two-char word: round 1 merges it, round 2 finds nothing
+    texts2 = ["ab c d"]
+    got = _run_bpe(spark, texts2, 3)
+    assert got == _py_bpe(texts2, 3)
+    assert len(got) == 1
+
+
+def test_bpe_partitioning_invariance(spark):
+    import random
+    rng = random.Random(43)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(10))
+             for _ in range(12)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    a = sorted(map(tuple,
+                   lm.bpe_merges(docs.repartition(1), rounds=3)
+                   .collect()))
+    b = sorted(map(tuple,
+                   lm.bpe_merges(docs.repartition(16, "doc_id"),
+                                 rounds=3).collect()))
+    assert a == b == _py_bpe(texts, 3)
+
+
+def test_bpe_checkpoint_blocks_are_released(spark):
+    sc = spark.sparkContext
+
+    def ids():
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = ids()
+    docs = spark.createDataFrame(
+        [(0, "the theme thesis"), (1, "there then")],
+        "doc_id long, text string")
+    out = lm.bpe_merges(docs, rounds=4)
+    out.count()
+    leftover = ids() - before
+    assert len(leftover) <= 1, (
+        f"{len(leftover)} persistent RDDs leaked: {sorted(leftover)}")
