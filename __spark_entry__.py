@@ -731,6 +731,21 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bpe_merges(_docs(spark, sf_dir), rounds=2)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-style linear pass
+    of FineWeb/DCLM-shaped builds): hashed unigram+bigram features x
+    a broadcast (bucket, weight) table, exact integer margin, keep
+    above threshold — lm.linear_quality_scores with the deterministic
+    hashed_weights stand-in for a trained model (production loads
+    real weights into the same two columns).  The oracle regenerates
+    the weight table from range(1024) md5s and re-scores every
+    document in SQL."""
+    from cdx_writer_spark.functions import lm
+
+    wdf = lm.hashed_weights(spark, lm.DSIR_BUCKETS)
+    return lm.linear_quality_scores(_docs(spark, sf_dir), wdf)
+
+
 def q_corpus_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog cardinality sketch over the document
     texts — the one-pass distinct counter a 10^10-URL crawl uses
@@ -3191,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_perplexity": q_quality_perplexity,
         "lm_kn_counts": q_lm_kn_counts,
         "bpe_merges": q_bpe_merges,
+        "quality_classifier": q_quality_classifier,
         "corpus_chunks": q_corpus_chunks,
         "corpus_mix": q_corpus_mix,
         "corpus_hll": q_corpus_hll,
@@ -4815,6 +4831,31 @@ def oracle_sql() -> dict[str, str]:
         # CCNet bigram-LM retrained in SQL: same (prev,cur) counts off
         # the doc_id%5<>0 slice, same add-one smoothing, same dyadic
         # nll quantization (exact BIGINT sums), same ntile tiering
+        # linear classifier re-scored in SQL: weight table from
+        # range() md5s, DSIR feature space, integer margin + keep
+        "quality_classifier": (
+            "WITH wt AS (SELECT CAST(i AS BIGINT) AS bucket, "
+            + _HEX8_SQL("substr(md5('qw1:' || i), 1, 8)")
+            + " % 2001 - 1000 AS weight_q FROM range(1024) t(i)), "
+            "tk AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "gr AS (SELECT doc_id, "
+            "unnest(list_transform(w, t -> 'u:' || t) || "
+            "CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> "
+            "'b:' || w[i] || ' ' || w[i+1]) "
+            "ELSE []::VARCHAR[] END) AS gram FROM tk), "
+            "bk AS (SELECT doc_id, "
+            + _HEX8_SQL("substr(md5(gram), 1, 8)")
+            + " % 1024 AS bucket FROM gr), "
+            "sc AS (SELECT doc_id, COALESCE(weight_q, 0) AS wq "
+            "FROM bk LEFT JOIN wt USING (bucket)), "
+            "ag AS (SELECT doc_id, COUNT(*) AS n_feats, "
+            "SUM(wq) AS score_q FROM sc GROUP BY 1) "
+            "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, "
+            "CAST(score_q AS BIGINT) AS score_q, "
+            "score_q > 0 AS keep FROM ag"),
         # BPE merges re-learned from scratch: word-frequency table,
         # double-delimiter framed character form, lockstep-unnest
         # pair counting (overlaps included), argmax with the

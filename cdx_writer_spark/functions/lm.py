@@ -389,6 +389,72 @@ def bpe_merges(docs: DataFrame, rounds: int = 2,
         "merged string, pair_weight long")
 
 
+def hashed_weights(spark, n_buckets: int = DSIR_BUCKETS,
+                   seed: str = "qw1") -> DataFrame:
+    """A deterministic ``(bucket, weight_q)`` table over the hashed
+    feature space — the stand-in for a TRAINED linear model's weight
+    vector (fastText / logistic quality classifiers ship exactly this
+    shape: one integer-quantized weight per feature bucket).  In
+    production the caller loads real trained weights from parquet
+    into the same two columns; this generator exists so the
+    classifier's plumbing is testable end-to-end without shipping a
+    model: ``weight_q = hex8(md5(seed:bucket)) % 2001 - 1000``, an
+    exact integer in [-1000, 1000], reproducible in any engine."""
+    b = spark.range(int(n_buckets)).select(
+        F.col("id").cast("long").alias("bucket"))
+    w = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col("bucket").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2001 - 1000)
+    return b.select("bucket", w.cast("long").alias("weight_q"))
+
+
+def linear_quality_scores(docs: DataFrame, weights: DataFrame,
+                          n_buckets: int = DSIR_BUCKETS,
+                          threshold_q: int = 0,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering — the fastText-style linear
+    classifier pass modern corpus builds run after the rule tier
+    (FineWeb/DCLM shape: hashed bag-of-n-grams features x a trained
+    weight vector, keep above threshold): score every document by
+    ``Σ weight_q[bucket(feature)]`` over its namespaced unigram +
+    bigram feature INSTANCES (the DSIR feature space —
+    :func:`dsir_importance`'s ``_feature_structs`` and md5 bucket
+    hash, shared so one explode serves both operators in a fused
+    pipeline) and return ``(id, n_feats, score_q, keep)``.
+
+    ``weights`` is any ``(bucket, weight_q)`` frame —
+    :func:`hashed_weights` for tests, a loaded parquet of trained
+    weights in production; buckets absent from it weigh 0.  Scores
+    are exact integer sums of the quantized weights, so the result
+    is partitioning-independent and hash-checkable; the sigmoid is
+    monotone, so thresholding the raw margin IS thresholding the
+    probability (no float in the decision).
+
+    Scale shape: ONE feature explode over the corpus; the weight
+    table is ``n_buckets`` rows — broadcast-joined, never shuffled
+    against the instance stream; ONE integer groupBy(doc) sum.  No
+    Python, no windows, no driver scalars."""
+    w = tokens_col(F.lower(F.col(text_col)))
+    inst = docs.select(
+        F.col(id_col),
+        F.explode(bind_once(w, _feature_structs)).alias("gram")
+    ).select(
+        id_col,
+        (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+         .cast("long") % n_buckets).alias("bucket"))
+    scored = (inst.join(F.broadcast(weights), "bucket", "left")
+              .select(id_col,
+                      F.coalesce("weight_q", F.lit(0)).alias("wq")))
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_feats"), F.sum("wq").alias("score_q"))
+    return agg.select(
+        id_col, F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("score_q").cast("long").alias("score_q"),
+        (F.col("score_q") > F.lit(int(threshold_q))).alias("keep"))
+
+
 #: default per-tier keep rates in thousandths (CCNet keeps the head,
 #: thins the middle, mostly drops the tail)
 DEFAULT_MIX_MILLIS = {"head": 1000, "middle": 500, "tail": 125}

@@ -1135,3 +1135,96 @@ def test_bpe_checkpoint_blocks_are_released(spark):
     leftover = ids() - before
     assert len(leftover) <= 1, (
         f"{len(leftover)} persistent RDDs leaked: {sorted(leftover)}")
+
+
+# --- linear quality classifier --------------------------------------------------
+
+
+def _py_linear(texts, weights, n_buckets, threshold=0):
+    """Independent reference for lm.linear_quality_scores: DSIR
+    feature space (namespaced unigrams + bigrams), md5 hex8 bucket,
+    integer weight sum."""
+    import hashlib
+
+    out = {}
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        if t.strip() == "":
+            toks = [""]
+        feats = [f"u:{w}" for w in toks]
+        feats += [f"b:{a} {b}" for a, b in zip(toks, toks[1:])]
+        score = 0
+        for f in feats:
+            h = int(hashlib.md5(f.encode()).hexdigest()[:8], 16)
+            score += weights.get(h % n_buckets, 0)
+        out[i] = (len(feats), score, score > threshold)
+    return out
+
+
+def _py_hashed_weights(n_buckets, seed="qw1"):
+    import hashlib
+
+    return {
+        b: int(hashlib.md5(f"{seed}:{b}".encode()).hexdigest()[:8],
+               16) % 2001 - 1000
+        for b in range(n_buckets)}
+
+
+def test_linear_classifier_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "click here buy now cheap pills free offer",
+        "a",
+        "",
+    ]
+    n = 256
+    wdf = lm.hashed_weights(spark, n)
+    wmap = {r["bucket"]: r["weight_q"] for r in wdf.collect()}
+    assert wmap == _py_hashed_weights(n)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_feats"], r["score_q"], r["keep"])
+           for r in lm.linear_quality_scores(
+               docs, wdf, n_buckets=n).collect()}
+    assert got == _py_linear(texts, wmap, n)
+
+
+def test_linear_classifier_missing_buckets_weigh_zero(spark):
+    # a weights table covering only bucket 0: every other feature
+    # contributes nothing
+    wdf = spark.createDataFrame([(0, 7)], "bucket long, weight_q long")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string")
+    r = lm.linear_quality_scores(docs, wdf, n_buckets=64).collect()[0]
+    wmap = {0: 7}
+    want = _py_linear(["alpha beta gamma"], wmap, 64)[0]
+    assert (r["n_feats"], r["score_q"], r["keep"]) == want
+
+
+def test_linear_classifier_threshold_decision(spark):
+    wdf = spark.createDataFrame(
+        [(b, 1) for b in range(64)], "bucket long, weight_q long")
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x")], "doc_id long, text string")
+    # every feature weighs 1 -> score == n_feats
+    out = {r["doc_id"]: r for r in lm.linear_quality_scores(
+        docs, wdf, n_buckets=64, threshold_q=3).collect()}
+    assert out[1]["score_q"] == 5 and out[1]["keep"]      # 3 uni + 2 bi
+    assert out[2]["score_q"] == 1 and not out[2]["keep"]
+
+
+def test_linear_classifier_partitioning_invariance(spark):
+    import random
+    rng = random.Random(47)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(15))
+             for _ in range(20)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    wdf = lm.hashed_weights(spark, 128)
+    a = sorted(map(tuple, lm.linear_quality_scores(
+        docs.repartition(1), wdf, n_buckets=128).collect()))
+    b = sorted(map(tuple, lm.linear_quality_scores(
+        docs.repartition(16, "doc_id"), wdf,
+        n_buckets=128).collect()))
+    assert a == b
