@@ -145,8 +145,11 @@ def kn_continuation_counts(docs: DataFrame, id_col: str = "doc_id",
     count (map-side partials) and the distinct-(prev,cur) reduction —
     the one corpus-sized exchange, keyed on the pair, after which
     both type counts are vocabulary-sized aggregations; the final
-    assembly is two vocabulary-sized left joins (AQE broadcasts
-    them).  No Python, no windows, no driver collects."""
+    assembly is two token-keyed joins of three SAME-cardinality
+    vocabulary tables — a shuffle join is the right physical plan
+    there (no side is meaningfully smaller, so broadcasting is not
+    structurally justified; AQE may still pick one at small scale).
+    No Python, no windows, no driver collects."""
     inst = _bigram_instances(docs, id_col, text_col)
     pairs = inst.select("prev", "cur").distinct()
     uni = (docs.select(

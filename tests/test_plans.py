@@ -552,3 +552,69 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # semantics: only part_key 0 and 10 survive
     got = sorted({r.part_key for r in joined.collect()})
     assert got == [0, 10]
+
+
+def test_linear_classifier_broadcasts_weights(spark):
+    """The (bucket, weight) table must reach the feature-instance
+    stream as a BroadcastHashJoin — at 100 TB the instances are
+    corpus-sized and must NEVER shuffle against a 1024-row model —
+    and the per-doc margin must be one partial-agged exchange."""
+    from cdx_writer_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string")
+    plan = _plan(lm.linear_quality_scores(
+        docs, lm.hashed_weights(spark, 64), n_buckets=64))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # one aggregation exchange (doc key), map-side partials
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_wet_records_add_no_exchange(spark):
+    """WET record assembly is a projection over the extraction — it
+    must add NO exchange and NO Python evaluation beyond the
+    filtered-extraction shape it builds on (the record concat
+    references `text` three times, so this also pins Catalyst's
+    common-UDF dedup: the multiple references must NOT multiply the
+    ArrowEvalPython nodes past the filter+project pair every
+    extraction query carries)."""
+    from pyspark.sql import functions as F
+
+    from cdx_writer_spark.functions import extract
+    from cdx_writer_spark.pages_gen import bulk_rows
+    from cdx_writer_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(bulk_rows(20), PAGES_SCHEMA)
+    base = _plan(extract.extract_text(pages)
+                 .filter(F.col("text").isNotNull())
+                 .select("url", "text"))
+    wet = _plan(extract.wet_records(pages))
+    assert wet.count("Exchange") == base.count("Exchange"), wet
+    assert wet.count("ArrowEvalPython") == base.count(
+        "ArrowEvalPython"), (wet.count("ArrowEvalPython"),
+                             base.count("ArrowEvalPython"))
+
+
+def test_kn_counts_exchange_inventory(spark):
+    """KN continuation counts: every aggregation partial-aggs
+    map-side (the corpus-sized explode collapses before its
+    exchange), the assembly joins are equi-joins of the three
+    vocabulary-sized aggregates (same cardinality on every side —
+    a shuffle join is the RIGHT plan there; what must never appear
+    is an unkeyed join), and nothing crosses into Python."""
+    from cdx_writer_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string")
+    out = lm.kn_continuation_counts(docs)
+    plan = _plan(out)
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    # exchange inventory: pair-distinct, unigram agg, left/right
+    # type aggs + the join alignments — bounded, never corpus-keyed
+    # beyond the documented set
+    assert plan.count("Exchange hashpartitioning") <= 8, plan
