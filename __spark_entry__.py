@@ -519,6 +519,23 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     portable=True)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor election: the portable MinHash
+    near-dup pairs closed into clusters, then the LONGEST member (an
+    octet-length quality proxy; ties to the lowest doc_id) elected
+    per cluster — the keep-the-best-copy policy real corpus builds
+    apply instead of keep-min-id (dedup.elect_survivors).  The
+    oracle closes the same pairs with a recursive CTE and re-elects
+    via a row_number argmax, sharing nothing with the star
+    alternation or the struct-max aggregation."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5, portable=True)
+    scored = docs.select("doc_id",
+                         F.octet_length("text").alias("score"))
+    return dedup.elect_survivors(scored, pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id", "is_keep")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: the portable MinHash pairs closed into
     connected components (alternating large-star/small-star), one
@@ -3195,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_spans": q_dedup_spans,
         "dedup_windows": q_dedup_windows,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -4449,6 +4467,28 @@ def oracle_sql() -> dict[str, str]:
         # transitive reachability by a recursive CTE (label = min
         # reachable id) — an implementation-independent check of the
         # Spark side's large-star/small-star alternation
+        # survivor election: the cluster closure plus a row_number
+        # argmax by (octet length DESC, doc_id ASC) per cluster
+        "dedup_survivors": (
+            "WITH RECURSIVE " + _MINHASH_CTES + ", "
+            "pairs AS (SELECT id_a, id_b FROM scored "
+            "WHERE jaccard >= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT u AS id, u AS lab FROM edges "
+            "UNION SELECT e.v, r.lab FROM reach r "
+            "JOIN edges e ON e.u = r.id), "
+            "comp AS (SELECT id, MIN(lab) AS comp FROM reach "
+            "GROUP BY id), "
+            "lab AS (SELECT d.doc_id, "
+            "coalesce(c.comp, d.doc_id) AS cluster_id, "
+            "octet_length(encode(d.text)) AS sc "
+            "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), "
+            "rk AS (SELECT doc_id, cluster_id, "
+            "row_number() OVER (PARTITION BY cluster_id "
+            "ORDER BY sc DESC, doc_id ASC) AS rn FROM lab) "
+            "SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, "
+            "rn = 1 AS is_keep FROM rk"),
         "dedup_clusters": (
             "WITH RECURSIVE " + _MINHASH_CTES + ", "
             "pairs AS (SELECT id_a, id_b FROM scored "

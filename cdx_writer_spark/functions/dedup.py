@@ -1123,6 +1123,50 @@ def elect_canonical(pairs: DataFrame, attrs: DataFrame,
                     (F.col("c.id") == F.col("id")).alias("is_canonical")))
 
 
+def elect_survivors(scored: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id",
+                    score_col: str = "score",
+                    id_a: str = "id_a", id_b: str = "id_b"
+                    ) -> DataFrame:
+    """Quality-aware survivor election over near-dup clusters: close
+    ``pairs`` into connected components, then keep the HIGHEST-
+    ``score`` member of each cluster (ties to the lowest id) — the
+    dedup policy real corpus builds apply instead of keep-min-id:
+    when a boilerplate chain clusters a long original with its
+    truncated mirrors, the build wants the best copy, not the
+    numerically first one.  ``score`` is any integer quality proxy
+    (octet length for longest-member-wins, a classifier margin, an
+    LM tier rank); keep it integral so the election is exact and
+    hash-checkable.
+
+    Output: ``(id, cluster_id, is_keep)`` — one row per ``scored``
+    row; documents outside every pair are their own cluster and
+    survive.
+
+    Scale shape: components from the O(log n) star alternation
+    (:func:`connected_components`); the election is ONE
+    ``max(struct(score, -id))`` aggregation with map-side partial
+    maxima — a 10^9-member boilerplate cluster folds inside partial
+    aggregation, never a window sort — plus the component-keyed
+    join back (AQE skew-splittable), exactly the
+    :func:`elect_canonical` shape with the opposite objective."""
+    comps = connected_components(pairs, id_a, id_b)
+    labeled = (scored.select(F.col(id_col).alias("id"),
+                             F.col(score_col).cast("long")
+                             .alias("__s"))
+               .join(comps, "id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("component", F.col("id"))))
+    best = (labeled.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("__s").alias("s"),
+                                (-F.col("id")).alias("ni")))
+                 .alias("b")))
+    return (labeled.join(best, "cluster_id")
+            .select(F.col("id"), F.col("cluster_id").cast("long")
+                    .alias("cluster_id"),
+                    (F.col("id") == -F.col("b.ni")).alias("is_keep")))
+
+
 # --- overlapping-window duplicate-substring removal --------------------------
 
 def windows_col(text: Column, k: int) -> Column:
