@@ -536,6 +536,29 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "cluster_id", "is_keep")
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the Dolma/C4 boilerplate
+    pass, dedup.drop_duplicate_paragraphs) over a paragraph-
+    structured view of the documents table: each doc becomes a
+    unique-ish body line plus planted 'footer %7' / 'nav %3'
+    boilerplate lines, so cross-document duplicate paragraphs (and
+    duplicate BODIES, where the corpus carries planted duplicate
+    texts) exist by construction.  First global occurrence by
+    (doc_id, idx) owns each paragraph; the oracle re-derives the
+    owner with a row_number window over the raw paragraph text —
+    a different mechanism than the engine's digest-keyed struct-min
+    aggregation, so an owner-election bug on either side
+    hash-mismatches."""
+    docs = _docs(spark, sf_dir)
+    text2 = F.concat(
+        F.lit("body "), F.col("text"), F.lit("\n"),
+        F.lit("footer "), (F.col("doc_id") % 7).cast("string"),
+        F.lit("\n"),
+        F.lit("nav "), (F.col("doc_id") % 3).cast("string"))
+    paged = docs.select("doc_id", text2.alias("text"))
+    return dedup.drop_duplicate_paragraphs(paged)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: the portable MinHash pairs closed into
     connected components (alternating large-star/small-star), one
@@ -3213,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
         "dedup_windows": q_dedup_windows,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -4467,6 +4491,35 @@ def oracle_sql() -> dict[str, str]:
         # transitive reachability by a recursive CTE (label = min
         # reachable id) — an implementation-independent check of the
         # Spark side's large-star/small-star alternation
+        # paragraph dedup: owner via row_number over the raw text
+        # (vs the engine's digest-keyed struct-min), blank exemption,
+        # ordered string_agg reassembly
+        "dedup_paragraphs": (
+            "WITH px0 AS (SELECT doc_id, "
+            "'body ' || text || chr(10) || "
+            "'footer ' || (doc_id % 7) || chr(10) || "
+            "'nav ' || (doc_id % 3) AS t FROM documents), "
+            "px AS (SELECT doc_id, "
+            "unnest(string_split(t, chr(10))) AS para, "
+            "unnest(range(0, len(string_split(t, chr(10))))) AS idx "
+            "FROM px0), "
+            "rk AS (SELECT doc_id, idx, para, "
+            "row_number() OVER (PARTITION BY para "
+            "ORDER BY doc_id, idx) AS rn FROM px "
+            "WHERE trim(para) <> ''), "
+            "kept AS (SELECT doc_id, idx, para FROM rk WHERE rn = 1 "
+            "UNION ALL SELECT doc_id, idx, para FROM px "
+            "WHERE trim(para) = ''), "
+            "rb AS (SELECT doc_id, COUNT(*) AS n_kept, "
+            "string_agg(para, chr(10) ORDER BY idx) AS clean_text "
+            "FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, "
+            "len(string_split(t, chr(10))) AS n_paras FROM px0) "
+            "SELECT tot.doc_id AS id, "
+            "CAST(n_paras AS BIGINT) AS n_paras, "
+            "CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, "
+            "COALESCE(clean_text, '') AS clean_text "
+            "FROM tot LEFT JOIN rb USING (doc_id)"),
         # survivor election: the cluster closure plus a row_number
         # argmax by (octet length DESC, doc_id ASC) per cluster
         "dedup_survivors": (

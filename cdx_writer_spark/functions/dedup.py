@@ -1167,6 +1167,73 @@ def elect_survivors(scored: DataFrame, pairs: DataFrame,
                     (F.col("id") == -F.col("b.ni")).alias("is_keep")))
 
 
+def drop_duplicate_paragraphs(docs: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup (the Dolma/C4 paragraph
+    pass, run beside document-level dedup: boilerplate blocks —
+    cookie banners, nav footers, license headers — repeat across
+    millions of pages as identical newline-delimited paragraphs and
+    are removed everywhere but their first occurrence):
+
+    * paragraphs = ``text`` split on ``\\n``; whitespace-only
+      paragraphs are exempt (blank separator lines are structure,
+      not content — deduplicating them would collapse all vertical
+      whitespace corpus-wide onto one arbitrary owner),
+    * the OWNER of a paragraph digest is the globally first
+      occurrence by ``(doc_id, idx)``; every other occurrence drops,
+    * output: one row per input doc — ``(id, n_paras, n_kept,
+      clean_text)`` with ``clean_text`` the kept paragraphs
+      rejoined by ``\\n`` in original order ('' when nothing
+      survives).
+
+    Scale shape (the drop_duplicate_spans discipline at paragraph
+    granularity): one posexplode pass; the owner decision is ONE
+    aggregation keyed on the 16-byte md5 digest carrying a
+    ``min(struct(doc_id, idx))`` with map-side partial minima (a
+    boilerplate paragraph repeated 10^9 times folds inside partial
+    agg — never a window over the full occurrence list); the verdict
+    joins back on the digest; reassembly is ONE doc-keyed
+    aggregation (array_sort over the doc's OWN kept paragraphs
+    only).  No Python anywhere."""
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("idx", "para"))
+    nonempty = paras.filter(F.trim("para") != "")
+    owner = (nonempty
+             .select(F.md5("para").alias("dg"), "id", "idx")
+             .groupBy("dg")
+             .agg(F.min(F.struct("id", "idx")).alias("o")))
+    kept_ne = (nonempty.select("id", "idx", "para",
+                               F.md5("para").alias("dg"))
+               .join(owner, "dg")
+               .filter((F.col("id") == F.col("o.id"))
+                       & (F.col("idx") == F.col("o.idx")))
+               .select("id", "idx", "para"))
+    kept = kept_ne.unionAll(
+        paras.filter(F.trim("para") == "")
+        .select("id", "idx", "para"))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("idx", "para"))),
+                            lambda s: s["para"]), "\n")
+                    .alias("clean_text")))
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long")
+        .alias("n_paras"))
+    return (totals.join(rebuilt, "id", "left")
+            .select("id", "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))
+
+
 # --- overlapping-window duplicate-substring removal --------------------------
 
 def windows_col(text: Column, k: int) -> Column:

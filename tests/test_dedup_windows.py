@@ -85,3 +85,87 @@ def test_alignment_independence_vs_spans(spark):
     clean2 = got[2][0].split(" ")
     assert "d2" not in clean2 and "d3" not in clean2
     assert "z0" in clean2 and "z1" in clean2
+
+
+# --- paragraph-level exact dedup ------------------------------------------------
+
+
+def _py_paras(rows):
+    """Reference for drop_duplicate_paragraphs in plain dicts."""
+    owner = {}
+    for i, t in sorted(rows):
+        for idx, p in enumerate(t.split("\n")):
+            if p.strip() == "":
+                continue
+            owner.setdefault(p, (i, idx))
+    out = {}
+    for i, t in rows:
+        ps = t.split("\n")
+        kept = [p for idx, p in enumerate(ps)
+                if p.strip() == "" or owner[p] == (i, idx)]
+        out[i] = (len(ps), len(kept), "\n".join(kept))
+    return out
+
+
+def _run_paras(spark, rows):
+    from cdx_writer_spark.functions import dedup
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+            for r in dedup.drop_duplicate_paragraphs(docs).collect()}
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "unique one\nshared footer\nunique two"),
+        (2, "other text\nshared footer"),
+        (3, "shared footer\nmore text"),
+    ]
+    got = _run_paras(spark, rows)
+    assert got == _py_paras(rows)
+    assert got[1] == (3, 3, "unique one\nshared footer\nunique two")
+    assert got[2] == (2, 1, "other text")
+    assert got[3] == (2, 1, "more text")
+
+
+def test_paragraph_dedup_blank_lines_are_exempt(spark):
+    rows = [(1, "a\n\nb"), (2, "c\n\nd"), (3, "  \na")]
+    got = _run_paras(spark, rows)
+    assert got == _py_paras(rows)
+    # every blank/whitespace-only line survives everywhere
+    assert got[1] == (3, 3, "a\n\nb")
+    assert got[2] == (3, 3, "c\n\nd")
+    assert got[3] == (2, 1, "  ")      # 'a' owned by doc 1
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    rows = [(5, "x\nx\nx\ny")]
+    got = _run_paras(spark, rows)
+    assert got == _py_paras(rows)
+    assert got[5] == (4, 2, "x\ny")
+
+
+def test_paragraph_dedup_fully_duplicate_doc_empties(spark):
+    rows = [(1, "only para"), (2, "only para")]
+    got = _run_paras(spark, rows)
+    assert got == _py_paras(rows)
+    assert got[2] == (1, 0, "")
+
+
+def test_paragraph_dedup_partitioning_invariance(spark):
+    from cdx_writer_spark.functions import dedup
+
+    import random
+    rng = random.Random(61)
+    blocks = [f"para {i}" for i in range(8)]
+    rows = [(i, "\n".join(rng.choice(blocks)
+                          for _ in range(rng.randrange(1, 6))))
+            for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.drop_duplicate_paragraphs(
+        docs.repartition(1)).collect()))
+    b = sorted(map(tuple, dedup.drop_duplicate_paragraphs(
+        docs.repartition(16, "doc_id")).collect()))
+    assert a == b
+    assert {t[0]: t[1:] for t in a} == {
+        k: v for k, v in _py_paras(rows).items()}
