@@ -3122,11 +3122,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04 CORRECTNESS row (the 5 never-sampled ones, then the 10
     # whose last driver row is r03).
     return {
-        # lead with the queries that lack a fresh driver CORRECTNESS
-        # row (newest first; r04 never sampled the next five; the
-        # block after was last sampled in r03) so a capped driver run
-        # covers them before re-confirming the rows r04 already
-        # recorded
+        # lead with the queries that lack a fresh driver
+        # CORRECTNESS row, newest first: this final session's
+        # eight additions, then the five r04 never sampled, then
+        # the block last sampled in r03 — a capped driver run
+        # covers them before re-confirming recorded rows
+        "host_trustrank": q_host_trustrank,
+        "host_communities": q_host_communities,
+        "wet_records": q_wet_records,
+        "lm_kn_counts": q_lm_kn_counts,
+        "bpe_merges": q_bpe_merges,
+        "quality_classifier": q_quality_classifier,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "audio_fingerprint": q_audio_fingerprint,
@@ -3199,8 +3207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": q_agg_grouping_sets,
         "orders_rank_dist": q_orders_rank_dist,
         "host_pagerank": q_host_pagerank,
-        "host_trustrank": q_host_trustrank,
-        "host_communities": q_host_communities,
         "hll_hosts": q_hll_hosts,
         "events_tumbling": q_events_tumbling,
         "events_funnel": q_events_funnel,
@@ -3222,7 +3228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_charset": q_cdx_charset,
         "cdx_extract_text": q_cdx_extract_text,
         "web_text_pipeline": q_web_text_pipeline,
-        "wet_records": q_wet_records,
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "web_corpus_full": q_web_corpus_full,
         "cdx_checksum_fast": q_cdx_checksum_fast,
@@ -3235,8 +3240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_spans": q_dedup_spans,
         "dedup_windows": q_dedup_windows,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -3246,9 +3249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "quality_c4": q_quality_c4,
         "quality_perplexity": q_quality_perplexity,
-        "lm_kn_counts": q_lm_kn_counts,
-        "bpe_merges": q_bpe_merges,
-        "quality_classifier": q_quality_classifier,
         "corpus_chunks": q_corpus_chunks,
         "corpus_mix": q_corpus_mix,
         "corpus_hll": q_corpus_hll,
