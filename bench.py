@@ -226,6 +226,22 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_orders_above_avg(spark, sf_dir),
         "events_retention": lambda:
             entrymod.q_events_retention(spark, sf_dir),
+        "host_trustrank": lambda:
+            entrymod.q_host_trustrank(spark, sf_dir),
+        "host_communities": lambda:
+            entrymod.q_host_communities(spark, sf_dir),
+        "wet_records": lambda:
+            entrymod.q_wet_records(spark, sf_dir),
+        "lm_kn_counts": lambda:
+            entrymod.q_lm_kn_counts(spark, sf_dir),
+        "bpe_merges": lambda:
+            entrymod.q_bpe_merges(spark, sf_dir),
+        "quality_classifier": lambda:
+            entrymod.q_quality_classifier(spark, sf_dir),
+        "dedup_survivors": lambda:
+            entrymod.q_dedup_survivors(spark, sf_dir),
+        "dedup_paragraphs": lambda:
+            entrymod.q_dedup_paragraphs(spark, sf_dir),
     }
 
 
