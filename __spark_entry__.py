@@ -786,6 +786,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.linear_quality_scores(_docs(spark, sf_dir), wdf)
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-application half of bpe_merges: replay the two
+    learned merges over every document (driver-collected merge table
+    = vocabulary-sized config, the --py-files shipping shape) and
+    report per-doc word/symbol counts — the post-BPE sequence length
+    that drives context packing.  Zero shuffles: per-row transform +
+    one replace per merge + a native aggregate fold.  The oracle
+    re-learns the merges AND re-applies them per word in SQL."""
+    from cdx_writer_spark.functions import lm
+
+    merges = lm.bpe_merges(_docs(spark, sf_dir), rounds=2)
+    return lm.bpe_segment_counts(_docs(spark, sf_dir), merges)
+
+
 def q_corpus_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog cardinality sketch over the document
     texts — the one-pass distinct counter a 10^10-URL crawl uses
@@ -3132,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_records": q_wet_records,
         "lm_kn_counts": q_lm_kn_counts,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "quality_classifier": q_quality_classifier,
         "dedup_survivors": q_dedup_survivors,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -3440,6 +3455,39 @@ def _HEXN_SQL(expr: str, n: int) -> str:
         f"(strpos('0123456789abcdef', substr(_h, {i + 1}, 1)) - 1) "
         f"* {16 ** (n - 1 - i)}" for i in range(n))
     return f"(SELECT {terms} FROM (SELECT {expr} AS _h))"
+
+
+# BPE learner CTEs (shared by the bpe_merges / bpe_segment
+# oracles): word-frequency table, double-delimiter framing, two
+# argmax rounds ending in b1/b2 holding (s1, s2, wt)
+_BPE_LEARN_CTES = (
+    "tk AS (SELECT "
+    "string_split_regex(trim(lower(text)), '\\s+') AS w "
+    "FROM documents), "
+    "wd AS (SELECT word, COUNT(*) AS freq FROM ("
+    "SELECT replace(unnest(w), chr(31), '') AS word FROM tk) "
+    "WHERE word <> '' GROUP BY 1), "
+    "w0 AS (SELECT chr(31) || regexp_replace(word, '(.)', "
+    "chr(31) || '\\1' || chr(31), 'g') || chr(31) AS syms, "
+    "freq FROM wd), "
+    "p1 AS (SELECT s1, s2, SUM(freq) AS wt FROM ("
+    "SELECT unnest(s[2:len(s)-2]) AS s1, "
+    "unnest(s[3:len(s)-1]) AS s2, freq FROM ("
+    "SELECT string_split(syms, chr(31) || chr(31)) AS s, "
+    "freq FROM w0)) GROUP BY 1, 2), "
+    "b1 AS (SELECT s1, s2, wt FROM p1 "
+    "ORDER BY wt DESC, s1, s2 LIMIT 1), "
+    "w1 AS (SELECT replace(syms, "
+    "chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31), "
+    "chr(31) || b.s1 || b.s2 || chr(31)) AS syms, freq "
+    "FROM w0 CROSS JOIN b1 b), "
+    "p2 AS (SELECT s1, s2, SUM(freq) AS wt FROM ("
+    "SELECT unnest(s[2:len(s)-2]) AS s1, "
+    "unnest(s[3:len(s)-1]) AS s2, freq FROM ("
+    "SELECT string_split(syms, chr(31) || chr(31)) AS s, "
+    "freq FROM w1)) GROUP BY 1, 2), "
+    "b2 AS (SELECT s1, s2, wt FROM p2 "
+    "ORDER BY wt DESC, s1, s2 LIMIT 1)")
 
 
 def _HEX8_SQL(expr: str) -> str:
@@ -4954,39 +5002,36 @@ def oracle_sql() -> dict[str, str]:
         # pair counting (overlaps included), argmax with the
         # (weight DESC, pair ASC) tie-break, greedy replace, round 2
         "bpe_merges": (
-            "WITH tk AS (SELECT "
-            "string_split_regex(trim(lower(text)), '\\s+') AS w "
-            "FROM documents), "
-            "wd AS (SELECT word, COUNT(*) AS freq FROM ("
-            "SELECT replace(unnest(w), chr(31), '') AS word FROM tk) "
-            "WHERE word <> '' GROUP BY 1), "
-            "w0 AS (SELECT chr(31) || regexp_replace(word, '(.)', "
-            "chr(31) || '\\1' || chr(31), 'g') || chr(31) AS syms, "
-            "freq FROM wd), "
-            "p1 AS (SELECT s1, s2, SUM(freq) AS wt FROM ("
-            "SELECT unnest(s[2:len(s)-2]) AS s1, "
-            "unnest(s[3:len(s)-1]) AS s2, freq FROM ("
-            "SELECT string_split(syms, chr(31) || chr(31)) AS s, "
-            "freq FROM w0)) GROUP BY 1, 2), "
-            "b1 AS (SELECT s1, s2, wt FROM p1 "
-            "ORDER BY wt DESC, s1, s2 LIMIT 1), "
-            "w1 AS (SELECT replace(syms, "
-            "chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31), "
-            "chr(31) || b.s1 || b.s2 || chr(31)) AS syms, freq "
-            "FROM w0 CROSS JOIN b1 b), "
-            "p2 AS (SELECT s1, s2, SUM(freq) AS wt FROM ("
-            "SELECT unnest(s[2:len(s)-2]) AS s1, "
-            "unnest(s[3:len(s)-1]) AS s2, freq FROM ("
-            "SELECT string_split(syms, chr(31) || chr(31)) AS s, "
-            "freq FROM w1)) GROUP BY 1, 2), "
-            "b2 AS (SELECT s1, s2, wt FROM p2 "
-            "ORDER BY wt DESC, s1, s2 LIMIT 1) "
+            "WITH " + _BPE_LEARN_CTES + " "
             "SELECT CAST(1 AS BIGINT) AS \"round\", s1 AS left_sym, "
             "s2 AS right_sym, s1 || s2 AS merged, "
             "CAST(wt AS BIGINT) AS pair_weight FROM b1 "
             "UNION ALL "
             "SELECT CAST(2 AS BIGINT), s1, s2, s1 || s2, "
             "CAST(wt AS BIGINT) FROM b2"),
+        # segmentation: re-apply the two learned merges per word (the
+        # same double-delimiter replaces) and fold symbol counts
+        "bpe_segment": (
+            "WITH " + _BPE_LEARN_CTES + ", "
+            "ba AS (SELECT s1 AS s1a, s2 AS s2a FROM b1), "
+            "bb AS (SELECT s1 AS s1b, s2 AS s2b FROM b2), "
+            "seg AS (SELECT doc_id, "
+            "list_filter(string_split_regex(trim(lower(text)), "
+            "'\\s+'), t -> t <> '') AS w FROM documents), "
+            "app AS (SELECT doc_id, len(w) AS n_words, "
+            "list_sum(list_transform(w, tok -> "
+            "len(string_split(replace(replace("
+            "chr(31) || regexp_replace(replace(tok, chr(31), ''), "
+            "'(.)', chr(31) || '\\1' || chr(31), 'g') || chr(31), "
+            "chr(31) || s1a || chr(31) || chr(31) || s2a || chr(31), "
+            "chr(31) || s1a || s2a || chr(31)), "
+            "chr(31) || s1b || chr(31) || chr(31) || s2b || chr(31), "
+            "chr(31) || s1b || s2b || chr(31)), "
+            "chr(31) || chr(31))) - 2)) AS n_symbols "
+            "FROM seg CROSS JOIN ba CROSS JOIN bb) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "CAST(COALESCE(n_symbols, 0) AS BIGINT) AS n_symbols "
+            "FROM app"),
         # Kneser-Ney counts re-derived with lockstep parallel unnest
         # of the token list against its shift — distinct pair types,
         # then two vocabulary-sized aggregations
