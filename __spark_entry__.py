@@ -800,6 +800,20 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bpe_segment_counts(_docs(spark, sf_dir), merges)
 
 
+def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing (sampling.domain_cap): every synthetic host
+    capped at 5 documents chosen by the salted md5 key — the
+    mega-site safeguard of a corpus mix, as an unbiased deterministic
+    subsample rather than first-K-by-crawl-order.  One domain-keyed
+    exchange with Partial WindowGroupLimit pre-pruning (plan-tested);
+    the oracle re-ranks with the same md5 key in SQL."""
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", _doc_host_col().alias("domain"))
+    from cdx_writer_spark.functions import sampling
+
+    return sampling.domain_cap(docs, "domain", cap=5)
+
+
 def q_corpus_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog cardinality sketch over the document
     texts — the one-pass distinct counter a 10^10-URL crawl uses
@@ -3150,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "dedup_survivors": q_dedup_survivors,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "corpus_domain_cap": q_corpus_domain_cap,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "audio_fingerprint": q_audio_fingerprint,
@@ -4539,6 +4554,26 @@ def oracle_sql() -> dict[str, str]:
         # transitive reachability by a recursive CTE (label = min
         # reachable id) — an implementation-independent check of the
         # Spark side's large-star/small-star alternation
+        # domain cap re-ranked with the same salted md5 key
+        "corpus_domain_cap": (
+            "WITH d AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 6 = 0 THEN "
+            "'www.site' || (doc_id % 40) || '.com' "
+            "WHEN doc_id % 6 = 1 THEN "
+            "'site' || (doc_id % 40) || '.co.uk' "
+            "WHEN doc_id % 6 = 2 THEN "
+            "'a.b.site' || (doc_id % 40) || '.org.uk' "
+            "WHEN doc_id % 6 = 3 THEN "
+            "'user' || (doc_id % 40) || '.github.io' "
+            "WHEN doc_id % 6 = 4 THEN "
+            "'site' || (doc_id % 40) || '.internal' "
+            "ELSE 'deep.cdn.site' || (doc_id % 40) || '.com.au' END "
+            "AS domain FROM documents), "
+            "rk AS (SELECT doc_id, domain, "
+            "row_number() OVER (PARTITION BY domain ORDER BY "
+            "md5('dcap' || doc_id), doc_id) AS dom_rank FROM d) "
+            "SELECT doc_id, domain, CAST(dom_rank AS BIGINT) "
+            "AS dom_rank FROM rk WHERE dom_rank <= 5"),
         # paragraph dedup: owner via row_number over the raw text
         # (vs the engine's digest-keyed struct-min), blank exemption,
         # ordered string_agg reassembly
