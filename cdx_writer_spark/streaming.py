@@ -242,3 +242,35 @@ def run_corpus_stream(spark: SparkSession, input_dir: str,
         .start()
     )
     q.awaitTermination()
+
+def wet_stream(pages: DataFrame) -> DataFrame:
+    """Streaming WET derivative generation: the conversion-record
+    assembly (functions/extract.wet_records) lifted onto the pages
+    stream unchanged — the whole operator is a stateless projection
+    + filter, so it is append-mode compatible with zero streaming
+    state, and the content-derived record ids make micro-batch
+    retries emit byte-identical records (the exactly-once story
+    costs nothing extra)."""
+    from .functions import extract as extractmod
+
+    return extractmod.wet_records(pages)
+
+
+def run_wet_stream(spark: SparkSession, input_dir: str, out_dir: str,
+                   checkpoint_dir: str) -> None:
+    """Drain the pages landing dir once (availableNow) into WET text
+    parts partitioned by source archive, exactly-once via the
+    checkpoint — the incremental twin of extract.write_wet (rerun
+    after new archives land to convert only the delta)."""
+    recs = wet_stream(pages_stream(spark, input_dir))
+    q = (
+        recs.select("warc_file", "wet_record")
+        .writeStream.format("text")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("warc_file")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
