@@ -236,10 +236,19 @@ def bench_queries(spark: SparkSession, sf_dir: str):
             entrymod.q_lm_kn_counts(spark, sf_dir),
         "bpe_merges": lambda:
             entrymod.q_bpe_merges(spark, sf_dir),
+        "bpe_segment": lambda:
+            entrymod.q_bpe_segment(spark, sf_dir),
+        "corpus_domain_cap": lambda:
+            entrymod.q_corpus_domain_cap(spark, sf_dir),
         "quality_classifier": lambda:
             entrymod.q_quality_classifier(spark, sf_dir),
-        "dedup_survivors": lambda:
-            entrymod.q_dedup_survivors(spark, sf_dir),
+        # survivors over the FAST (xxhash64) pair family, like
+        # dedup_clusters: the bench measures the closure + election,
+        # not the portable-oracle md5 hashes
+        "dedup_survivors": lambda: dedup.elect_survivors(
+            docs.select("doc_id",
+                        F.octet_length("text").alias("score")),
+            dedup.minhash_lsh_dedup(docs, threshold=0.5)),
         "dedup_paragraphs": lambda:
             entrymod.q_dedup_paragraphs(spark, sf_dir),
     }
