@@ -247,3 +247,48 @@ def test_corpus_job_holdout_split(spark, tmp_path):
     # ~20% carve, binomially loose bounds
     frac = len(hold_ids) / (len(train_ids) + len(hold_ids))
     assert 0.08 <= frac <= 0.35
+
+
+def test_wet_job_via_spark_submit_pyfiles(spark, tmp_path):
+    """The WET-derivative ship path end-to-end: a spark-submit run
+    from OUTSIDE the repo must land per-archive WET parts whose
+    records are byte-identical to the in-process operator's, with a
+    stats file agreeing with the output."""
+    from cdx_writer_spark.functions.extract import wet_records
+    from cdx_writer_spark.webview import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    pages_dir = str(tmp_path / "pages.parquet")
+    pages_from_documents(spark, sf).write.parquet(pages_dir)
+
+    z = packager.build(str(tmp_path / "app.zip"))
+    job = str(tmp_path / "wet_job.py")
+    shutil.copy(os.path.join(REPO, "jobs", "wet_job.py"), job)
+    out = str(tmp_path / "out_wet")
+    stats_file = str(tmp_path / "wet_stats.json")
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", z,
+         job, pages_dir, out, "--stats-file", stats_file,
+         "--cpus", "4"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=420,
+        env=env)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    batch = wet_records(pages_from_documents(spark, sf)).collect()
+    blob = "".join(
+        open(f, newline="").read()
+        for f in glob.glob(os.path.join(out, "warc_file=*", "part-*")))
+    assert blob.count("WARC/1.0\r\n") == len(batch)
+    for rec in batch[:5]:
+        assert rec["wet_record"] in blob
+
+    stats = json.load(open(stats_file))
+    assert stats["n_records"] == len(batch)
+    assert stats["text_octets"] == sum(
+        r["content_length"] for r in batch)
+    assert stats["n_archives"] == len(
+        {r["warc_file"] for r in batch})
